@@ -1,0 +1,579 @@
+"""Relational operator execution over columnar Relations.
+
+Whole-column re-design of the reference's pull-based operator tree
+(reference: sql/table_expression.h, sql/statements/select/*.cc): each
+plan node evaluates to a full Relation; expressions run vectorized
+(exec.vector_eval); aggregation is a segment reduction; sorting is an
+argsort. Semantics are bit-identical to the reference's row-at-a-time
+loops (see SURVEY.md Appendix A).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from eventql_tpu.core.errors import RuntimeError_
+from eventql_tpu.core.types import SType, SValue
+from eventql_tpu.exec.relation import Column, Relation, dtype_for
+from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector, _zero_invalid
+from eventql_tpu.plan import nodes as qn
+from eventql_tpu.plan.exprs import (
+    CallExpressionNode,
+    ColumnReferenceNode,
+    IfExpressionNode,
+    IsNullExpressionNode,
+    LiteralExpressionNode,
+    RegexExpressionNode,
+    ValueExpressionNode,
+    has_aggregate_call,
+)
+
+
+def execute_node(node: qn.QueryTreeNode, txn) -> Relation:
+    if isinstance(node, qn.SequentialScanNode):
+        return _exec_seqscan(node, txn)
+    if isinstance(node, qn.SelectExpressionNode):
+        return _exec_select_expression(node, txn)
+    if isinstance(node, qn.SubqueryNode):
+        return _exec_subquery(node, txn)
+    if isinstance(node, qn.GroupByNode):
+        return _exec_group_by(node, txn)
+    if isinstance(node, qn.OrderByNode):
+        return _exec_order_by(node, txn)
+    if isinstance(node, qn.LimitNode):
+        return _exec_limit(node, txn)
+    if isinstance(node, qn.JoinNode):
+        return _exec_join(node, txn)
+    if isinstance(node, qn.ShowTablesNode):
+        return _exec_show_tables(node, txn)
+    if isinstance(node, qn.DescribeTableNode):
+        return _exec_describe_table(node, txn)
+    if isinstance(node, qn.ChartNode):
+        return _exec_chart(node, txn)
+    raise RuntimeError_(f"can't execute plan node: {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# scan
+# ---------------------------------------------------------------------------
+
+
+def _exec_seqscan(node: qn.SequentialScanNode, txn) -> Relation:
+    table = txn.get_table_data(node.table_name)  # Relation of ALL table cols
+
+    # project the scan's input columns by name
+    input_cols: List[Column] = []
+    name_to_col = dict(zip(table.names, table.columns))
+    for cname, _ctype in node.input_columns:
+        if cname not in name_to_col:
+            raise RuntimeError_(f"column(s) not found: '{cname}'")
+        input_cols.append(name_to_col[cname])
+
+    n = table.num_rows
+    mask = None
+    if node.where_expr is not None:
+        ctx = EvalContext(input_cols, n)
+        cond = evaluate_vector(node.where_expr, ctx)
+        mask = cond.data.astype(bool)
+
+    ctx = EvalContext(input_cols, n, mask)
+    out_cols = [evaluate_vector(sl.expr, ctx) for sl in node.select_list]
+    names = [sl.column_name() for sl in node.select_list]
+    rel = Relation(names, out_cols, n)
+    if mask is not None:
+        rel = rel.gather(np.nonzero(mask)[0])
+    return rel
+
+
+def _exec_select_expression(node: qn.SelectExpressionNode, txn) -> Relation:
+    # one output row of constant expressions
+    # (reference: sql/statements/select/select.cc)
+    ctx = EvalContext([], 1)
+    cols = [evaluate_vector(sl.expr, ctx) for sl in node.select_list]
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, cols, 1)
+
+
+def _exec_subquery(node: qn.SubqueryNode, txn) -> Relation:
+    child = execute_node(node.subquery, txn)
+    n = child.num_rows
+    mask = None
+    if node.where_expr is not None:
+        ctx = EvalContext(child.columns, n)
+        cond = evaluate_vector(node.where_expr, ctx)
+        mask = cond.data.astype(bool)
+    ctx = EvalContext(child.columns, n, mask)
+    cols = [evaluate_vector(sl.expr, ctx) for sl in node.select_list]
+    names = [sl.column_name() for sl in node.select_list]
+    rel = Relation(names, cols, n)
+    if mask is not None:
+        rel = rel.gather(np.nonzero(mask)[0])
+    return rel
+
+
+# ---------------------------------------------------------------------------
+# group by
+# ---------------------------------------------------------------------------
+
+
+def _group_key_matrix(cols: List[Column], n: int) -> np.ndarray:
+    """Build an (n, 2k) uint64 key matrix: per key column its bit
+    pattern and its null tag (NULL and 0 group separately, reference:
+    groupby.cc:129-135 hashes the packed (value, tag) tuple)."""
+    parts = []
+    for c in cols:
+        if c.stype == SType.STRING:
+            # dictionary ids are equality-preserving within one column
+            bits = c.data.astype(np.uint64)
+        elif c.stype == SType.NIL:
+            bits = np.zeros(n, dtype=np.uint64)
+        else:
+            bits = c.data.view(np.uint64) if c.data.dtype.itemsize == 8 else c.data.astype(np.uint64)
+        parts.append(np.where(c.valid, bits, 0).astype(np.uint64))
+        parts.append((~c.valid).astype(np.uint64))
+    if not parts:
+        return np.zeros((n, 1), dtype=np.uint64)
+    return np.stack(parts, axis=1)
+
+
+def _factorize_rows(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (group_ids, first_occurrence_indices) with groups numbered
+    in first-occurrence order."""
+    n = keys.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    _, first_idx, inverse = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True
+    )
+    inverse = inverse.reshape(-1)
+    # renumber so group ids follow first-occurrence order
+    order = np.argsort(first_idx, kind="stable")
+    remap = np.empty_like(order)
+    remap[order] = np.arange(len(order))
+    gids = remap[inverse]
+    firsts = first_idx[order]
+    return gids.astype(np.int64), firsts.astype(np.int64)
+
+
+@dataclass
+class _AggInstance:
+    call: CallExpressionNode
+    placeholder_idx: int
+
+
+def _strip_aggregates(
+    expr: ValueExpressionNode, out: List[CallExpressionNode]
+) -> ValueExpressionNode:
+    """Replace aggregate calls with placeholder column refs; collect the
+    aggregate calls. Mirrors the compiler's split into method_call /
+    method_accumulate entry points (reference: sql/runtime/compiler.cc)."""
+    if isinstance(expr, CallExpressionNode) and expr.is_aggregate():
+        idx = len(out)
+        out.append(expr)
+        return ColumnReferenceNode(None, expr.return_type(), idx)
+    if isinstance(expr, CallExpressionNode):
+        new_args = [_strip_aggregates(a, out) for a in expr.args]
+        return CallExpressionNode(
+            expr.function_name, expr.sfunction, new_args, expr.within_record
+        )
+    if isinstance(expr, IfExpressionNode):
+        return IfExpressionNode(
+            _strip_aggregates(expr.cond, out),
+            _strip_aggregates(expr.true_branch, out),
+            _strip_aggregates(expr.false_branch, out),
+            expr.rtype,
+        )
+    if isinstance(expr, IsNullExpressionNode):
+        return IsNullExpressionNode(_strip_aggregates(expr.arg, out))
+    if isinstance(expr, RegexExpressionNode):
+        return RegexExpressionNode(
+            _strip_aggregates(expr.subject, out), expr.pattern
+        )
+    return expr
+
+
+def _segment_aggregate(
+    call: CallExpressionNode,
+    ctx: EvalContext,
+    gids: np.ndarray,
+    n_groups: int,
+) -> Column:
+    """Vectorized accumulate+finalize of one aggregate call per group
+    (reference vtable contract: sql/runtime/vm.h:68-82)."""
+    spec = call.sfunction.aggregate
+    kind = spec.kind
+    rtype = call.sfunction.return_type
+
+    if kind == "count":
+        data = np.bincount(gids, minlength=n_groups).astype(np.uint64)
+        return Column(SType.UINT64, data, np.ones(n_groups, bool))
+
+    arg = evaluate_vector(call.args[0], ctx)
+    vals = arg.data  # zeroed-null payloads
+
+    if kind == "count_distinct":
+        pairs = np.stack([gids.astype(np.uint64), vals.astype(np.uint64)], axis=1)
+        uniq = np.unique(pairs, axis=0)
+        data = np.bincount(
+            uniq[:, 0].astype(np.int64), minlength=n_groups
+        ).astype(np.uint64)
+        return Column(SType.UINT64, data, np.ones(n_groups, bool))
+
+    dt = dtype_for(rtype)
+    if kind == "sum":
+        out = np.zeros(n_groups, dtype=dt)
+        np.add.at(out, gids, vals.astype(dt))
+        return Column(rtype, out, np.ones(n_groups, bool))
+
+    if kind == "mean":
+        sums = np.zeros(n_groups, dtype=np.float64)
+        np.add.at(sums, gids, vals.astype(np.float64))
+        counts = np.bincount(gids, minlength=n_groups)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = sums / counts
+        return Column(SType.FLOAT64, out, np.ones(n_groups, bool))
+
+    if kind in ("min", "max"):
+        if np.issubdtype(dt, np.floating):
+            init = np.inf if kind == "min" else -np.inf
+        else:
+            info = np.iinfo(dt)
+            init = info.max if kind == "min" else info.min
+        out = np.full(n_groups, init, dtype=dt)
+        ufunc = np.minimum if kind == "min" else np.maximum
+        ufunc.at(out, gids, vals.astype(dt))
+        return Column(rtype, out, np.ones(n_groups, bool))
+
+    raise RuntimeError_(f"unknown aggregate kind: {kind}")
+
+
+def _exec_group_by(node: qn.GroupByNode, txn) -> Relation:
+    child = execute_node(node.table, txn)
+    n = child.num_rows
+    ctx = EvalContext(child.columns, n)
+
+    key_cols = [evaluate_vector(e, ctx) for e in node.group_exprs]
+    keys = _group_key_matrix(key_cols, n)
+    gids, firsts = _factorize_rows(keys)
+    n_groups = len(firsts)
+
+    out_cols: List[Column] = []
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            agg_calls: List[CallExpressionNode] = []
+            emit_expr = _strip_aggregates(sl.expr, agg_calls)
+            agg_cols = [
+                _segment_aggregate(c, ctx, gids, n_groups) for c in agg_calls
+            ]
+            emit_ctx = EvalContext(agg_cols, n_groups)
+            out_cols.append(evaluate_vector(emit_expr, emit_ctx))
+        else:
+            # first-row-wins (reference: groupby.cc:161-172)
+            full = evaluate_vector(sl.expr, ctx)
+            out_cols.append(full.gather(firsts))
+
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, out_cols, n_groups)
+
+
+# ---------------------------------------------------------------------------
+# order by / limit
+# ---------------------------------------------------------------------------
+
+
+def _sort_key_arrays(col: Column) -> np.ndarray:
+    """Turn a column into a numpy array that sorts like the reference's
+    typed cmp functions (strings: byte order via sorted dictionary)."""
+    if col.stype == SType.STRING:
+        # order-preserving rank: sort dictionary, map ids to ranks;
+        # null payload b"" ranks like b""
+        sorted_idx = np.argsort(col.dictionary.astype(bytes), kind="stable")
+        ranks = np.empty(len(col.dictionary), dtype=np.int64)
+        ranks[sorted_idx] = np.arange(len(col.dictionary))
+        keys = ranks[col.data]
+        if not col.valid.all():
+            empty_rank = np.searchsorted(
+                col.dictionary.astype(bytes)[sorted_idx], b""
+            )
+            keys = np.where(col.valid, keys, empty_rank - 0)
+        return keys
+    return col.data
+
+
+def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:
+    child = execute_node(node.table, txn)
+    n = child.num_rows
+    ctx = EvalContext(child.columns, n)
+
+    keys = []
+    for spec in node.sort_specs:
+        col = evaluate_vector(spec.expr, ctx)
+        k = _sort_key_arrays(col)
+        if spec.descending:
+            if np.issubdtype(k.dtype, np.floating):
+                k = -k
+            elif k.dtype == np.uint64:
+                k = np.iinfo(np.uint64).max - k
+            else:
+                k = -(k.astype(np.int64))
+        keys.append(np.asarray(k))
+
+    if keys:
+        order = np.lexsort(list(reversed(keys)))
+    else:
+        order = np.arange(n)
+    return child.gather(order)
+
+
+def _exec_limit(node: qn.LimitNode, txn) -> Relation:
+    child = execute_node(node.table, txn)
+    lo = node.offset
+    hi = node.offset + node.limit
+    idx = np.arange(child.num_rows)[lo:hi]
+    return child.gather(idx)
+
+
+# ---------------------------------------------------------------------------
+# join
+# ---------------------------------------------------------------------------
+
+
+def _find_join_conjunctions(node: qn.JoinNode, expr, out: List):
+    # reference: findJoinConjunctions (sql/qtree/constraints.cc:29-93)
+    if not isinstance(expr, CallExpressionNode):
+        return
+    if expr.function_name == "logical_and":
+        for a in expr.args:
+            _find_join_conjunctions(node, a, out)
+        return
+    if expr.function_name != "eq":
+        return
+
+    def deps(e, acc):
+        if isinstance(e, ColumnReferenceNode) and e.column_index is not None:
+            acc.add(node.input_map[e.column_index].table_idx)
+        for a in e.arguments():
+            deps(a, acc)
+
+    left_tables, right_tables = set(), set()
+    deps(expr.args[0], left_tables)
+    deps(expr.args[1], right_tables)
+    if len(left_tables) != 1 or len(right_tables) != 1 or left_tables == right_tables:
+        return
+    if 0 in left_tables:
+        out.append((expr.args[0], expr.args[1]))
+    else:
+        out.append((expr.args[1], expr.args[0]))
+
+
+def _side_ctx(node: qn.JoinNode, rel: Relation, side: int) -> EvalContext:
+    """Evaluation context exposing the join's input_map columns for one
+    side only (the other side's refs must not be touched)."""
+    cols = []
+    for ref in node.input_map:
+        if ref.table_idx == side:
+            cols.append(rel.columns[ref.column_idx])
+        else:
+            cols.append(None)
+    return EvalContext(cols, rel.num_rows)
+
+
+def _null_column(stype: SType, n: int) -> Column:
+    if stype == SType.STRING:
+        return Column(
+            SType.STRING,
+            np.zeros(n, np.int32),
+            np.zeros(n, bool),
+            np.array([b""], dtype=object),
+        )
+    return Column(stype, np.zeros(n, dtype=dtype_for(stype)), np.zeros(n, bool))
+
+
+def _paired_columns(
+    node: qn.JoinNode,
+    base: Relation,
+    joined: Relation,
+    base_idx: np.ndarray,
+    joined_idx: np.ndarray,
+) -> List[Column]:
+    """Materialize the join input vector for given row pairings; an
+    index of -1 selects a NULL row (outer joins)."""
+    cols = []
+    n = len(base_idx)
+    for ref in node.input_map:
+        src = base if ref.table_idx == 0 else joined
+        idx = base_idx if ref.table_idx == 0 else joined_idx
+        col = src.columns[ref.column_idx]
+        has_null = (idx < 0).any()
+        safe_idx = np.where(idx < 0, 0, idx)
+        g = col.gather(safe_idx)
+        if has_null:
+            g = Column(
+                g.stype,
+                np.where(idx < 0, 0, g.data).astype(g.data.dtype),
+                np.where(idx < 0, False, g.valid),
+                g.dictionary,
+            )
+        cols.append(g)
+    return cols
+
+
+def _join_key_ids(expr_cols: List[Column], n: int) -> np.ndarray:
+    keys = _group_key_matrix(expr_cols, n)
+    return keys
+
+
+def _exec_join(node: qn.JoinNode, txn) -> Relation:
+    base = execute_node(node.base_table, txn)
+    joined = execute_node(node.joined_table, txn)
+
+    conjunctions = []
+    if node.where_expr is not None:
+        _find_join_conjunctions(node, node.where_expr, conjunctions)
+    if node.join_cond is not None:
+        _find_join_conjunctions(node, node.join_cond, conjunctions)
+
+    if conjunctions:
+        base_idx, joined_idx = _hash_join_pairs(node, base, joined, conjunctions)
+    else:
+        # cartesian pairing (nested loop); reference:
+        # statements/select/nested_loop_join.cc
+        base_idx = np.repeat(np.arange(base.num_rows), joined.num_rows)
+        joined_idx = np.tile(np.arange(joined.num_rows), base.num_rows)
+
+    pair_cols = _paired_columns(node, base, joined, base_idx, joined_idx)
+    n = len(base_idx)
+    ctx = EvalContext(pair_cols, n)
+
+    keep = np.ones(n, dtype=bool)
+    outer_null = joined_idx < 0 if node.join_type == qn.JoinNode.LEFT else (
+        base_idx < 0 if node.join_type == qn.JoinNode.RIGHT else None
+    )
+    if node.join_cond is not None:
+        cond = evaluate_vector(node.join_cond, ctx)
+        c = cond.data.astype(bool)
+        if outer_null is not None:
+            c = c | outer_null
+        keep &= c
+    if node.where_expr is not None:
+        w = evaluate_vector(node.where_expr, ctx)
+        c = w.data.astype(bool)
+        if outer_null is not None:
+            c = c | outer_null
+        keep &= c
+
+    sel = np.nonzero(keep)[0]
+    pair_cols = [c.gather(sel) for c in pair_cols]
+    ctx = EvalContext(pair_cols, len(sel))
+
+    out_cols = [evaluate_vector(sl.expr, ctx) for sl in node.select_list]
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, out_cols, len(sel))
+
+
+def _hash_join_pairs(node, base, joined, conjunctions):
+    """Vectorized equi-join pairing; emits pairs in base-row-major order
+    like the reference's probe loop (hash_join.cc:123-201), with LEFT /
+    RIGHT outer padding (joined_idx/base_idx = -1)."""
+    base_key_cols = []
+    joined_key_cols = []
+    for base_expr, joined_expr in conjunctions:
+        bctx = _side_ctx(node, base, 0)
+        jctx = _side_ctx(node, joined, 1)
+        bcol = evaluate_vector(base_expr, bctx)
+        jcol = evaluate_vector(joined_expr, jctx)
+        # unify string dictionaries across sides so ids compare equal
+        if bcol.stype == SType.STRING and jcol.stype == SType.STRING:
+            from eventql_tpu.exec.vector_eval import _string_ids_unified
+
+            ids_b, ids_j = _string_ids_unified(bcol, jcol)
+            bcol = Column(SType.UINT64, ids_b.astype(np.uint64), bcol.valid)
+            jcol = Column(SType.UINT64, ids_j.astype(np.uint64), jcol.valid)
+        base_key_cols.append(bcol)
+        joined_key_cols.append(jcol)
+
+    bkeys = _group_key_matrix(base_key_cols, base.num_rows)
+    jkeys = _group_key_matrix(joined_key_cols, joined.num_rows)
+
+    # factorize over both sides together
+    all_keys = np.concatenate([bkeys, jkeys], axis=0)
+    _, inverse = np.unique(all_keys, axis=0, return_inverse=True)
+    inverse = inverse.reshape(-1)
+    b_ids = inverse[: base.num_rows]
+    j_ids = inverse[base.num_rows :]
+
+    # joined side: stable sort by key id; per base row gather the range
+    j_order = np.argsort(j_ids, kind="stable")
+    j_sorted = j_ids[j_order]
+    starts = np.searchsorted(j_sorted, b_ids, side="left")
+    ends = np.searchsorted(j_sorted, b_ids, side="right")
+    counts = ends - starts
+
+    base_idx = np.repeat(np.arange(base.num_rows), counts)
+    # ranges into j_order
+    if len(base_idx):
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(counts.sum()) - np.repeat(offsets, counts)
+        joined_idx = j_order[np.repeat(starts, counts) + within]
+    else:
+        joined_idx = np.zeros(0, dtype=np.int64)
+
+    if node.join_type == qn.JoinNode.LEFT:
+        unmatched = np.nonzero(counts == 0)[0]
+        base_idx = np.concatenate([base_idx, unmatched])
+        joined_idx = np.concatenate(
+            [joined_idx, np.full(len(unmatched), -1, dtype=np.int64)]
+        )
+        order = np.argsort(base_idx, kind="stable")
+        base_idx, joined_idx = base_idx[order], joined_idx[order]
+    elif node.join_type == qn.JoinNode.RIGHT:
+        matched = np.zeros(joined.num_rows, dtype=bool)
+        matched[joined_idx[joined_idx >= 0]] = True
+        unmatched = np.nonzero(~matched)[0]
+        base_idx = np.concatenate(
+            [base_idx, np.full(len(unmatched), -1, dtype=np.int64)]
+        )
+        joined_idx = np.concatenate([joined_idx, unmatched])
+
+    return base_idx.astype(np.int64), joined_idx.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# metadata statements
+# ---------------------------------------------------------------------------
+
+
+def _exec_show_tables(node, txn) -> Relation:
+    infos = txn.tables.list_tables()
+    names = Column.from_strings([t.table_name.encode() for t in infos])
+    descs = Column.from_strings([b"" for _ in infos])
+    return Relation(["table_name", "description"], [names, descs], len(infos))
+
+
+def _exec_describe_table(node, txn) -> Relation:
+    from eventql_tpu.core.types import sql_typename
+
+    info = txn.tables.describe(node.table_name)
+    if info is None:
+        raise RuntimeError_(f"table not found: '{node.table_name}'")
+    cols = info.columns
+    return Relation(
+        ["column_name", "type", "nullable", "description"],
+        [
+            Column.from_strings([c[0].encode() for c in cols]),
+            Column.from_strings([sql_typename(c[1]).encode() for c in cols]),
+            Column.from_strings([b"YES" for _ in cols]),
+            Column.from_strings([b"" for _ in cols]),
+        ],
+        len(cols),
+    )
+
+
+def _exec_chart(node, txn) -> Relation:
+    from eventql_tpu.exec.chart import render_chart
+
+    svg = render_chart(node, txn)
+    return Relation(["__chart"], [Column.from_strings([svg])], 1)
