@@ -1,0 +1,279 @@
+"""Query-level parity tests over the reference's test fixtures
+(reference: sql/runtime/Runtime_test.cc — cited per test; fixture data
+from test/sql_testdata/). Cases that require nested-record scans are in
+test_nested.py (deferred feature)."""
+
+import pytest
+
+from tests.conftest import reference_path
+
+from eventql_tpu.columnar.providers import (
+    CompositeTableProvider,
+    CSTableScanProvider,
+    CSVTableProvider,
+)
+from eventql_tpu.exec.runtime import Runtime
+
+TESTTBL_CST = reference_path("test", "sql_testdata", "testtbl.cst")
+TESTTBL1_CSV = reference_path("test", "sql_testdata", "testtbl1.csv")
+TESTTBL2_CSV = reference_path("test", "sql_testdata", "testtbl2.csv")
+
+
+def run(query, provider):
+    rt = Runtime()
+    txn = rt.new_transaction(provider)
+    plan = rt.build_query_plan(txn, query)
+    return plan.execute(0)
+
+
+def cst_provider():
+    return CSTableScanProvider("testtable", TESTTBL_CST)
+
+
+def csv1_provider(name="testtable"):
+    return CSVTableProvider(name, TESTTBL1_CSV, column_separator=b"\t")
+
+
+def customers_provider():
+    return CSVTableProvider("customers", TESTTBL2_CSV)
+
+
+# Runtime_test.cc:146-174 (TestColumnReferenceWithTableNamePrefix)
+def test_column_reference_with_prefix():
+    r = run("select testtable.time from testtable;", cst_provider())
+    assert r.num_columns == 1
+    assert r.num_rows == 213
+
+
+# Runtime_test.cc:175-192 (TestSimpleCSTableAggregate)
+def test_simple_cstable_aggregate():
+    r = run("select count(1) from testtable;", cst_provider())
+    assert r.get_row(0) == ["213"]
+
+
+# Runtime_test.cc:1431-1457 (TestSimpleSelect)
+def test_simple_select_order():
+    r = run(
+        "SELECT customername FROM customers ORDER BY customername;",
+        customers_provider(),
+    )
+    assert r.num_rows == 91
+    assert r.get_row(0)[0] == "Alfreds Futterkiste"
+    assert r.get_row(90)[0] == "Wolski"
+
+
+# Runtime_test.cc:1459-1472 (TestSimpleTablelessSelect)
+def test_tableless_select():
+    r = run("select 123 as a, 435 as b;", CompositeTableProvider())
+    assert r.columns == ["a", "b"]
+    assert r.get_row(0) == ["123", "435"]
+
+
+# Runtime_test.cc:1474-1487 (TestSimpleSubSelect)
+def test_simple_subselect():
+    r = run(
+        "select t1.b, a from (select 123 as a, 435 as b) as t1",
+        CompositeTableProvider(),
+    )
+    assert r.num_columns == 2
+    assert r.get_row(0) == ["435", "123"]
+
+
+# Runtime_test.cc:1489-1502 (TestWildcardOnSubselect)
+def test_wildcard_on_subselect():
+    r = run(
+        "select * from (select 123 as a, 435 as b) as t1", CompositeTableProvider()
+    )
+    assert r.get_row(0) == ["123", "435"]
+
+
+# Runtime_test.cc:1504-1523 (TestSubqueryInGroupBy)
+def test_subquery_in_group_by():
+    r = run(
+        "select count(1), t1.fubar + t1.x from (select count(1) as x, 123 as"
+        " fubar from testtable group by TRUNCATE(time / 2000000)) t1 GROUP BY"
+        " t1.x;",
+        cst_provider(),
+    )
+    assert r.num_columns == 2
+    assert r.num_rows == 2
+    rows = sorted(r.rows, key=lambda x: int(x[0]))
+    assert rows[0] == ["1", "125"]
+    assert rows[1] == ["211", "124"]
+
+
+# Runtime_test.cc:1525-1540 (TestInternalOrderByWithSubquery)
+def test_internal_order_by_with_subquery():
+    r = run(
+        "select t1.x from (select count(1) as x from testtable group by"
+        " TRUNCATE(time / 2000000)) t1  order by t1.x DESC LIMIT 2;",
+        cst_provider(),
+    )
+    assert r.num_columns == 1
+    assert r.num_rows == 2
+
+
+# Runtime_test.cc:1542-1562 (TestWildcardWithGroupBy)
+def test_wildcard_with_group_by():
+    r = run("select * from testtable group by time;", csv1_provider())
+    assert r.columns == ["time", "value", "segment1", "segment2"]
+    assert r.num_rows == 4
+
+
+# Runtime_test.cc:687-750 (TestWildcardSelectWithSubqueries, CSV part)
+def test_wildcard_select_with_subqueries():
+    p = csv1_provider()
+    r = run("select value, time from testtable;", p)
+    assert r.columns == ["value", "time"]
+    assert r.num_rows == 19
+
+    r = run("select * from (select value, time from testtable);", p)
+    assert r.columns == ["value", "time"]
+    assert r.num_rows == 19
+
+    r = run(
+        "select * from (select * from (select value, time from testtable));", p
+    )
+    assert r.columns == ["value", "time"]
+    assert r.num_rows == 19
+
+    r = run("select * from (select * from (select * from testtable));", p)
+    assert r.columns == ["time", "value", "segment1", "segment2"]
+    assert r.num_rows == 19
+
+
+# Runtime_test.cc:752-771 (TestSelectWithInternalAggrGroupColumns)
+def test_internal_aggr_group_columns():
+    r = run(
+        "select count(1) cnt, time from testtable group by"
+        " TRUNCATE(time / 60000000) order by cnt desc;",
+        cst_provider(),
+    )
+    assert r.num_columns == 2
+    assert r.num_rows == 129
+    # two groups tie at count 6 (reference expectation picks one by
+    # stale last-row-wins semantics; we assert the invariant parts)
+    assert r.get_row(0)[0] == "6"
+    assert r.get_row(1)[0] == "6"
+    assert r.get_row(2)[0] == "5"
+
+
+# Runtime_test.cc:773-791 (TestSelectWithInternalGroupColumns)
+def test_internal_group_columns():
+    r = run(
+        "select time from testtable group by TRUNCATE(time / 60000000);",
+        cst_provider(),
+    )
+    assert r.num_columns == 1
+    assert r.num_rows == 129
+
+
+# Runtime_test.cc:792-810 (TestSelectWithInternalOrderColumns)
+def test_internal_order_columns():
+    r = run(
+        "select user_id from testtable order by time desc limit 10;",
+        cst_provider(),
+    )
+    assert r.num_columns == 1
+    assert r.num_rows == 10
+
+
+# Runtime_test.cc:1564-1678 (TestInnerJoin)
+def test_inner_join_cartesian():
+    q = """
+        SELECT
+          t1.time, t2.time, t3.time, t1.x, t2.x, t1.x + t2.x, t1.x * 3 = t3.x, x1, x2, x3
+        FROM
+          (select TRUNCATE(time / 1000000) as time, count(1) as x, 123 as x1 from testtable group by TRUNCATE(time / 1200000000)) t1,
+          (select TRUNCATE(time / 1000000) as time, sum(2) as x, 456 as x2 from testtable group by TRUNCATE(time / 1200000000)) AS t2,
+          (select TRUNCATE(time / 1000000) as time, sum(3) as x, 789 as x3 from testtable group by TRUNCATE(time / 1200000000)) AS t3
+        ORDER BY
+          t1.time desc;
+    """
+    r = run(q, cst_provider())
+    assert r.num_columns == 10
+    assert r.num_rows == 12 * 12 * 12
+
+
+# The reference test file's row values (Runtime_test.cc:1612-1633) date
+# from a last-row-wins GroupBy; the shipped engine freezes the FIRST row
+# of each group (groupby.cc:161-172, proven by golden test 00014), so
+# these are the first-row-wins values for the same buckets/counts.
+JOIN_EXPECT_FIRST = [
+    "1438055327", "1438055327", "1438055327", "48", "96", "144",
+    "true", "123", "456", "789",
+]
+JOIN_EXPECT_LAST = [
+    "1438042484", "1438042484", "1438042484", "17", "34", "51",
+    "true", "123", "456", "789",
+]
+
+
+def test_inner_join_on():
+    q = """
+        SELECT
+          t1.time, t2.time, t3.time, t1.x, t2.x, t1.x + t2.x, t1.x * 3 = t3.x, x1, x2, x3
+        FROM
+          (select TRUNCATE(time / 1000000) as time, count(1) as x, 123 as x1 from testtable group by TRUNCATE(time / 1200000000)) t1
+        JOIN
+          (select TRUNCATE(time / 1000000) as time, sum(2) as x, 456 as x2 from testtable group by TRUNCATE(time / 1200000000)) AS t2
+        JOIN
+          (select TRUNCATE(time / 1000000) as time, sum(3) as x, 789 as x3 from testtable group by TRUNCATE(time / 1200000000)) AS t3
+        ON
+          t2.time = t1.time and t3.time = t2.time
+        ORDER BY
+          t1.time desc;
+    """
+    r = run(q, cst_provider())
+    assert r.num_columns == 10
+    assert r.num_rows == 12
+    assert r.get_row(0) == JOIN_EXPECT_FIRST
+    assert r.get_row(11) == JOIN_EXPECT_LAST
+
+
+def test_inner_join_where():
+    q = """
+        SELECT
+          t1.time, t2.time, t3.time, t1.x, t2.x, t1.x + t2.x, t1.x * 3 = t3.x, x1, x2, x3
+        FROM
+          (select TRUNCATE(time / 1000000) as time, count(1) as x, 123 as x1 from testtable group by TRUNCATE(time / 1200000000)) t1
+        JOIN
+          (select TRUNCATE(time / 1000000) as time, sum(2) as x, 456 as x2 from testtable group by TRUNCATE(time / 1200000000)) AS t2
+        JOIN
+          (select TRUNCATE(time / 1000000) as time, sum(3) as x, 789 as x3 from testtable group by TRUNCATE(time / 1200000000)) AS t3
+        WHERE
+          t2.time = t1.time AND t1.time = t3.time
+        ORDER BY
+          t1.time desc;
+    """
+    r = run(q, cst_provider())
+    assert r.num_columns == 10
+    assert r.num_rows == 12
+    assert r.get_row(0) == JOIN_EXPECT_FIRST
+    assert r.get_row(11) == JOIN_EXPECT_LAST
+
+
+# Runtime_test.cc:2314-2336 (TestSumMinMaxCount)
+def test_sum_min_max_count():
+    r = run(
+        "select sum(value), count(value), min(value), max(value) FROM testtable;",
+        csv1_provider(),
+    )
+    assert r.num_columns == 4
+    assert r.num_rows == 1
+    assert r.get_row(0) == ["11409.000000", "19", "123.000000", "999.000000"]
+
+
+# Runtime_test.cc:2120-2152 (TestShowTables) — structural check
+def test_show_tables():
+    r = run("show tables;", cst_provider())
+    assert r.columns == ["table_name", "description"]
+    assert r.get_row(0)[0] == "testtable"
+
+
+def test_describe_table():
+    r = run("describe testtable;", csv1_provider())
+    assert r.columns == ["column_name", "type", "nullable", "description"]
+    assert r.num_rows == 4
+    assert r.get_row(0)[0] == "time"
+    assert r.get_row(0)[1] == "string"
