@@ -1,0 +1,202 @@
+"""Device grouped aggregation (XLA path).
+
+The reference's GroupBy is a per-row hash-map interpreter loop
+(reference: sql/statements/select/groupby.cc:69-219). Here grouping is
+a whole-column device program: lexicographic multi-key sort
+(jax.lax.sort — bitonic on TPU), segment-boundary detection, and
+segment reductions, all inside one jit. Shapes are static: aggregates
+are returned padded to `num_segments` groups with a group-count scalar.
+
+This is the correctness-grade device kernel; the Pallas hash-aggregate
+(eventql_tpu.kernels.pallas_groupby) is the speed-of-light path for
+low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+U64_SIGN = jnp.uint64(1 << 63)
+
+
+def sortable_u64(data: jax.Array, descending: bool = False) -> jax.Array:
+    """Map a column to uint64 keys whose unsigned order equals the SQL
+    order of the values (int64: flip sign bit; float64: IEEE-754 total
+    order trick; bool/uint: identity)."""
+    if data.dtype == jnp.uint64:
+        k = data
+    elif data.dtype == jnp.int64:
+        k = data.astype(jnp.uint64) ^ U64_SIGN
+    elif data.dtype == jnp.float64:
+        bits = jax.lax.bitcast_convert_type(data, jnp.uint64)
+        sign = bits >> jnp.uint64(63)
+        k = jnp.where(sign == 1, ~bits, bits ^ U64_SIGN)
+    elif data.dtype == jnp.bool_:
+        k = data.astype(jnp.uint64)
+    elif data.dtype in (jnp.int32, jnp.uint32):
+        k = data.astype(jnp.int64).astype(jnp.uint64) ^ U64_SIGN
+    else:
+        k = data.astype(jnp.uint64)
+    if descending:
+        k = ~k
+    return k
+
+
+def group_ids(
+    key_arrays: Sequence[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Assign group ids by multi-key sort.
+
+    Returns (perm, gid_sorted, num_groups):
+      perm        — permutation sorting rows by key tuple
+      gid_sorted  — group id of each sorted row (dense, sorted order)
+      num_groups  — scalar count of distinct key tuples
+    """
+    n = key_arrays[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.int64)
+    operands = [sortable_u64(k) for k in key_arrays] + [iota]
+    sorted_ops = jax.lax.sort(operands, num_keys=len(key_arrays))
+    sorted_keys, perm = sorted_ops[:-1], sorted_ops[-1]
+
+    diff = jnp.zeros(n, dtype=jnp.bool_)
+    for sk in sorted_keys:
+        diff = diff | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        )
+    gid = jnp.cumsum(diff.astype(jnp.int64)) - 1
+    num_groups = gid[-1] + 1 if n > 0 else jnp.int64(0)
+    return perm, gid, num_groups
+
+
+@functools.partial(jax.jit, static_argnames=("agg_kinds",))
+def grouped_aggregate(
+    key_arrays: Tuple[jax.Array, ...],
+    value_arrays: Tuple[jax.Array, ...],
+    agg_kinds: Tuple[str, ...],
+):
+    """Aggregate value_arrays per distinct key tuple.
+
+    agg_kinds[i] applies to value_arrays[i]: one of
+    'sum', 'count', 'min', 'max', 'mean'.
+
+    Returns (group_keys, aggregates, first_index, num_groups); all
+    outputs padded to n rows, groups ordered by sorted key order.
+    first_index is each group's smallest original row index (for
+    first-row-wins semantics and first-occurrence ordering).
+    """
+    n = key_arrays[0].shape[0]
+    perm, gid, num_groups = group_ids(key_arrays)
+
+    group_keys = tuple(k[perm] for k in key_arrays)
+    # representative (first sorted row) of each group
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), gid[1:] != gid[:-1]]
+    )
+    group_keys = tuple(
+        jax.ops.segment_max(k, gid, num_segments=n) for k in group_keys
+    )
+
+    first_index = jax.ops.segment_min(perm, gid, num_segments=n)
+
+    outs = []
+    for vals, kind in zip(value_arrays, agg_kinds):
+        v = vals[perm]
+        if kind == "count":
+            out = jax.ops.segment_sum(
+                jnp.ones(n, dtype=jnp.uint64), gid, num_segments=n
+            )
+        elif kind == "sum":
+            out = jax.ops.segment_sum(v, gid, num_segments=n)
+        elif kind == "min":
+            out = jax.ops.segment_min(v, gid, num_segments=n)
+        elif kind == "max":
+            out = jax.ops.segment_max(v, gid, num_segments=n)
+        elif kind == "mean":
+            s = jax.ops.segment_sum(v.astype(jnp.float64), gid, num_segments=n)
+            c = jax.ops.segment_sum(
+                jnp.ones(n, dtype=jnp.float64), gid, num_segments=n
+            )
+            out = s / c
+        else:
+            raise ValueError(f"unknown aggregate kind {kind}")
+        outs.append(out)
+
+    return group_keys, tuple(outs), first_index, num_groups
+
+
+@functools.partial(jax.jit, static_argnames=("agg_kinds",))
+def masked_grouped_aggregate(
+    mask: jax.Array,
+    key_arrays: Tuple[jax.Array, ...],
+    value_arrays: Tuple[jax.Array, ...],
+    agg_kinds: Tuple[str, ...],
+):
+    """grouped_aggregate with a WHERE mask fused in: masked-out rows are
+    routed to a sentinel key group that sorts last and is excluded from
+    the group count — filter + aggregate in one device program, no
+    host-side compaction (the reference evaluates the predicate vector
+    then re-scans: sql/runtime/vm.cc:231-272)."""
+    n = key_arrays[0].shape[0]
+    # sentinel: all-ones keys sort last in unsigned order
+    sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    keyed = tuple(
+        jnp.where(mask, sortable_u64(k), sentinel) for k in key_arrays
+    )
+    # re-wrap: keys already sortable; use identity mapping below
+    iota = jnp.arange(n, dtype=jnp.int64)
+    operands = list(keyed) + [iota]
+    sorted_ops = jax.lax.sort(operands, num_keys=len(keyed))
+    sorted_keys, perm = sorted_ops[:-1], sorted_ops[-1]
+    mask_sorted = mask[perm]
+
+    diff = jnp.zeros(n, dtype=jnp.bool_)
+    for sk in sorted_keys:
+        diff = diff | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        )
+    gid = jnp.cumsum(diff.astype(jnp.int64)) - 1
+    # number of groups among masked-in rows
+    num_groups = jnp.where(
+        mask_sorted.any(),
+        jnp.max(jnp.where(mask_sorted, gid, -1)) + 1,
+        0,
+    )
+
+    group_keys = tuple(
+        jax.ops.segment_max(k[perm], gid, num_segments=n) for k in key_arrays
+    )
+    first_index = jax.ops.segment_min(
+        jnp.where(mask_sorted, perm, jnp.int64(n)), gid, num_segments=n
+    )
+
+    outs = []
+    ones = jnp.where(mask_sorted, 1, 0)
+    for vals, kind in zip(value_arrays, agg_kinds):
+        v = vals[perm]
+        if kind == "count":
+            out = jax.ops.segment_sum(
+                ones.astype(jnp.uint64), gid, num_segments=n
+            )
+        elif kind == "sum":
+            vz = jnp.where(mask_sorted, v, jnp.zeros((), v.dtype))
+            out = jax.ops.segment_sum(vz, gid, num_segments=n)
+        elif kind in ("min", "max"):
+            out = (
+                jax.ops.segment_min(v, gid, num_segments=n)
+                if kind == "min"
+                else jax.ops.segment_max(v, gid, num_segments=n)
+            )
+        elif kind == "mean":
+            vz = jnp.where(mask_sorted, v.astype(jnp.float64), 0.0)
+            s = jax.ops.segment_sum(vz, gid, num_segments=n)
+            c = jax.ops.segment_sum(ones.astype(jnp.float64), gid, num_segments=n)
+            out = s / c
+        else:
+            raise ValueError(f"unknown aggregate kind {kind}")
+        outs.append(out)
+
+    return group_keys, tuple(outs), first_index, num_groups

@@ -1,0 +1,96 @@
+"""Distributed query execution over a jax.sharding.Mesh.
+
+The reference distributes GROUP BY by shipping partial-aggregate plans
+to partition servers over TCP and merging serialized accumulator states
+on the coordinator (reference: sql/statements/select/groupby.cc:438-714,
+transport/native/client_tcp.h:109). The TPU-native equivalent keeps
+tables sharded across the device mesh and compiles the whole exchange
+into one XLA program: per-shard partial aggregation, an all-gather of
+fixed-width accumulator tables over ICI, and a replicated merge — the
+collective plays the role of the QUERY_PARTIALAGGR RPC fan-out.
+
+Merge kinds mirror VM::mergeInstance (reference: sql/runtime/vm.cc:
+274-326): count partials merge by sum; sum by sum; min/max by min/max.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from eventql_tpu.kernels.groupby import (
+    grouped_aggregate,
+    masked_grouped_aggregate,
+)
+
+_MERGE_KIND = {
+    "count": "sum",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+}
+
+
+def make_mesh(n_devices: int = None, axis: str = "shards") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), (axis,))
+
+
+def distributed_grouped_aggregate(
+    mesh: Mesh,
+    mask,
+    key_arrays: Tuple[jax.Array, ...],
+    value_arrays: Tuple[jax.Array, ...],
+    agg_kinds: Tuple[str, ...],
+    axis: str = "shards",
+):
+    """Filter + GROUP BY + distributed merge over a sharded table.
+
+    Inputs are sharded on their leading axis across `axis`. Output
+    accumulator tables are replicated: (group_keys, aggs, valid_mask).
+    """
+    merge_kinds = tuple(_MERGE_KIND[k] for k in agg_kinds)
+    nkeys = len(key_arrays)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), tuple(P(axis) for _ in key_arrays), tuple(P(axis) for _ in value_arrays)),
+        out_specs=(tuple(P() for _ in key_arrays), tuple(P() for _ in value_arrays), P()),
+        check_vma=False,  # merge of all-gathered partials is replicated
+    )
+    def step(mask_l, keys_l, vals_l):
+        n_local = keys_l[0].shape[0]
+        gk, aggs, _first, ng = masked_grouped_aggregate(
+            mask_l, keys_l, vals_l, agg_kinds
+        )
+        valid = jnp.arange(n_local, dtype=jnp.int64) < ng
+
+        # exchange fixed-width partial tables over ICI
+        gk_all = tuple(jax.lax.all_gather(k, axis, tiled=True) for k in gk)
+        aggs_all = tuple(jax.lax.all_gather(a, axis, tiled=True) for a in aggs)
+        valid_all = jax.lax.all_gather(valid, axis, tiled=True)
+
+        # replicated merge of partials (the GroupByMerge step)
+        mk, maggs, _mf, mng = masked_grouped_aggregate(
+            valid_all, gk_all, aggs_all, merge_kinds
+        )
+        mvalid = jnp.arange(valid_all.shape[0], dtype=jnp.int64) < mng
+        return mk, maggs, mvalid
+
+    return step(mask, tuple(key_arrays), tuple(value_arrays))
+
+
+def shard_table(mesh: Mesh, arrays, axis: str = "shards"):
+    """Place host arrays onto the mesh, sharded on the leading axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sharding) for a in arrays)

@@ -1,0 +1,110 @@
+"""Device kernel tests: grouped aggregation, sort, and the distributed
+group-by/merge pipeline on a virtual multi-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eventql_tpu.kernels.groupby import (
+    grouped_aggregate,
+    masked_grouped_aggregate,
+    sortable_u64,
+)
+from eventql_tpu.kernels.sort import (
+    make_sort_keys,
+    order_permutation,
+    topk_permutation,
+)
+
+
+def test_sortable_u64_orders():
+    rng = np.random.default_rng(0)
+    for arr in [
+        rng.integers(-(2**62), 2**62, 100).astype(np.int64),
+        rng.integers(0, 2**63, 100).astype(np.uint64),
+        rng.standard_normal(100) * 1e6,
+    ]:
+        k = np.asarray(sortable_u64(jnp.asarray(arr)))
+        assert (np.argsort(k, kind="stable") == np.argsort(arr, kind="stable")).all()
+
+
+def test_grouped_aggregate_sum_count():
+    keys = jnp.array([3, 1, 3, 2, 1, 3], dtype=jnp.uint64)
+    vals = jnp.array([10, 20, 30, 40, 50, 60], dtype=jnp.uint64)
+    gk, (sums, counts), first, ng = grouped_aggregate(
+        (keys,), (vals, vals), ("sum", "count")
+    )
+    ng = int(ng)
+    assert ng == 3
+    out = {
+        int(gk[0][i]): (int(sums[i]), int(counts[i])) for i in range(ng)
+    }
+    assert out == {1: (70, 2), 2: (40, 1), 3: (100, 3)}
+    # first-occurrence indices
+    firsts = {int(gk[0][i]): int(first[i]) for i in range(ng)}
+    assert firsts == {3: 0, 1: 1, 2: 3}
+
+
+def test_masked_grouped_aggregate():
+    keys = jnp.array([1, 1, 2, 2, 3], dtype=jnp.uint64)
+    vals = jnp.array([1.0, 2.0, 3.0, 4.0, 100.0])
+    mask = jnp.array([True, True, True, False, False])
+    gk, (sums,), first, ng = masked_grouped_aggregate(
+        mask, (keys,), (vals,), ("sum",)
+    )
+    assert int(ng) == 2
+    got = {int(gk[0][i]): float(sums[i]) for i in range(int(ng))}
+    assert got == {1: 3.0, 2: 3.0}
+
+
+def test_order_permutation_matches_lexsort():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 5, 64).astype(np.uint64)
+    b = rng.standard_normal(64)
+    keys = make_sort_keys([jnp.asarray(a), jnp.asarray(b)], [False, True])
+    perm = np.asarray(order_permutation(keys))
+    expected = np.lexsort((-b, a))
+    assert (perm == expected).all()
+
+
+def test_topk():
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(128))
+    k = sortable_u64(x)
+    idx = np.asarray(topk_permutation(k, 5))
+    expected = np.argsort(-np.asarray(x))[:5]
+    assert (idx == expected).all()
+
+
+def test_distributed_grouped_aggregate():
+    from eventql_tpu.parallel.distributed import (
+        distributed_grouped_aggregate,
+        make_mesh,
+        shard_table,
+    )
+
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    mesh = make_mesh(8)
+    n = 8 * 64
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 17, n).astype(np.uint64)
+    vals = rng.integers(0, 1000, n).astype(np.uint64)
+    mask = rng.random(n) < 0.7
+
+    keys_d, vals_d, mask_d = shard_table(mesh, [keys, vals, mask])
+    gk, (sums, counts), valid = distributed_grouped_aggregate(
+        mesh, mask_d, (keys_d,), (vals_d, vals_d), ("sum", "count")
+    )
+    gk, sums, counts, valid = map(np.asarray, (gk[0], sums, counts, valid))
+
+    got = {
+        int(gk[i]): (int(sums[i]), int(counts[i]))
+        for i in range(len(valid))
+        if valid[i]
+    }
+    expected = {}
+    for k, v, m in zip(keys, vals, mask):
+        if m:
+            s, c = expected.get(int(k), (0, 0))
+            expected[int(k)] = (s + int(v), c + 1)
+    assert got == expected
