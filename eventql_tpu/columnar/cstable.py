@@ -176,6 +176,9 @@ class CSTableReader:
     def has_column(self, name: str) -> bool:
         return name in self._by_name
 
+    def column_config(self, name: str) -> Optional[ColumnConfig]:
+        return self._by_name.get(name)
+
     def decode_column(self, name: str) -> DecodedColumn:
         if name in self._decoded:
             return self._decoded[name]

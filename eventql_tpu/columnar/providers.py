@@ -40,6 +40,9 @@ class CSTableScanProvider(TableProvider):
             self._relation = self.reader.to_relation(flat_only=True)
         return self._relation
 
+    def get_reader(self, table_name: str):
+        return self.reader if table_name == self.table_name else None
+
 
 class CSVTableProvider(TableProvider):
     """Maps one table name to one CSV file; all columns STRING
@@ -91,3 +94,9 @@ class CompositeTableProvider(TableProvider):
             if p.describe(table_name) is not None:
                 return p.get_table_data(table_name)
         raise RuntimeError_(f"table not found: '{table_name}'")
+
+    def get_reader(self, table_name: str):
+        for p in self.providers:
+            if p.describe(table_name) is not None:
+                return getattr(p, "get_reader", lambda n: None)(table_name)
+        return None

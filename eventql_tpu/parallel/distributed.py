@@ -36,8 +36,8 @@ _MERGE_KIND = {
 }
 
 
-def make_mesh(n_devices: int = None, axis: str = "shards") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int = None, axis: str = "shards", devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np

@@ -359,7 +359,83 @@ class QueryPlanBuilder:
                     )
                 )
 
+        self._push_within_record(select_entries, group_exprs, subtree)
         return qn.GroupByNode(select_entries, group_exprs, subtree)
+
+    def _push_within_record(self, select_entries, group_exprs, subtree):
+        """Move WITHIN RECORD aggregate subexpressions into the child
+        scan, which evaluates them per record (the reference runs them
+        inside CSTableScan via AggregationStrategy; reference:
+        sql/CSTableScan.cc:455-500). The scan switches to one-row-per-
+        record emission, so outer aggregates see per-record rows."""
+        if not isinstance(subtree, qn.SequentialScanNode):
+            return
+
+        def substitute(expr):
+            # replace refs to scan output columns with the scan's own
+            # expressions (re-rooting the subtree onto scan inputs)
+            if isinstance(expr, ColumnReferenceNode):
+                if expr.column_index is not None:
+                    return subtree.select_list[expr.column_index].expr
+                return expr
+            if isinstance(expr, CallExpressionNode):
+                return CallExpressionNode(
+                    expr.function_name,
+                    expr.sfunction,
+                    [substitute(a) for a in expr.args],
+                    expr.within_record,
+                )
+            from eventql_tpu.plan.exprs import (
+                IfExpressionNode,
+                IsNullExpressionNode,
+                RegexExpressionNode,
+            )
+
+            if isinstance(expr, IfExpressionNode):
+                return IfExpressionNode(
+                    substitute(expr.cond),
+                    substitute(expr.true_branch),
+                    substitute(expr.false_branch),
+                    expr.rtype,
+                )
+            if isinstance(expr, IsNullExpressionNode):
+                return IsNullExpressionNode(substitute(expr.arg))
+            if isinstance(expr, RegexExpressionNode):
+                return RegexExpressionNode(substitute(expr.subject), expr.pattern)
+            return expr
+
+        def rewrite(expr):
+            if isinstance(expr, CallExpressionNode) and expr.within_record:
+                inner = substitute(expr)
+                inner.within_record = False
+                idx = len(subtree.select_list)
+                subtree.select_list.append(qn.SelectListEntry(inner, None))
+                subtree.aggr_strategy = (
+                    qn.SequentialScanNode.AGGREGATE_WITHIN_RECORD_FLAT
+                )
+                return ColumnReferenceNode(None, expr.return_type(), idx)
+            if isinstance(expr, CallExpressionNode):
+                return CallExpressionNode(
+                    expr.function_name,
+                    expr.sfunction,
+                    [rewrite(a) for a in expr.args],
+                    expr.within_record,
+                )
+            from eventql_tpu.plan.exprs import IfExpressionNode
+
+            if isinstance(expr, IfExpressionNode):
+                return IfExpressionNode(
+                    rewrite(expr.cond),
+                    rewrite(expr.true_branch),
+                    rewrite(expr.false_branch),
+                    expr.rtype,
+                )
+            return expr
+
+        for entry in select_entries:
+            entry.expr = rewrite(entry.expr)
+        for i in range(len(group_exprs)):
+            group_exprs[i] = rewrite(group_exprs[i])
 
     # ------------------------------------------------------------------
     # JOIN
