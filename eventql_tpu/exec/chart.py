@@ -1,14 +1,810 @@
-"""ChartSQL SVG rendering (reference: sql/extensions/chartsql/ +
-util/charts/).
+"""ChartSQL: render DRAW statements to SVG.
 
-The reference renders DRAW statements to SVG charts through a ~3 kLoC
-chart library. Byte-exact SVG parity (golden test 00004) requires a
-full port of that renderer's layout math; this module currently raises
-until the renderer lands (tracked as a known gap).
+Re-implements the reference's chart pipeline — the csql chart
+expression (reference: sql/extensions/chartsql/) on top of an SVG
+chart renderer (reference: util/charts/): canvas layout, axis
+placement, continuous/time domains, and the line/point/bar chart
+drawables, with byte-identical SVG output (verified against golden
+test 00004).
+
+Layout notes replicated exactly from the reference:
+* canvas 800x320, axis paddings (canvas.h:40-47), integer padding
+  arithmetic (Viewport stores ints)
+* axis labels/ticks are generated BEFORE the chart builds its domains
+  (Canvas::render order, canvas.cc:56-66), so a single-valued y domain
+  labels as its raw value while points scale over the built range
+* continuous domains pad 10% at the top only when min != 0
+  (continuousdomain.h:205-211); y domains get the default 0.1 padding
+  (linechart.h addSeries)
+* numeric x values adapt to a time domain (chartbuilder.h
+  mkSeriesAdapter1D tries TimeType first), labeled per range
+  (timedomain.cc:41-51 — thresholds compare microseconds against
+  second constants, replicated as-is)
 """
 
-from eventql_tpu.core.errors import NotImplementedError_
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from eventql_tpu.core.errors import RuntimeError_
+from eventql_tpu.core.types import SType, format_timestamp
+from eventql_tpu.exec.chart_style import STYLESHEET_DEFAULT
+
+# canvas constants (reference: util/charts/canvas.h:40-47)
+K_AXIS_PADDING = 0
+K_TICK_LENGTH = 5
+K_AXIS_LABEL_HEIGHT = 25
+K_AXIS_LABEL_WIDTH = 50
+K_AXIS_TITLE_LENGTH = 20
+K_TITLE_LINE_HEIGHT = 20
+K_SUBTITLE_LINE_HEIGHT = 20
+
+K_DEFAULT_NUM_TICKS = 8  # util/charts/domain.cc:34
+K_DEFAULT_DOMAIN_PADDING = 0.1  # util/charts/domain.cc:35
+
+
+def _fmt(v: float) -> str:
+    return "%f" % (v,)
+
+
+def _double_to_string(v: float) -> str:
+    # reference: StringUtil::toString(double) — %f with trailing zeros
+    # trimmed down to one decimal (stringutil.cc:99-111)
+    s = "%f" % (v,)
+    while len(s) > 2 and s.endswith("0") and s[-2] != ".":
+        s = s[:-1]
+    return s
+
+
+def format_number_metric(value: float) -> str:
+    # reference: StringUtil::formatNumberMetric (stringutil_impl.h:85-135)
+    a = abs(value)
+    if a == 0:
+        return "0"
+    if a < 0.000000001:
+        return "%.1fp" % (value * 1000000000000)
+    if a < 0.000001:
+        return "%.1fn" % (value * 1000000000)
+    if a < 0.001:
+        return "%.1fμ" % (value * 1000000)
+    if a < 0.1:
+        return "%.1fm" % (value * 1000)
+    if a < 10:
+        return "%.2f" % value
+    if a < 1000:
+        return "%.1f" % value
+    if a < 1000000:
+        return "%.1fK" % (value / 1000)
+    if a < 1000000000:
+        return "%.1fM" % (value / 1000000)
+    if a < 1000000000000:
+        return "%.1fG" % (value / 1000000000)
+    return "%.1fT" % (value / 1000000000000)
+
+
+class SVGTarget:
+    """reference: util/charts/svgtarget.h"""
+
+    def __init__(self):
+        self.out: List[str] = []
+        self.indent = 0
+
+    def _line(self, s: str):
+        self.out.append(" " * (self.indent * 2) + s)
+
+    def begin_chart(self, width: int, height: int, class_name: str):
+        self._line(f"<svg viewBox='0 0 {width} {height}' class='{class_name}'>\n")
+        self.indent += 1
+        self._line("<style type='text/css'>\n")
+        self._line(f"<![CDATA[{STYLESHEET_DEFAULT}  ]]>\n")
+        self._line("</style>\n")
+
+    def finish_chart(self):
+        self.indent -= 1
+        self._line("</svg>\n")
+
+    def begin_group(self, class_name: str):
+        self._line(f"<g class='{class_name}'>\n")
+        self.indent += 1
+
+    def finish_group(self):
+        self.indent -= 1
+        self._line("</g>\n")
+
+    def draw_line(self, x1, y1, x2, y2, class_name):
+        self._line(
+            "<line x1='%s' y1='%s' x2='%s' y2='%s' class='%s' />\n"
+            % (_fmt(x1), _fmt(y1), _fmt(x2), _fmt(y2), class_name)
+        )
+
+    def draw_text(self, text, x, y, halign, valign, class_name, rotate=0.0):
+        if rotate == 0.0:
+            transform = ""
+        else:
+            transform = "transform='translate(0,0) rotate(%f %f %f)'" % (
+                rotate,
+                x,
+                y,
+            )
+        self._line(
+            "<text x='%s' y='%s' style='text-anchor:%s; dominant-baseline:%s;'"
+            " class='%s' %s>%s</text>\n"
+            % (_fmt(x), _fmt(y), halign, valign, class_name, transform, text)
+        )
+
+    def draw_point(
+        self, x, y, point_type, point_size, color, class_name, label, series
+    ):
+        class_str = class_name + " "
+        style_str = ""
+        if 3 < len(color) < 8 and color.startswith("#"):
+            style_str = "fill: " + color + ";"
+        else:
+            class_str += color
+        r = 0.0 if point_type == "none" else point_size
+        self._line(
+            "<circle cx='%s' cy='%s' r='%s' class='%s' fm:label='%s' "
+            "fm:series='%s', style='%s'></circle>\n"
+            % (_fmt(x), _fmt(y), _fmt(r), class_str, label, series, style_str)
+        )
+
+    def draw_path(self, points, line_style, line_width, smooth, color, class_name):
+        class_str = class_name + " "
+        style_str = ""
+        if 3 < len(color) < 8 and color.startswith("#"):
+            style_str = "stroke: " + color + ";"
+        else:
+            class_str += color
+        d = ""
+        for i, (x, y) in enumerate(points):
+            d += ("M%s %s " if i == 0 else "L%s %s ") % (_fmt(x), _fmt(y))
+        self._line(
+            "<path stroke-width='%s' class='%s' style='%s' d='%s' />\n"
+            % (_fmt(line_width), class_str, style_str, d)
+        )
+
+    def draw_rect(self, x, y, width, height, color, class_name, label, series):
+        class_str = class_name + " "
+        style_str = ""
+        if 3 < len(color) < 8 and color.startswith("#"):
+            style_str = "fill: " + color + ";"
+        else:
+            class_str += color
+        self._line(
+            "<rect x='%s' y='%s' width='%s' height='%s' class='%s' "
+            "fm:series='%s' fm:label='%s' style='%s'></rect>\n"
+            % (
+                _fmt(x),
+                _fmt(y),
+                _fmt(width),
+                _fmt(height),
+                class_str,
+                series,
+                label,
+                style_str,
+            )
+        )
+
+    def svg(self) -> str:
+        return "".join(self.out)
+
+
+class Viewport:
+    """reference: util/charts/viewport.h — padding is integer."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.padding = [0, 0, 0, 0]  # top, right, bottom, left
+
+    @property
+    def inner_width(self):
+        return self.width - self.padding[1] - self.padding[3]
+
+    @property
+    def inner_height(self):
+        return self.height - self.padding[0] - self.padding[2]
+
+
+class ContinuousDomain:
+    """reference: util/charts/continuousdomain.h"""
+
+    is_time = False
+
+    def __init__(self):
+        self.min_value = float("inf")
+        self.max_value = float("-inf")
+        self.padding = (0.0, 0.0)
+        self.built = False
+
+    def add_value(self, v: float):
+        v = float(v)
+        self.min_value = min(self.min_value, v)
+        self.max_value = max(self.max_value, v)
+
+    def set_padding(self, lo, hi):
+        self.padding = (lo, hi)
+
+    def build(self):
+        if self.built:
+            return
+        self.built = True
+        if self.min_value == self.max_value:
+            self.max_value += 1.0
+            self.min_value -= 1.0
+
+    def _range_with_padding(self):
+        rng = self.max_value - self.min_value
+        lo = 0 if self.min_value == 0 else self.min_value - rng * self.padding[0]
+        hi = self.max_value + rng * self.padding[1]
+        return lo, hi
+
+    def scale(self, v: float) -> float:
+        lo, hi = self._range_with_padding()
+        return (float(v) - lo) / (hi - lo)
+
+    def value_at(self, index: float) -> float:
+        lo, hi = self._range_with_padding()
+        return lo + (hi - lo) * index
+
+    def label(self, v: float) -> str:
+        return format_number_metric(v)
+
+    def get_ticks(self) -> List[float]:
+        n = K_DEFAULT_NUM_TICKS
+        return [i / (n - 1) for i in range(n)]
+
+    def get_labels(self) -> List[Tuple[float, str]]:
+        return [(t, self.label(self.value_at(t))) for t in self.get_ticks()]
+
+
+class TimeDomain(ContinuousDomain):
+    """reference: util/charts/timedomain.cc — note the thresholds
+    compare a microsecond range against second constants (a reference
+    quirk kept for parity)."""
+
+    is_time = True
+
+    def label(self, v: float) -> str:
+        rng = self.max_value - self.min_value
+        micros = int(v)
+        if rng < 60 * 60:
+            fmt = "%H:%M:%S"
+        elif rng < 60 * 60 * 24:
+            fmt = "%H:%M"
+        else:
+            fmt = "%Y-%m-%d %H:%M"
+        import time as _time
+
+        try:
+            return _time.strftime(fmt, _time.gmtime(micros // 1000000))
+        except (OverflowError, OSError, ValueError):
+            return ""
+
+
+class DiscreteDomain:
+    """reference: util/charts/discretedomain.h"""
+
+    is_time = False
+
+    def __init__(self):
+        self.categories: List = []
+        self.built = False
+
+    def add_value(self, v):
+        if v not in self.categories:
+            self.categories.append(v)
+
+    def build(self):
+        self.built = True
+
+    def scale(self, v) -> float:
+        idx = self.categories.index(v) + 1
+        return (idx / len(self.categories)) - (0.5 / len(self.categories))
+
+    def scale_range(self, v):
+        idx = self.categories.index(v) + 1
+        n = len(self.categories)
+        return ((idx - 1) / n, idx / n)
+
+    def get_ticks(self):
+        n = len(self.categories)
+        out = [0.0]
+        for i in range(n):
+            out.append((i + 1) / n)
+        return out
+
+    def get_labels(self):
+        out = []
+        for i, c in enumerate(self.categories):
+            n = len(self.categories)
+            mid = (i + 1) / n - 0.5 / n
+            out.append((mid, str(c)))
+        return out
+
+
+class Series:
+    def __init__(self, name: str):
+        self.name = name
+        self.points: List[Tuple[object, object, str]] = []  # x, y, label
+        self.properties: Dict[str, str] = {}
+
+    def prop(self, key, default=None):
+        return self.properties.get(key, default)
+
+
+class AxisDefinition:
+    """reference: util/charts/axisdefinition.cc"""
+
+    TOP, RIGHT, BOTTOM, LEFT = "top", "right", "bottom", "left"
+
+    def __init__(self, position, domain=None):
+        self.position = position
+        self.domain = domain
+        self.title = ""
+        self.has_labels_flag = True
+
+    def has_title(self):
+        return bool(self.title)
+
+    def has_labels(self):
+        return self.has_labels_flag and self.domain is not None
+
+    def get_labels(self):
+        return self.domain.get_labels() if self.domain else []
+
+    def get_ticks(self):
+        return self.domain.get_ticks() if self.domain else []
+
+
+_COLOR_PALETTE = ["color1", "color2", "color3", "color4", "color5", "color6"]
+
+
+class LineChart:
+    """reference: util/charts/linechart.h (LineChart2D)"""
+
+    def __init__(self):
+        self.x_domain = None
+        self.y_domain = None
+        self.series: List[Series] = []
+        self._color_index = 0
+
+    def add_series(self, series: Series, x_is_time: bool):
+        if self.x_domain is None:
+            self.x_domain = TimeDomain() if x_is_time else ContinuousDomain()
+        if self.y_domain is None:
+            self.y_domain = ContinuousDomain()
+            self.y_domain.set_padding(
+                K_DEFAULT_DOMAIN_PADDING, K_DEFAULT_DOMAIN_PADDING
+            )
+        for x, y, _label in series.points:
+            self.x_domain.add_value(x)
+            self.y_domain.add_value(y)
+        if "color" not in series.properties:
+            series.properties["color"] = _COLOR_PALETTE[
+                self._color_index % len(_COLOR_PALETTE)
+            ]
+            self._color_index += 1
+        series.properties.setdefault("linestyle", "solid")
+        series.properties.setdefault("linewidth", "2")
+        series.properties.setdefault("pointstyle", "none")
+        series.properties.setdefault("pointsize", "3")
+        self.series.append(series)
+
+    def domain_for_axis(self, position):
+        if position in (AxisDefinition.TOP, AxisDefinition.BOTTOM):
+            return self.x_domain
+        return self.y_domain
+
+    def render(self, target: SVGTarget, viewport: Viewport):
+        self.x_domain.build()
+        self.y_domain.build()
+        target.begin_group("lines")
+        for series in self.series:
+            coords = []
+            point_style = series.prop("pointstyle")
+            line_style = series.prop("linestyle")
+            line_width = float(series.prop("linewidth"))
+            point_size = float(series.prop("pointsize"))
+            color = series.prop("color")
+            for x, y, label in series.points:
+                sx = self.x_domain.scale(x)
+                sy = self.y_domain.scale(y)
+                ss_x = viewport.padding[3] + sx * viewport.inner_width
+                ss_y = viewport.padding[0] + (1.0 - sy) * viewport.inner_height
+                target.draw_point(
+                    ss_x, ss_y, point_style, point_size, color, "point", label,
+                    series.name,
+                )
+                coords.append((ss_x, ss_y))
+            target.draw_path(
+                coords, line_style, line_width, False, color, "line"
+            )
+        target.finish_group()
+
+
+class PointChart(LineChart):
+    """reference: util/charts/pointchart.h"""
+
+    def render(self, target, viewport):
+        self.x_domain.build()
+        self.y_domain.build()
+        target.begin_group("points")
+        for series in self.series:
+            point_style = series.prop("pointstyle", "circle")
+            point_size = float(series.prop("pointsize", "3"))
+            color = series.prop("color")
+            for x, y, label in series.points:
+                sx = self.x_domain.scale(x)
+                sy = self.y_domain.scale(y)
+                ss_x = viewport.padding[3] + sx * viewport.inner_width
+                ss_y = viewport.padding[0] + (1.0 - sy) * viewport.inner_height
+                target.draw_point(
+                    ss_x, ss_y, point_style, point_size, color, "point", label,
+                    series.name,
+                )
+        target.finish_group()
+
+
+class Canvas:
+    """reference: util/charts/canvas.cc"""
+
+    def __init__(self):
+        self.width = 800
+        self.height = 320
+        self.title = ""
+        self.subtitle = ""
+        self.axes: List[AxisDefinition] = []
+        self.charts: List[LineChart] = []
+
+    def render(self) -> str:
+        target = SVGTarget()
+        viewport = Viewport(self.width, self.height)
+        target.begin_chart(self.width, self.height, "fm-chart")
+        self._render_title(target, viewport)
+        self._render_axes(target, viewport)
+        for chart in self.charts:
+            chart.render(target, viewport)
+        target.finish_chart()
+        return target.svg()
+
+    def _render_title(self, target, viewport):
+        if self.title:
+            target.draw_text(
+                self.title,
+                viewport.padding[3] + viewport.inner_width * 0.5,
+                viewport.padding[0],
+                "middle",
+                "text-before-edge",
+                "chart-title",
+            )
+            viewport.padding[0] += K_TITLE_LINE_HEIGHT
+        if self.subtitle:
+            target.draw_text(
+                self.subtitle,
+                viewport.padding[3] + viewport.inner_width * 0.5,
+                viewport.padding[0],
+                "middle",
+                "text-before-edge",
+                "chart-subtitle",
+            )
+            viewport.padding[0] += K_SUBTITLE_LINE_HEIGHT
+
+    def _render_axes(self, target, viewport):
+        # reference: Canvas::renderAxes (canvas.cc:95-180) — integer math
+        padding = list(viewport.padding)
+        placements = {"top": [], "right": [], "bottom": [], "left": []}
+        pad_idx = {"top": 0, "right": 1, "bottom": 2, "left": 3}
+        for axis in self.axes:
+            i = pad_idx[axis.position]
+            placements[axis.position].append((padding[i], axis))
+            padding[i] += K_AXIS_PADDING
+            padding[i] += K_AXIS_LABEL_HEIGHT if (
+                axis.position in ("top", "bottom") and axis.has_labels()
+            ) else 0
+            padding[i] += K_AXIS_LABEL_WIDTH if (
+                axis.position in ("left", "right") and axis.has_labels()
+            ) else 0
+            padding[i] += K_AXIS_TITLE_LENGTH if axis.has_title() else 0
+
+        if padding[0] < K_AXIS_LABEL_HEIGHT * 0.5:
+            padding[0] += int(K_AXIS_LABEL_HEIGHT * 0.5)
+        if padding[1] < K_AXIS_LABEL_WIDTH * 0.5:
+            padding[1] += int(K_AXIS_LABEL_WIDTH * 0.5)
+        if padding[2] < K_AXIS_LABEL_HEIGHT * 0.5:
+            padding[2] += int(K_AXIS_LABEL_HEIGHT * 0.5)
+        if padding[3] < K_AXIS_LABEL_WIDTH * 0.5:
+            padding[3] += int(K_AXIS_LABEL_WIDTH * 0.5)
+
+        viewport.padding = padding
+
+        for offset, axis in placements["top"]:
+            self._render_top_axis(target, viewport, axis, offset)
+        for offset, axis in placements["right"]:
+            self._render_right_axis(target, viewport, axis, offset)
+        for offset, axis in placements["bottom"]:
+            self._render_bottom_axis(target, viewport, axis, offset)
+        for offset, axis in placements["left"]:
+            self._render_left_axis(target, viewport, axis, offset)
+
+    def _render_bottom_axis(self, target, viewport, axis, bottom):
+        padding_left = viewport.padding[3]
+        inner_width = viewport.inner_width
+        bottom += K_AXIS_PADDING
+        target.begin_group("axis bottom")
+        if axis.has_title():
+            target.draw_text(
+                axis.title,
+                padding_left + inner_width * 0.5,
+                self.height - bottom,
+                "middle",
+                "no-change",
+                "title",
+            )
+            bottom += K_AXIS_TITLE_LENGTH
+        if axis.has_labels():
+            bottom += K_AXIS_LABEL_HEIGHT
+            for pos, text in axis.get_labels():
+                tick_x = padding_left + inner_width * pos
+                target.draw_text(
+                    text,
+                    tick_x,
+                    self.height - bottom + K_AXIS_LABEL_HEIGHT * 0.5,
+                    "middle",
+                    "central",
+                    "label",
+                )
+        for tick in axis.get_ticks():
+            tick_x = padding_left + inner_width * tick
+            target.draw_line(
+                tick_x,
+                self.height - bottom,
+                tick_x,
+                self.height - bottom - K_TICK_LENGTH,
+                "tick",
+            )
+        target.draw_line(
+            padding_left,
+            self.height - bottom,
+            padding_left + inner_width,
+            self.height - bottom,
+            "stroke",
+        )
+        target.finish_group()
+
+    def _render_top_axis(self, target, viewport, axis, top):
+        padding_left = viewport.padding[3]
+        inner_width = viewport.inner_width
+        top += K_AXIS_PADDING
+        target.begin_group("axis bottom")  # reference quirk: class is 'axis bottom'
+        if axis.has_title():
+            target.draw_text(
+                axis.title,
+                padding_left + inner_width * 0.5,
+                top,
+                "middle",
+                "text-before-edge",
+                "title",
+            )
+            top += K_AXIS_TITLE_LENGTH
+        if axis.has_labels():
+            top += K_AXIS_LABEL_HEIGHT
+            for pos, text in axis.get_labels():
+                tick_x = padding_left + inner_width * pos
+                target.draw_text(
+                    text,
+                    tick_x,
+                    top - K_AXIS_LABEL_HEIGHT * 0.5,
+                    "middle",
+                    "central",
+                    "label",
+                )
+        for tick in axis.get_ticks():
+            tick_x = padding_left + inner_width * tick
+            target.draw_line(tick_x, top, tick_x, top + K_TICK_LENGTH, "tick")
+        target.draw_line(
+            padding_left, top, padding_left + inner_width, top, "stroke"
+        )
+        target.finish_group()
+
+    def _render_left_axis(self, target, viewport, axis, left):
+        padding_top = viewport.padding[0]
+        inner_height = viewport.inner_height
+        left += K_AXIS_PADDING
+        target.begin_group("axis left")
+        if axis.has_title():
+            target.draw_text(
+                axis.title,
+                left,
+                padding_top + inner_height * 0.5,
+                "middle",
+                "text-before-edge",
+                "title",
+                270,
+            )
+            left += K_AXIS_TITLE_LENGTH
+        if axis.has_labels():
+            left += K_AXIS_LABEL_WIDTH
+            for pos, text in axis.get_labels():
+                tick_y = padding_top + inner_height * (1.0 - pos)
+                target.draw_text(
+                    text,
+                    left - (K_TICK_LENGTH * 2),
+                    tick_y,
+                    "end",
+                    "middle",
+                    "label",
+                )
+        for tick in axis.get_ticks():
+            tick_y = padding_top + inner_height * (1.0 - tick)
+            target.draw_line(
+                left, tick_y, left + K_TICK_LENGTH, tick_y, "tick"
+            )
+        target.draw_line(
+            left, padding_top, left, padding_top + inner_height, "stroke"
+        )
+        target.finish_group()
+
+    def _render_right_axis(self, target, viewport, axis, right):
+        padding_top = viewport.padding[0]
+        inner_height = viewport.inner_height
+        right += K_AXIS_PADDING
+        target.begin_group("axis right")
+        if axis.has_title():
+            right += K_AXIS_TITLE_LENGTH
+            target.draw_text(
+                axis.title,
+                self.width - right,
+                padding_top + inner_height * 0.5,
+                "middle",
+                "text-before-edge",
+                "title",
+                270,
+            )
+        if axis.has_labels():
+            right += K_AXIS_LABEL_WIDTH
+            for pos, text in axis.get_labels():
+                tick_y = padding_top + inner_height * (1.0 - pos)
+                target.draw_text(
+                    text,
+                    self.width - right + (K_TICK_LENGTH * 2),
+                    tick_y,
+                    "start",
+                    "middle",
+                    "label",
+                )
+        for tick in axis.get_ticks():
+            tick_y = padding_top + inner_height * (1.0 - tick)
+            target.draw_line(
+                self.width - right,
+                tick_y,
+                self.width - right - K_TICK_LENGTH,
+                tick_y,
+                "tick",
+            )
+        target.draw_line(
+            self.width - right,
+            padding_top,
+            self.width - right,
+            padding_top + inner_height,
+            "stroke",
+        )
+        target.finish_group()
+
+
+# ---------------------------------------------------------------------------
+# ChartSQL glue (reference: sql/extensions/chartsql/chartbuilder.h)
+# ---------------------------------------------------------------------------
+
+_CHART_TYPES = {
+    "T_LINECHART": LineChart,
+    "T_POINTCHART": PointChart,
+    "T_AREACHART": LineChart,
+    "T_BARCHART": LineChart,
+}
 
 
 def render_chart(node, txn) -> bytes:
-    raise NotImplementedError_("DRAW chart rendering is not implemented yet")
+    from eventql_tpu.exec.operators import execute_node
+
+    canvas = Canvas()
+    cls = _CHART_TYPES.get(node.chart_type)
+    if cls is None:
+        raise RuntimeError_(f"unsupported chart type: {node.chart_type}")
+    chart = cls()
+
+    for query in node.union_queries:
+        rel = execute_node(query, txn)
+        _add_series_from_relation(chart, query, rel)
+
+    canvas.charts.append(chart)
+
+    # apply DRAW properties (axes, titles) from the AST
+    for prop in node.properties:
+        if prop.ntype == "T_AXIS":
+            pos_tok = prop.children[0].token.ttype if prop.children else None
+            pos = {
+                "T_TOP": AxisDefinition.TOP,
+                "T_RIGHT": AxisDefinition.RIGHT,
+                "T_BOTTOM": AxisDefinition.BOTTOM,
+                "T_LEFT": AxisDefinition.LEFT,
+            }.get(pos_tok)
+            if pos is None:
+                raise RuntimeError_("corrupt AST: invalid axis position")
+            axis = AxisDefinition(pos, chart.domain_for_axis(pos))
+            for child in prop.children[1:]:
+                if child.ntype == "T_PROPERTY" and child.token and child.token.ttype == "T_TITLE":
+                    lit = child.children[0]
+                    axis.title = lit.token.value if lit.token else ""
+            canvas.axes.append(axis)
+        elif prop.ntype == "T_PROPERTY" and prop.token:
+            if prop.token.ttype == "T_TITLE" and prop.children:
+                canvas.title = prop.children[0].token.value
+            elif prop.token.ttype == "T_SUBTITLE" and prop.children:
+                canvas.subtitle = prop.children[0].token.value
+
+    return canvas.render().encode("utf-8")
+
+
+def _add_series_from_relation(chart, query, rel):
+    """Map result columns series/x/y into chart series
+    (reference: chartbuilder.h:49-143)."""
+    names = {n: i for i, n in enumerate(rel.names)}
+
+    def col_index(*cands):
+        for c in cands:
+            if c in names:
+                return names[c]
+        return None
+
+    name_ind = col_index("series")
+    x_ind = col_index("x", "X")
+    y_ind = col_index("y", "Y")
+    if x_ind is None:
+        raise RuntimeError_("can't draw SELECT because it has no 'x' column")
+    if y_ind is None:
+        raise RuntimeError_("can't draw SELECT because it has no 'y' column")
+
+    x_col = rel.columns[x_ind]
+    y_col = rel.columns[y_ind]
+    x_is_time = x_col.stype in (
+        SType.TIMESTAMP64,
+        SType.UINT64,
+        SType.INT64,
+        SType.FLOAT64,
+    )
+
+    series_map: Dict[str, Series] = {}
+    order: List[str] = []
+    for i in range(rel.num_rows):
+        sname = (
+            rel.columns[name_ind].value_at(i).to_string()
+            if name_ind is not None
+            else ""
+        )
+        if sname not in series_map:
+            series_map[sname] = Series(sname)
+            order.append(sname)
+        xv = x_col.value_at(i)
+        yv = y_col.value_at(i)
+        x_payload = xv.payload()
+        y_payload = float(yv.payload() if yv.stype != SType.STRING else 0)
+        if x_is_time:
+            # label via UnixTime::toString + double toString
+            # (reference: Series2D::labelFor, series.h:199-205)
+            label = "%s: %s" % (
+                format_timestamp(int(x_payload)),
+                _double_to_string(y_payload),
+            )
+            x_val = int(x_payload)
+        else:
+            label = "%s: %s" % (
+                xv.to_string(),
+                _double_to_string(y_payload),
+            )
+            x_val = x_payload
+        series_map[sname].points.append((x_val, y_payload, label))
+
+    for sname in order:
+        chart.add_series(series_map[sname], x_is_time)

@@ -128,6 +128,56 @@ def grouped_aggregate(
     return group_keys, tuple(outs), first_index, num_groups
 
 
+@functools.partial(jax.jit, static_argnames=("agg_kinds", "num_buckets"))
+def direct_grouped_aggregate(
+    mask: jax.Array,
+    keys: jax.Array,
+    value_arrays: Tuple[jax.Array, ...],
+    agg_kinds: Tuple[str, ...],
+    num_buckets: int,
+):
+    """One-pass scatter aggregation for bounded integer keys
+    (0 <= key < num_buckets) — no sort. This is the fast path for
+    low-cardinality GROUP BY (dictionary-encoded strings, bucketed
+    timestamps): a single fused scan computes every aggregate.
+
+    Masked-out rows scatter to bucket `num_buckets` (dropped).
+    Returns (bucket_occupied, aggregates) padded to num_buckets.
+    """
+    n = keys.shape[0]
+    gid = jnp.where(mask, keys.astype(jnp.int32), num_buckets)
+    nb = num_buckets + 1
+
+    occupied = (
+        jax.ops.segment_sum(jnp.ones(n, jnp.int32), gid, num_segments=nb)[:-1]
+        > 0
+    )
+
+    outs = []
+    for vals, kind in zip(value_arrays, agg_kinds):
+        if kind == "count":
+            out = jax.ops.segment_sum(
+                jnp.ones(n, dtype=jnp.uint64), gid, num_segments=nb
+            )
+        elif kind == "sum":
+            out = jax.ops.segment_sum(vals, gid, num_segments=nb)
+        elif kind == "min":
+            out = jax.ops.segment_min(vals, gid, num_segments=nb)
+        elif kind == "max":
+            out = jax.ops.segment_max(vals, gid, num_segments=nb)
+        elif kind == "mean":
+            s = jax.ops.segment_sum(
+                vals.astype(jnp.float64), gid, num_segments=nb
+            )
+            c = jax.ops.segment_sum(jnp.ones(n, jnp.float64), gid, num_segments=nb)
+            out = s / c
+        else:
+            raise ValueError(f"unknown aggregate kind {kind}")
+        outs.append(out[:-1])
+
+    return occupied, tuple(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("agg_kinds",))
 def masked_grouped_aggregate(
     mask: jax.Array,

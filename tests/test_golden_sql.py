@@ -121,6 +121,4 @@ def _run_golden(test_id: str):
 
 @pytest.mark.parametrize("test_id", TEST_IDS)
 def test_golden(test_id):
-    if "draw" in test_id:
-        pytest.xfail("chart SVG renderer not implemented yet")
     _run_golden(test_id)
