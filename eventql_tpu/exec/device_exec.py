@@ -1,0 +1,252 @@
+"""Device (TPU) plan routing.
+
+Routes eligible physical plans to compiled XLA pipelines instead of the
+host columnar engine. Eligible today:
+
+  GroupBy(sum/count/min/max/mean over device-compatible exprs)
+    over Scan(device-compatible WHERE)        → one fused jit program
+  (optionally under OrderBy/Limit of the aggregate output)
+
+The host engine remains the semantic reference; the device path is
+differentially tested against it (tests/test_device_exec.py). Plans
+outside the subset fall back transparently.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from eventql_tpu.core.types import SType
+from eventql_tpu.exec import jax_expr
+from eventql_tpu.exec.relation import Column, Relation
+from eventql_tpu.plan import nodes as qn
+from eventql_tpu.plan.exprs import (
+    CallExpressionNode,
+    ColumnReferenceNode,
+    LiteralExpressionNode,
+    has_aggregate_call,
+)
+
+_DEVICE_AGGS = {"sum", "count", "min", "max", "mean"}
+
+
+def device_plan_eligible(node) -> bool:
+    """Is this plan node executable on the device fast path?"""
+    if isinstance(node, qn.LimitNode):
+        return device_plan_eligible(node.table)
+    if isinstance(node, qn.OrderByNode):
+        return all(
+            jax_expr.expr_is_device_compatible(s.expr) for s in node.sort_specs
+        ) and device_plan_eligible(node.table)
+    if not isinstance(node, qn.GroupByNode):
+        return False
+    scan = node.table
+    if not isinstance(scan, qn.SequentialScanNode):
+        return False
+    if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
+        return False
+    # scan select exprs + where must be device compatible; string
+    # columns are not routed yet (dictionary transport pending)
+    for sl in scan.select_list:
+        if not jax_expr.expr_is_device_compatible(sl.expr):
+            return False
+        if sl.expr.return_type() == SType.STRING:
+            return False
+    for g in node.group_exprs:
+        if g.return_type() == SType.STRING:
+            return False
+    if scan.where_expr is not None and not jax_expr.expr_is_device_compatible(
+        scan.where_expr
+    ):
+        return False
+    # group exprs device compatible, non-string output (string keys flow
+    # as dictionary ids, which is fine since ids are equality-preserving)
+    for g in node.group_exprs:
+        if not jax_expr.expr_is_device_compatible(g):
+            return False
+    # select list: aggregates of device exprs; non-aggregates must be
+    # group-key passthroughs or constants (first-row-wins needs gather,
+    # which the kernel provides via first_index)
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            aggs: List[CallExpressionNode] = []
+            from eventql_tpu.exec.operators import _strip_aggregates
+
+            emit = _strip_aggregates(sl.expr, aggs)
+            for a in aggs:
+                if a.sfunction.aggregate.kind not in _DEVICE_AGGS:
+                    return False
+                if a.args and not jax_expr.expr_is_device_compatible(a.args[0]):
+                    return False
+            if not jax_expr.expr_is_device_compatible(emit):
+                return False
+        else:
+            if not jax_expr.expr_is_device_compatible(sl.expr):
+                return False
+    return True
+
+
+def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
+    """Host → device transfer of the scan's input columns."""
+    import jax.numpy as jnp
+
+    out = []
+    by_name = dict(zip(names, rel_cols))
+    for cname, _t in wanted:
+        c = by_name[cname]
+        out.append(
+            jax_expr.DeviceCol(
+                c.stype, jnp.asarray(c.data), jnp.asarray(c.valid)
+            )
+        )
+    return out
+
+
+def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
+    """Compile + run Scan→Filter→GroupBy as one device program."""
+    import jax
+    import jax.numpy as jnp
+
+    from eventql_tpu.exec.operators import _count_subject, _strip_aggregates
+    from eventql_tpu.kernels.groupby import masked_grouped_aggregate
+
+    scan: qn.SequentialScanNode = node.table
+    table = txn.get_table_data(scan.table_name)
+    n = table.num_rows
+    if n == 0:
+        return Relation(
+            [sl.column_name() for sl in node.select_list],
+            [],
+            0,
+        )
+
+    in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
+
+    # gather all aggregate calls across select entries
+    entries = []
+    all_aggs: List[CallExpressionNode] = []
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            aggs: List[CallExpressionNode] = []
+            emit = _strip_aggregates(sl.expr, aggs)
+            base = len(all_aggs)
+            all_aggs.extend(aggs)
+            entries.append(("agg", emit, base))
+        else:
+            entries.append(("first", sl.expr, None))
+
+    agg_kinds = []
+    for a in all_aggs:
+        kind = a.sfunction.aggregate.kind
+        if kind == "count" and _count_subject(a) is not None:
+            agg_kinds.append("count_nonnull")
+        else:
+            agg_kinds.append(kind)
+
+    def program():
+        # scan select exprs (the child's computed columns)
+        scan_cols = [
+            jax_expr.compile_expr(sl.expr, in_cols, n) for sl in scan.select_list
+        ]
+        if scan.where_expr is not None:
+            mask = jax_expr.compile_expr(scan.where_expr, in_cols, n).data
+        else:
+            mask = jnp.ones((n,), jnp.bool_)
+
+        key_cols = [
+            jax_expr.compile_expr(g, scan_cols, n) for g in node.group_exprs
+        ]
+        if not key_cols:
+            key_cols = [
+                jax_expr.DeviceCol(
+                    SType.UINT64,
+                    jnp.zeros((n,), jnp.uint64),
+                    jnp.ones((n,), jnp.bool_),
+                )
+            ]
+
+        # aggregate inputs
+        vals = []
+        kinds = []
+        for a, kind in zip(all_aggs, agg_kinds):
+            if kind == "count":
+                vals.append(jnp.zeros((n,), jnp.uint64))
+                kinds.append("count")
+            elif kind == "count_nonnull":
+                subj = jax_expr.compile_expr(
+                    _count_subject(a), scan_cols, n
+                )
+                vals.append(subj.valid.astype(jnp.uint64))
+                kinds.append("sum")
+            else:
+                c = jax_expr.compile_expr(a.args[0], scan_cols, n)
+                vals.append(c.data)
+                kinds.append(kind)
+        if not vals:
+            vals = [jnp.zeros((n,), jnp.uint64)]
+            kinds = ["count"]
+
+        # keys: fold validity into the key bits like the host engine
+        def key_bits(k):
+            if k.data.dtype == jnp.float64:
+                bits = jax.lax.bitcast_convert_type(k.data, jnp.uint64)
+            else:
+                bits = k.data.astype(jnp.uint64)
+            return jnp.where(k.valid, bits, jnp.uint64(0))
+
+        key_arrays = tuple(key_bits(k) for k in key_cols)
+        # null tag as an extra key column per key
+        null_keys = tuple((~k.valid).astype(jnp.uint64) for k in key_cols)
+
+        gk, aggs_out, first_idx, ng = masked_grouped_aggregate(
+            mask, key_arrays + null_keys, tuple(vals), tuple(kinds)
+        )
+        return gk, aggs_out, first_idx, ng, [c.data for c in scan_cols], [
+            c.valid for c in scan_cols
+        ]
+
+    gk, aggs_out, first_idx, ng, scan_data, scan_valid = jax.jit(program)()
+    ng = int(ng)
+
+    # host-side: build output columns
+    agg_cols: List[Column] = []
+    for a, out in zip(all_aggs, aggs_out):
+        rtype = a.sfunction.return_type
+        arr = np.asarray(out[:ng])
+        from eventql_tpu.exec.relation import dtype_for
+
+        agg_cols.append(
+            Column(rtype, arr.astype(dtype_for(rtype)), np.ones(ng, bool))
+        )
+
+    first_idx_h = np.asarray(first_idx[:ng])
+    # reorder groups by first occurrence (host-engine group order)
+    order = np.argsort(first_idx_h, kind="stable")
+    first_sorted = first_idx_h[order]
+    agg_cols = [c.gather(order) for c in agg_cols]
+
+    from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
+
+    out_cols: List[Column] = []
+    scan_host_cols = [
+        Column(
+            sl.expr.return_type(),
+            np.asarray(d),
+            np.asarray(v),
+            None,
+        )
+        for sl, d, v in zip(scan.select_list, scan_data, scan_valid)
+    ]
+    for (kind, expr, base) in entries:
+        if kind == "agg":
+            ctx = EvalContext(agg_cols[base:], ng)
+            out_cols.append(evaluate_vector(expr, ctx))
+        else:
+            ctx = EvalContext(scan_host_cols, len(scan_host_cols[0].data) if scan_host_cols else 0)
+            full = evaluate_vector(expr, ctx)
+            out_cols.append(full.gather(first_sorted))
+
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, out_cols, ng)

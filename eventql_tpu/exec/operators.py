@@ -296,6 +296,17 @@ def _segment_aggregate(
 
 
 def _exec_group_by(node: qn.GroupByNode, txn) -> Relation:
+    import os
+
+    if os.environ.get("EVENTQL_TPU_DEVICE") == "1":
+        from eventql_tpu.exec.device_exec import (
+            device_plan_eligible,
+            execute_device_groupby,
+        )
+
+        if device_plan_eligible(node):
+            return execute_device_groupby(node, txn)
+
     child = execute_node(node.table, txn)
     n = child.num_rows
     ctx = EvalContext(child.columns, n)

@@ -1,0 +1,80 @@
+"""Differential tests: device GroupBy fast path vs the host engine.
+
+Every query runs twice (host engine, device path) and must produce
+identical ResultLists."""
+
+import os
+
+import numpy as np
+import pytest
+
+from eventql_tpu.core.types import SType
+from eventql_tpu.exec.relation import Column, Relation
+from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+
+
+def _make_table(n=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 37, n).astype(np.uint64)
+    vals = rng.integers(0, 1000, n).astype(np.uint64)
+    fvals = np.round(rng.standard_normal(n) * 100, 3)
+    valid = rng.random(n) < 0.9
+    rel = Relation(
+        ["k", "v", "f"],
+        [
+            Column(SType.UINT64, keys, np.ones(n, bool)),
+            Column(
+                SType.UINT64, np.where(valid, vals, 0).astype(np.uint64), valid
+            ),
+            Column(SType.FLOAT64, fvals, np.ones(n, bool)),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("t", rel)
+    return p
+
+
+QUERIES = [
+    "select k, count(1), sum(v) from t group by k order by k;",
+    "select k, count(v) from t group by k order by k;",
+    "select count(1) from t;",
+    "select k, sum(f), min(f), max(f) from t group by k order by k;",
+    "select k % 5, sum(v + 1) from t where v < 500 group by k % 5 order by 2 desc;",
+    "select sum(v) + count(1) from t where k > 10;",
+]
+
+
+def _run(query, device: bool):
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    os.environ["EVENTQL_TPU_DEVICE"] = "1" if device else "0"
+    try:
+        rt = Runtime()
+        txn = rt.new_transaction(_make_table())
+        return rt.build_query_plan(txn, query).execute(0)
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_device_matches_host(query):
+    host = _run(query, device=False)
+    dev = _run(query, device=True)
+    assert dev.columns == host.columns
+    assert dev.rows == host.rows
+
+
+def test_device_path_is_taken():
+    """Sanity: the eligibility check accepts the canonical pipeline."""
+    from eventql_tpu.exec.device_exec import device_plan_eligible
+    from eventql_tpu.sql.parser import Parser
+    from eventql_tpu.plan.builder import QueryPlanBuilder
+
+    rt = Runtime()
+    txn = rt.new_transaction(_make_table(100))
+    stmts = Parser().parse("select k, sum(v) from t group by k;")
+    node = QueryPlanBuilder().build(stmts[0], txn.tables)
+    assert device_plan_eligible(node)
