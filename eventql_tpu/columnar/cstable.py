@@ -66,6 +66,11 @@ def simdbp128_unpack(buf: bytes, n: int, maxbits: int) -> np.ndarray:
     out[4*k + lane] for lane-major SIMD lanes."""
     if maxbits == 0:
         return np.zeros(n, dtype=np.uint32)
+    from eventql_tpu.columnar import native
+
+    out = native.simdbp128_unpack(bytes(buf), n, maxbits)
+    if out is not None:
+        return out
     nblocks = (n + 127) // 128
     need = nblocks * 16 * maxbits
     words = np.frombuffer(buf, dtype="<u4", count=need // 4)
@@ -89,6 +94,11 @@ def leb128_decode(buf: bytes, count: int) -> np.ndarray:
     """Vectorized LEB128 varint decode of `count` values."""
     if count == 0:
         return np.zeros(0, dtype=np.uint64)
+    from eventql_tpu.columnar import native
+
+    out = native.leb128_decode(bytes(buf), count)
+    if out is not None:
+        return out
     b = np.frombuffer(buf, dtype=np.uint8)
     cont = (b & 0x80) != 0
     # value index per byte: increments after a byte without cont bit
