@@ -1,0 +1,283 @@
+"""In-memory table service: CREATE/ALTER/DROP/INSERT.
+
+The SQL-visible behavior of the reference's TableService
+(reference: db/table_service.cc — create/alter/drop + the insert path)
+over an in-memory columnar store. The durable LSM/partitioned storage
+engine layers on top of the same interface.
+
+Column types follow the reference's schema type names
+(reference: util/protobuf/MessageObject.cc:41-53): STRING, BOOLEAN,
+UINT32, UINT64, DOUBLE, DATETIME (case-insensitive). OBJECT/RECORD
+columns flatten to dotted names like MessageSchema's columns.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from eventql_tpu.core.errors import RuntimeError_
+from eventql_tpu.core.types import SType, SValue
+from eventql_tpu.exec.relation import Column, Relation, dtype_for
+from eventql_tpu.exec.runtime import TableInfo
+from eventql_tpu.plan.builder import TableProvider
+from eventql_tpu.plan.nodes import AlterTableNode, ColumnDefinition
+
+# reference: fieldTypeFromString (MessageObject.cc:41-53)
+_TYPE_MAP = {
+    "STRING": SType.STRING,
+    "BOOLEAN": SType.BOOL,
+    "BOOL": SType.BOOL,
+    "UINT32": SType.UINT64,
+    "UINT64": SType.UINT64,
+    "DOUBLE": SType.FLOAT64,
+    "DATETIME": SType.TIMESTAMP64,
+}
+
+
+def stype_from_name(name: str) -> SType:
+    t = _TYPE_MAP.get(name.upper())
+    if t is None:
+        raise RuntimeError_(f"can't convert '{name.upper()}' to FieldType")
+    return t
+
+
+def _flatten_columns(
+    defs: List[ColumnDefinition], prefix: str = ""
+) -> List[Tuple[str, SType, bool]]:
+    """Flatten RECORD columns to dotted names
+    (reference: MessageSchema::flatColumns)."""
+    out = []
+    for d in defs:
+        name = prefix + d.column_name
+        if d.subcolumns is not None:
+            out.extend(_flatten_columns(d.subcolumns, name + "."))
+        else:
+            out.append((name, stype_from_name(d.column_type), d.repeated))
+    return out
+
+
+class MemoryTable:
+    def __init__(self, name, columns, primary_key, partition_key, properties):
+        self.name = name
+        self.columns: List[Tuple[str, SType, bool]] = columns
+        self.primary_key = primary_key
+        self.partition_key = partition_key
+        self.properties = dict(properties or [])
+        self.rows: List[Dict[str, SValue]] = []
+        self._relation_cache: Optional[Relation] = None
+
+    # -- mutation -------------------------------------------------------
+    def insert_row(self, row: Dict[str, SValue]):
+        known = {c[0] for c in self.columns}
+        for cname in row:
+            if cname not in known:
+                raise RuntimeError_(f"column not found: '{cname}'")
+        self.rows.append(row)
+        self._relation_cache = None
+
+    def add_column(self, coldef: ColumnDefinition):
+        for flat in _flatten_columns([coldef]):
+            if any(c[0] == flat[0] for c in self.columns):
+                raise RuntimeError_(f"column already exists: '{flat[0]}'")
+            self.columns.append(flat)
+        self._relation_cache = None
+
+    def drop_column(self, name: str):
+        if name in self.primary_key:
+            raise RuntimeError_(f"can't drop primary key column: '{name}'")
+        before = len(self.columns)
+        self.columns = [c for c in self.columns if c[0] != name]
+        if len(self.columns) == before:
+            raise RuntimeError_(f"column not found: '{name}'")
+        self._relation_cache = None
+
+    # -- reads ----------------------------------------------------------
+    def to_relation(self) -> Relation:
+        if self._relation_cache is not None:
+            return self._relation_cache
+        n = len(self.rows)
+        names, cols = [], []
+        for cname, ctype, _rep in self.columns:
+            names.append(cname)
+            if ctype == SType.STRING:
+                vals = []
+                for r in self.rows:
+                    v = r.get(cname)
+                    vals.append(None if v is None or v.is_null else v.payload())
+                cols.append(Column.from_strings(vals))
+            else:
+                data = np.zeros(n, dtype=dtype_for(ctype))
+                valid = np.zeros(n, dtype=bool)
+                for i, r in enumerate(self.rows):
+                    v = r.get(cname)
+                    if v is not None and not v.is_null and v.stype != SType.NIL:
+                        data[i] = v.payload()
+                        valid[i] = True
+                cols.append(Column(ctype, data, valid))
+        self._relation_cache = Relation(names, cols, n)
+        return self._relation_cache
+
+
+class TableService(TableProvider):
+    """Mutable catalog + store, usable directly as the engine's table
+    provider (reference: db/table_service.h:52)."""
+
+    def __init__(self):
+        self.tables: Dict[str, MemoryTable] = {}
+        self.databases: Dict[str, None] = {}
+
+    # -- DDL ------------------------------------------------------------
+    def create_table(self, node) -> None:
+        # reference: TableService::createTable — first PRIMARY KEY column
+        # must be DATETIME, STRING or UINT64 (table_service.cc:140-160)
+        if node.table_name in self.tables:
+            raise RuntimeError_(f"table already exists: '{node.table_name}'")
+        columns = _flatten_columns(node.columns)
+        if node.primary_key:
+            by_name = {c[0]: c[1] for c in columns}
+            first = node.primary_key[0]
+            if first not in by_name:
+                raise RuntimeError_(f"column not found: '{first}'")
+            if by_name[first] not in (
+                SType.TIMESTAMP64,
+                SType.STRING,
+                SType.UINT64,
+            ):
+                raise RuntimeError_(
+                    "first column in the PRIMARY KEY must be of type "
+                    "DATETIME, STRING or UINT64"
+                )
+        self.tables[node.table_name] = MemoryTable(
+            node.table_name,
+            columns,
+            list(node.primary_key),
+            node.partition_key,
+            node.properties,
+        )
+
+    def drop_table(self, table_name: str) -> None:
+        if table_name not in self.tables:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        del self.tables[table_name]
+
+    def create_database(self, name: str) -> None:
+        self.databases[name] = None
+
+    def alter_table(self, node) -> None:
+        table = self.tables.get(node.table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{node.table_name}'")
+        for kind, payload in node.operations:
+            if kind == AlterTableNode.ADD_COLUMN:
+                table.add_column(payload)
+            elif kind == AlterTableNode.DROP_COLUMN:
+                table.drop_column(payload)
+            elif kind == AlterTableNode.SET_PROPERTY:
+                table.properties[payload[0]] = payload[1]
+
+    # -- DML ------------------------------------------------------------
+    def insert(self, table_name: str, columns: List[str], values: List[SValue]):
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        if len(columns) != len(values):
+            raise RuntimeError_(
+                "number of columns and values must match in INSERT"
+            )
+        schema = {c[0]: c[1] for c in table.columns}
+        row = {}
+        for cname, val in zip(columns, values):
+            if cname not in schema:
+                raise RuntimeError_(f"column not found: '{cname}'")
+            row[cname] = _coerce(val, schema[cname])
+        table.insert_row(row)
+
+    def insert_json(self, table_name: str, json_str: str):
+        try:
+            obj = json.loads(json_str)
+        except json.JSONDecodeError as e:
+            raise RuntimeError_(f"invalid JSON: {e}")
+        if not isinstance(obj, dict):
+            raise RuntimeError_("JSON insert requires an object")
+        flat = {}
+
+        def walk(o, prefix=""):
+            for k, v in o.items():
+                if isinstance(v, dict):
+                    walk(v, prefix + k + ".")
+                else:
+                    flat[prefix + k] = v
+
+        walk(obj)
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        schema = {c[0]: c[1] for c in table.columns}
+        row = {}
+        for k, v in flat.items():
+            if k not in schema:
+                raise RuntimeError_(f"column not found: '{k}'")
+            row[k] = _coerce(_from_json(v), schema[k])
+        table.insert_row(row)
+
+    # -- TableProvider interface ---------------------------------------
+    def describe(self, table_name: str) -> Optional[TableInfo]:
+        table = self.tables.get(table_name)
+        if table is None:
+            return None
+        return TableInfo(table_name, [(c[0], c[1]) for c in table.columns])
+
+    def list_tables(self):
+        return [self.describe(n) for n in sorted(self.tables)]
+
+    def get_table_data(self, table_name: str) -> Relation:
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        return table.to_relation()
+
+
+def _from_json(v) -> SValue:
+    if v is None:
+        return SValue.new_null()
+    if isinstance(v, bool):
+        return SValue.new_bool(v)
+    if isinstance(v, int):
+        return SValue.new_uint64(v) if v >= 0 else SValue.new_int64(v)
+    if isinstance(v, float):
+        return SValue.new_float64(v)
+    return SValue.new_string(str(v))
+
+
+def _coerce(val: SValue, want: SType) -> SValue:
+    """Insert-time coercion mirroring the reference's record shredding
+    (strings parse to numbers, numbers format to strings)."""
+    if val.is_null or val.stype == SType.NIL:
+        return SValue.new_null()
+    if val.stype == want:
+        return val
+    payload = val.payload()
+    try:
+        if want == SType.STRING:
+            return SValue.new_string(val.to_string())
+        if want in (SType.UINT64, SType.TIMESTAMP64):
+            if isinstance(payload, bytes):
+                payload = float(payload.decode() or 0)
+            v = SValue.new_uint64(int(payload))
+            return v if want == SType.UINT64 else SValue.new_timestamp64(v.data)
+        if want == SType.FLOAT64:
+            if isinstance(payload, bytes):
+                payload = payload.decode() or 0
+            return SValue.new_float64(float(payload))
+        if want == SType.BOOL:
+            if isinstance(payload, bytes):
+                return SValue.new_bool(payload == b"true")
+            return SValue.new_bool(bool(payload))
+    except (ValueError, TypeError):
+        raise RuntimeError_(
+            f"can't convert {val.to_string()} to {want.name}"
+        )
+    raise RuntimeError_(f"can't convert value to {want.name}")

@@ -53,7 +53,60 @@ def execute_node(node: qn.QueryTreeNode, txn) -> Relation:
         return _exec_describe_table(node, txn)
     if isinstance(node, qn.ChartNode):
         return _exec_chart(node, txn)
+    if isinstance(node, qn.DDLNode):
+        return _exec_ddl(node, txn)
     raise RuntimeError_(f"can't execute plan node: {node!r}")
+
+
+def _exec_ddl(node, txn) -> Relation:
+    """DDL/DML against the transaction's table service (reference:
+    scheduler.cc:395-538; providers without DDL support raise like the
+    base TableProvider)."""
+    from eventql_tpu.plan.scalar_eval import evaluate_scalar
+    from eventql_tpu.plan.exprs import is_constant
+
+    svc = txn.tables
+
+    def need(method):
+        fn = getattr(svc, method, None)
+        if fn is None:
+            raise RuntimeError_("tables can't be modified in this context")
+        return fn
+
+    if isinstance(node, qn.CreateTableNode):
+        need("create_table")(node)
+    elif isinstance(node, qn.DropTableNode):
+        need("drop_table")(node.table_name)
+    elif isinstance(node, qn.CreateDatabaseNode):
+        need("create_database")(node.database_name)
+    elif isinstance(node, qn.UseDatabaseNode):
+        pass  # single-namespace runtime
+    elif isinstance(node, qn.AlterTableNode):
+        need("alter_table")(node)
+    elif isinstance(node, qn.InsertIntoNode):
+        if node.json_data is not None:
+            need("insert_json")(node.table_name, node.json_data)
+        else:
+            values = []
+            for e in node.value_exprs:
+                if not is_constant(e):
+                    raise RuntimeError_(
+                        "insert into expression must contain only constant"
+                        " expressions"
+                    )
+                values.append(evaluate_scalar(e))
+            columns = node.columns
+            if not columns:
+                info = svc.describe(node.table_name)
+                if info is None:
+                    raise RuntimeError_(
+                        f"table not found: '{node.table_name}'"
+                    )
+                columns = [c[0] for c in info.columns][: len(values)]
+            need("insert")(node.table_name, columns, values)
+    else:
+        raise RuntimeError_(f"can't execute plan node: {node!r}")
+    return Relation([], [], 0)
 
 
 # ---------------------------------------------------------------------------

@@ -170,8 +170,91 @@ class QueryPlanBuilder:
             return qn.ChartNode(ast.token.ttype, list(ast.children), [])
         if ast.ntype == "T_EXPLAIN_QUERY":
             return qn.ExplainNode(self.build(ast.children[0], tables))
+        if ast.ntype == "T_CREATE_TABLE":
+            return self._build_create_table(ast)
+        if ast.ntype == "T_DROP_TABLE":
+            return qn.DropTableNode(ast.children[0].token.value)
+        if ast.ntype == "T_CREATE_DATABASE":
+            return qn.CreateDatabaseNode(ast.children[0].token.value)
+        if ast.ntype == "T_USE_DATABASE":
+            return qn.UseDatabaseNode(ast.children[0].token.value)
+        if ast.ntype == "T_INSERT_INTO":
+            return self._build_insert_into(ast)
+        if ast.ntype == "T_ALTER_TABLE":
+            return self._build_alter_table(ast)
 
         raise RuntimeError_("can't figure out a query plan for this, sorry :(")
+
+    # ------------------------------------------------------------------
+    # DDL / DML (reference: queryplanbuilder.cc buildCreateTable etc. +
+    # sql/qtree/nodes/*)
+    # ------------------------------------------------------------------
+    def _build_column_definition(self, col_ast) -> qn.ColumnDefinition:
+        name = col_ast.children[0].token.value
+        repeated = any(c.ntype == "T_REPEATED" for c in col_ast.children)
+        not_null = any(c.ntype == "T_NOT_NULL" for c in col_ast.children)
+        record = col_ast.find_first("T_RECORD")
+        if record is not None:
+            sub = [self._build_column_definition(c) for c in record.children]
+            return qn.ColumnDefinition(name, "RECORD", repeated, not_null, sub)
+        type_node = col_ast.find_first("T_COLUMN_TYPE")
+        ctype = type_node.token.value if type_node and type_node.token else ""
+        return qn.ColumnDefinition(name, ctype, repeated, not_null)
+
+    def _build_create_table(self, ast):
+        table_name = ast.children[0].token.value
+        column_list = ast.children[1]
+        columns, primary_key, partition_key = [], [], None
+        for child in column_list.children:
+            if child.ntype == "T_PRIMARY_KEY":
+                for cn in child.children:
+                    primary_key.append(cn.token.value)
+            elif child.ntype == "T_PARTITION_KEY":
+                partition_key = child.children[0].token.value
+            elif child.ntype == "T_COLUMN":
+                coldef = self._build_column_definition(child)
+                if child.find_first("T_PRIMARY_KEY") is not None:
+                    primary_key.append(coldef.column_name)
+                columns.append(coldef)
+        properties = []
+        for child in ast.children[2:]:
+            if child.ntype == "T_TABLE_PROPERTY_LIST":
+                for prop in child.children:
+                    key = prop.children[0].token.value
+                    val = prop.children[1].token.value
+                    properties.append((key, val))
+        return qn.CreateTableNode(
+            table_name, columns, primary_key, partition_key, properties
+        )
+
+    def _build_insert_into(self, ast):
+        table_name = ast.children[0].token.value
+        if len(ast.children) > 1 and ast.children[1].ntype == "T_JSON_STRING":
+            return qn.InsertIntoNode(
+                table_name, [], [], json_data=ast.children[1].token.value
+            )
+        columns = [c.token.value for c in ast.children[1].children]
+        value_exprs = []
+        for v in ast.children[2].children:
+            expr = self.build_value_expression(v, _empty_resolver)
+            value_exprs.append(expr)
+        return qn.InsertIntoNode(table_name, columns, value_exprs)
+
+    def _build_alter_table(self, ast):
+        table_name = ast.children[0].token.value
+        ops = []
+        for child in ast.children[1:]:
+            if child.ntype == "T_COLUMN":
+                ops.append(
+                    (qn.AlterTableNode.ADD_COLUMN, self._build_column_definition(child))
+                )
+            elif child.ntype == "T_COLUMN_NAME":
+                ops.append((qn.AlterTableNode.DROP_COLUMN, child.token.value))
+            elif child.ntype == "T_TABLE_PROPERTY":
+                key = child.children[0].token.value
+                val = child.children[1].token.value
+                ops.append((qn.AlterTableNode.SET_PROPERTY, (key, val)))
+        return qn.AlterTableNode(table_name, ops)
 
     def build_statements(
         self, statements: List[ASTNode], tables: TableProvider

@@ -503,3 +503,69 @@ class ChartNode(TableExpressionNode):
 class ExplainNode(QueryTreeNode):
     def __init__(self, child):
         self.child = child
+
+
+# ---------------------------------------------------------------------------
+# DDL / DML statements (reference: sql/qtree/nodes/*)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnDefinition:
+    column_name: str
+    column_type: str  # type name as written ("uint64", "string", ...)
+    repeated: bool = False
+    not_null: bool = False
+    subcolumns: Optional[List["ColumnDefinition"]] = None  # RECORD type
+
+
+class DDLNode(QueryTreeNode):
+    """DDL statements produce empty results
+    (reference: scheduler.cc:395-412 returns an empty ResultCursor)."""
+
+    def get_result_columns(self):
+        return []
+
+
+class CreateTableNode(DDLNode):
+    def __init__(self, table_name, columns, primary_key, partition_key, properties):
+        self.table_name = table_name
+        self.columns: List[ColumnDefinition] = columns
+        self.primary_key: List[str] = primary_key
+        self.partition_key: Optional[str] = partition_key
+        self.properties: List[Tuple[str, str]] = properties
+
+
+class DropTableNode(DDLNode):
+    def __init__(self, table_name):
+        self.table_name = table_name
+
+
+class CreateDatabaseNode(DDLNode):
+    def __init__(self, database_name):
+        self.database_name = database_name
+
+
+class UseDatabaseNode(DDLNode):
+    def __init__(self, database_name):
+        self.database_name = database_name
+
+
+class AlterTableNode(DDLNode):
+    ADD_COLUMN = "ADD_COLUMN"
+    DROP_COLUMN = "DROP_COLUMN"
+    SET_PROPERTY = "SET_PROPERTY"
+
+    def __init__(self, table_name, operations):
+        self.table_name = table_name
+        # operations: list of (kind, payload) where payload is a
+        # ColumnDefinition, a column name, or a (key, value) pair
+        self.operations = operations
+
+
+class InsertIntoNode(DDLNode):
+    def __init__(self, table_name, columns, value_exprs, json_data=None):
+        self.table_name = table_name
+        self.columns: List[str] = columns
+        self.value_exprs: List[ValueExpressionNode] = value_exprs
+        self.json_data: Optional[str] = json_data
