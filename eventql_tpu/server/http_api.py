@@ -1,0 +1,257 @@
+"""HTTP API server.
+
+Re-implements the reference's REST transport surface
+(reference: transport/http/api_servlet.cc:127-198 routes; JSON result
+format from server/sql/codec/json_codec.cc:29-82:
+  {"results": [{"type": "table", "columns": [...], "rows": [[...]]}]}
+errors as {"error": "..."}; SSE streaming per json_sse_codec.cc emits
+`result` events carrying the same payload).
+
+Routes:
+  GET/POST /api/v1/sql           query={q} format=json|json_sse
+  POST     /api/v1/tables/insert [{table, data}, ...]
+  POST     /api/v1/tables/list
+  POST     /api/v1/tables/create {table, schema:{columns:[...]}, primary_key}
+  POST     /api/v1/tables/drop   {table}
+  GET/POST /api/v1/tables/describe?table=t
+  GET      /api/v1/auth/info
+  GET      /eventql/stats
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+from eventql_tpu.core.errors import SQLError
+from eventql_tpu.core.types import sql_typename
+from eventql_tpu.db.table_service import TableService, stype_from_name
+from eventql_tpu.exec.runtime import Runtime
+from eventql_tpu.plan.nodes import ColumnDefinition, CreateTableNode
+
+
+class ServerStats:
+    """Counters in the spirit of the reference's ServerStats
+    (reference: server/server_stats.h:32-40)."""
+
+    def __init__(self):
+        self.num_queries = 0
+        self.num_inserts = 0
+        self.num_errors = 0
+        self.lock = threading.Lock()
+
+    def as_dict(self):
+        return {
+            "num_queries": self.num_queries,
+            "num_inserts": self.num_inserts,
+            "num_errors": self.num_errors,
+        }
+
+
+class EventQLServer:
+    def __init__(self, table_service: Optional[TableService] = None, host="127.0.0.1", port=9175):
+        self.table_service = table_service or TableService()
+        self.runtime = Runtime()
+        self.stats = ServerStats()
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- lifecycle ------------------------------------------------------
+    def start(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_GET(self):
+                server.handle(self, {})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                try:
+                    payload = json.loads(body) if body else {}
+                except json.JSONDecodeError:
+                    payload = {}
+                server.handle(self, payload)
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+    # -- request handling ----------------------------------------------
+    def handle(self, h: BaseHTTPRequestHandler, payload):
+        parsed = urlparse(h.path)
+        path = parsed.path
+        params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        try:
+            if path in ("/api/v1/sql", "/api/v1/sql_stream"):
+                return self._handle_sql(h, params, payload)
+            if path == "/api/v1/tables/insert":
+                return self._handle_insert(h, payload)
+            if path == "/api/v1/tables/list":
+                return self._handle_list(h)
+            if path == "/api/v1/tables/create":
+                return self._handle_create(h, payload)
+            if path == "/api/v1/tables/drop":
+                return self._handle_drop(h, payload)
+            if path == "/api/v1/tables/describe":
+                return self._handle_describe(h, params, payload)
+            if path == "/api/v1/auth/info":
+                return self._json(h, 200, {"valid": True, "namespaces": []})
+            if path == "/eventql/stats":
+                return self._json(h, 200, self.stats.as_dict())
+            self._text(h, 404, "not found")
+        except SQLError as e:
+            with self.stats.lock:
+                self.stats.num_errors += 1
+            self._json(h, 500, {"error": e.message})
+        except Exception as e:  # pragma: no cover
+            with self.stats.lock:
+                self.stats.num_errors += 1
+            self._json(h, 500, {"error": str(e)})
+
+    # -- helpers --------------------------------------------------------
+    def _json(self, h, status, obj):
+        body = json.dumps(obj).encode()
+        h.send_response(status)
+        h.send_header("Content-Type", "application/json; charset=utf-8")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    def _text(self, h, status, text):
+        body = text.encode()
+        h.send_response(status)
+        h.send_header("Content-Type", "text/plain; charset=utf-8")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    # -- endpoints ------------------------------------------------------
+    def _run_query(self, query: str):
+        txn = self.runtime.new_transaction(self.table_service)
+        plan = self.runtime.build_query_plan(txn, query)
+        results = []
+        for i in range(plan.num_queries):
+            r = plan.execute(i)
+            results.append(
+                {"type": "table", "columns": r.columns, "rows": r.rows}
+            )
+        with self.stats.lock:
+            self.stats.num_queries += 1
+        return results
+
+    def _handle_sql(self, h, params, payload):
+        query = payload.get("query") or params.get("query")
+        fmt = payload.get("format") or params.get("format") or "json"
+        if not query:
+            if "query" in params or "query" in payload:
+                return self._text(h, 400, "missing field: query")
+            return self._text(h, 400, "missing ?query=... parameter")
+        if fmt not in ("json", "json_sse"):
+            return self._text(h, 400, f"invalid format: {fmt}")
+
+        try:
+            results = self._run_query(query)
+        except SQLError as e:
+            with self.stats.lock:
+                self.stats.num_errors += 1
+            return self._json(h, 500, {"error": e.message})
+
+        if fmt == "json":
+            return self._json(h, 200, {"results": results})
+
+        # json_sse: stream `result` events (reference: json_sse_codec.cc)
+        h.send_response(200)
+        h.send_header("Content-Type", "text/event-stream")
+        h.send_header("Cache-Control", "no-cache")
+        h.end_headers()
+        data = json.dumps({"results": results})
+        h.wfile.write(b"event: result\n")
+        for line in data.split("\n"):
+            h.wfile.write(b"data: " + line.encode() + b"\n")
+        h.wfile.write(b"\n")
+
+    def _handle_insert(self, h, payload):
+        if not isinstance(payload, list):
+            return self._text(h, 400, "expected JSON array")
+        for row in payload:
+            table = row.get("table")
+            if not table:
+                raise SQLError("missing field: table")
+            data = row.get("data")
+            if data is None:
+                raise SQLError("missing field: data")
+            if isinstance(data, str):
+                self.table_service.insert_json(table, data)
+            else:
+                self.table_service.insert_json(table, json.dumps(data))
+            with self.stats.lock:
+                self.stats.num_inserts += 1
+        self._json(h, 201, {})
+
+    def _handle_list(self, h):
+        tables = [
+            {"name": t.table_name}
+            for t in self.table_service.list_tables()
+        ]
+        self._json(h, 200, {"tables": tables})
+
+    def _handle_create(self, h, payload):
+        table = payload.get("table") or payload.get("table_name")
+        if not table:
+            raise SQLError("missing field: table")
+        schema = payload.get("schema") or {}
+        columns = []
+        for col in schema.get("columns", []):
+            columns.append(
+                ColumnDefinition(
+                    col["name"],
+                    col.get("type", "STRING"),
+                    bool(col.get("repeated", False)),
+                    not bool(col.get("optional", True)),
+                )
+            )
+        node = CreateTableNode(
+            table,
+            columns,
+            payload.get("primary_key", []),
+            payload.get("partition_key"),
+            [],
+        )
+        self.table_service.create_table(node)
+        self._json(h, 201, {})
+
+    def _handle_drop(self, h, payload):
+        table = payload.get("table")
+        if not table:
+            raise SQLError("missing field: table")
+        self.table_service.drop_table(table)
+        self._json(h, 201, {})
+
+    def _handle_describe(self, h, params, payload):
+        table = payload.get("table") or params.get("table")
+        if not table:
+            raise SQLError("missing field: table")
+        info = self.table_service.describe(table)
+        if info is None:
+            raise SQLError(f"table not found: '{table}'")
+        cols = [
+            {"column_name": n, "type": sql_typename(t), "is_nullable": True}
+            for n, t in info.columns
+        ]
+        self._json(h, 200, {"table": {"name": table, "columns": cols}})

@@ -1,0 +1,107 @@
+"""HTTP API tests (reference surface: transport/http/api_servlet.cc)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from eventql_tpu.server.http_api import EventQLServer
+
+
+@pytest.fixture
+def server():
+    s = EventQLServer(port=0).start()
+    yield s
+    s.stop()
+
+
+def _req(server, path, payload=None, method=None):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        body = e.read()
+        try:
+            return e.code, json.loads(body)
+        except json.JSONDecodeError:
+            return e.code, {"raw": body.decode()}
+
+
+def test_sql_roundtrip(server):
+    status, out = _req(server, "/api/v1/sql", {"query": "select 1 + 2 as three;"})
+    assert status == 200
+    assert out == {
+        "results": [{"type": "table", "columns": ["three"], "rows": [["3"]]}]
+    }
+
+
+def test_sql_get_param(server):
+    status, out = _req(server, "/api/v1/sql?query=select%2042;")
+    assert status == 200
+    assert out["results"][0]["rows"] == [["42"]]
+
+
+def test_sql_error(server):
+    status, out = _req(server, "/api/v1/sql", {"query": "select ;"})
+    assert status == 500
+    assert out["error"] == "unexpected token T_SEMICOLON, expected: value expression"
+
+
+def test_table_lifecycle(server):
+    status, _ = _req(
+        server,
+        "/api/v1/tables/create",
+        {
+            "table": "events",
+            "schema": {
+                "columns": [
+                    {"name": "time", "type": "DATETIME"},
+                    {"name": "value", "type": "UINT64"},
+                    {"name": "label", "type": "STRING"},
+                ]
+            },
+            "primary_key": ["time"],
+        },
+    )
+    assert status == 201
+
+    status, out = _req(server, "/api/v1/tables/list", {})
+    assert status == 200
+    assert {"name": "events"} in out["tables"]
+
+    status, _ = _req(
+        server,
+        "/api/v1/tables/insert",
+        [
+            {"table": "events", "data": {"time": 1, "value": 10, "label": "a"}},
+            {"table": "events", "data": {"time": 2, "value": 32, "label": "a"}},
+        ],
+    )
+    assert status == 201
+
+    status, out = _req(
+        server,
+        "/api/v1/sql",
+        {"query": "select label, sum(value) from events group by label;"},
+    )
+    assert out["results"][0]["rows"] == [["a", "42"]]
+
+    status, out = _req(server, "/api/v1/tables/describe?table=events")
+    assert status == 200
+    names = [c["column_name"] for c in out["table"]["columns"]]
+    assert names == ["time", "value", "label"]
+
+    status, _ = _req(server, "/api/v1/tables/drop", {"table": "events"})
+    assert status == 201
+    status, out = _req(server, "/api/v1/tables/list", {})
+    assert out["tables"] == []
+
+
+def test_stats(server):
+    _req(server, "/api/v1/sql", {"query": "select 1;"})
+    status, out = _req(server, "/eventql/stats")
+    assert status == 200
+    assert out["num_queries"] >= 1
