@@ -1,0 +1,89 @@
+"""System tests in the reference's automation style: spawn the real
+server binary as a subprocess and drive it through public interfaces
+(reference: test/automate/cluster.cc:34-52 startStandaloneCluster,
+test/system/basic_sql/)."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server_proc():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "eventql_tpu.cli.evqld", "--listen_http", "127.0.0.1:19175"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        env=env,
+        cwd="/root/repo",
+    )
+    # wait for readiness
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen("http://127.0.0.1:19175/eventql/stats", timeout=1)
+            break
+        except Exception:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode()
+                raise RuntimeError(f"server died: {out}")
+            time.sleep(0.2)
+    else:
+        proc.kill()
+        raise RuntimeError("server did not become ready")
+    yield proc
+    proc.terminate()
+    proc.wait(timeout=10)
+
+
+def _sql(query):
+    req = urllib.request.Request(
+        "http://127.0.0.1:19175/api/v1/sql",
+        data=json.dumps({"query": query}).encode(),
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_basic_sql_system(server_proc):
+    # reference: test/system/basic_sql — create, insert, query back
+    _sql(
+        "CREATE TABLE customers (customerid uint64, customername string,"
+        " PRIMARY KEY (customerid));"
+    )
+    _sql("INSERT INTO customers (customerid, customername) VALUES (1, 'Alfred');")
+    _sql("INSERT INTO customers (customerid, customername) VALUES (2, 'Ana');")
+    out = _sql("select customername from customers order by customerid;")
+    assert out["results"][0]["rows"] == [["Alfred"], ["Ana"]]
+
+
+def test_console_against_server(server_proc):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "eventql_tpu.cli.console",
+            "--host",
+            "127.0.0.1",
+            "-p",
+            "19175",
+            "-e",
+            "select count(1) cnt from customers;",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert "cnt" in out.stdout
+    assert "| 2" in out.stdout
