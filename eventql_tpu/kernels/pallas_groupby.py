@@ -76,12 +76,20 @@ def _agg_kernel(
     # one-hot as (K, B) so both matmul operands contract on B with no
     # in-kernel transposes
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (num_buckets, B), 0)
-    onehot = jnp.where(gid == iota_k, jnp.float32(1), jnp.float32(0))
+    # select in f32 then truncate to bf16: selecting bf16 directly off
+    # an i1 mask trips a mosaic relayout bug ((8,128) mask vs (16,128)
+    # bf16 tiling)
+    onehot = jnp.where(gid == iota_k, jnp.float32(1), jnp.float32(0)).astype(
+        jnp.bfloat16
+    )
     # mask is folded into the limb rows, not the one-hot: masked rows
-    # multiply in zeros everywhere
+    # multiply in zeros everywhere. bf16 operands are exact here (both
+    # the one-hot and 8-bit limbs are integers < 256, within bf16's
+    # 8-bit significand) and run the MXU at its native rate; products
+    # accumulate in f32.
 
     acc_ref[:, :] += jax.lax.dot_general(
-        limbs,
+        limbs.astype(jnp.bfloat16),
         onehot,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
