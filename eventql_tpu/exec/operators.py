@@ -133,6 +133,10 @@ def _exec_seqscan(node: qn.SequentialScanNode, txn) -> Relation:
             return execute_nested_scan(node, reader)
 
     table = txn.get_table_data(node.table_name)  # Relation of ALL table cols
+    return _exec_seqscan_relation(node, table)
+
+
+def _exec_seqscan_relation(node: qn.SequentialScanNode, table: Relation) -> Relation:
 
     # project the scan's input columns by name
     input_cols: List[Column] = []
@@ -348,8 +352,219 @@ def _segment_aggregate(
     raise RuntimeError_(f"unknown aggregate kind: {kind}")
 
 
+# ---------------------------------------------------------------------------
+# partial aggregation + merge (the GroupByMerge pipeline; reference:
+# sql/statements/select/groupby.cc:231-714)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GroupByPartial:
+    """One shard's partial aggregation: group keys + per-entry state
+    columns — the columnar analog of the reference's (sha1 key,
+    serialized accumulator states) rows (groupby.cc:438-472)."""
+
+    key_cols: List[Column]
+    n_groups: int
+    # per select entry: ("first", Column) or
+    # ("agg", emit_expr, [(kind, state_cols...)], agg_calls)
+    entries: List
+
+
+def _exec_group_by_local(node: qn.GroupByNode, table: Relation) -> GroupByPartial:
+    """Partial aggregation of one shard (PartialGroupByExpression)."""
+    from eventql_tpu.exec.operators import _exec_seqscan_relation
+
+    child = _exec_seqscan_relation(node.table, table)
+    n = child.num_rows
+    ctx = EvalContext(child.columns, n)
+
+    key_cols_full = [evaluate_vector(e, ctx) for e in node.group_exprs]
+    keys = _group_key_matrix(key_cols_full, n)
+    gids, firsts = _factorize_rows(keys)
+    n_groups = len(firsts)
+
+    key_cols = [k.gather(firsts) for k in key_cols_full]
+
+    entries = []
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            agg_calls: List[CallExpressionNode] = []
+            emit_expr = _strip_aggregates(sl.expr, agg_calls)
+            states = []
+            for call in agg_calls:
+                kind = call.sfunction.aggregate.kind
+                if kind == "mean":
+                    # decompose into mergeable (sum, count)
+                    s = _segment_aggregate_kind(
+                        "sum", call, ctx, gids, n_groups, SType.FLOAT64
+                    )
+                    c = _segment_aggregate_kind(
+                        "count", call, ctx, gids, n_groups, SType.UINT64
+                    )
+                    states.append(("mean", [s, c]))
+                elif kind == "count_distinct":
+                    arg = evaluate_vector(call.args[0], ctx)
+                    per_group = np.empty(n_groups, dtype=object)
+                    pairs = np.stack(
+                        [gids.astype(np.uint64), arg.data.astype(np.uint64)],
+                        axis=1,
+                    )
+                    uniq = np.unique(pairs, axis=0)
+                    for g in range(n_groups):
+                        per_group[g] = uniq[uniq[:, 0] == g][:, 1]
+                    states.append(("count_distinct", [per_group]))
+                else:
+                    col = _segment_aggregate(call, ctx, gids, n_groups)
+                    states.append((kind, [col]))
+            entries.append(("agg", emit_expr, states, agg_calls))
+        else:
+            full = evaluate_vector(sl.expr, ctx)
+            entries.append(("first", full.gather(firsts)))
+
+    return GroupByPartial(key_cols, n_groups, entries)
+
+
+def _segment_aggregate_kind(kind, call, ctx, gids, n_groups, rtype):
+    """Segment aggregation with an explicit kind/return type override."""
+    if kind == "count":
+        inner = _count_subject(call)
+        if inner is None:
+            data = np.bincount(gids, minlength=n_groups).astype(np.uint64)
+        else:
+            v = evaluate_vector(inner, ctx)
+            data = np.bincount(
+                gids, weights=v.valid.astype(np.float64), minlength=n_groups
+            ).astype(np.uint64)
+        return Column(SType.UINT64, data, np.ones(n_groups, bool))
+    arg = evaluate_vector(call.args[0], ctx)
+    out = np.zeros(n_groups, dtype=dtype_for(rtype))
+    np.add.at(out, gids, arg.data.astype(dtype_for(rtype)))
+    return Column(rtype, out, np.ones(n_groups, bool))
+
+
+def _merge_partials(
+    node: qn.GroupByNode, partials: List["GroupByPartial"]
+) -> Relation:
+    """Merge shard partials with the accumulator algebra of
+    VM::mergeInstance (reference: vm.cc:274-326; merge loop
+    groupby.cc:552-637)."""
+    from eventql_tpu.parallel.partitioned import _concat_columns
+
+    nkeys = len(partials[0].key_cols)
+    total_groups = sum(p.n_groups for p in partials)
+    if total_groups == 0:
+        names = [sl.column_name() for sl in node.select_list]
+        return Relation(
+            names,
+            [
+                Column(
+                    sl.expr.return_type(),
+                    np.zeros(0, dtype=dtype_for(sl.expr.return_type())),
+                    np.zeros(0, bool),
+                    np.zeros(0, object)
+                    if sl.expr.return_type() == SType.STRING
+                    else None,
+                )
+                for sl in node.select_list
+            ],
+            0,
+        )
+
+    merged_keys = [
+        _concat_columns([p.key_cols[i] for p in partials]) for i in range(nkeys)
+    ]
+    keys = _group_key_matrix(merged_keys, total_groups)
+    gids, firsts = _factorize_rows(keys)
+    n_out = len(firsts)
+
+    out_cols: List[Column] = []
+    entry_count = len(partials[0].entries)
+    for e in range(entry_count):
+        kind0 = partials[0].entries[e][0]
+        if kind0 == "first":
+            col = _concat_columns([p.entries[e][1] for p in partials])
+            out_cols.append(col.gather(firsts))
+            continue
+
+        _tag, emit_expr, states0, agg_calls = partials[0].entries[e]
+        merged_agg_cols: List[Column] = []
+        for si, (skind, _cols0) in enumerate(states0):
+            shard_states = [p.entries[e][2][si] for p in partials]
+            if skind == "mean":
+                s = np.concatenate([st[1][0].data for st in shard_states])
+                c = np.concatenate([st[1][1].data for st in shard_states])
+                ms = np.zeros(n_out)
+                mc = np.zeros(n_out)
+                np.add.at(ms, gids, s)
+                np.add.at(mc, gids, c.astype(np.float64))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = ms / mc
+                merged_agg_cols.append(
+                    Column(SType.FLOAT64, out, np.ones(n_out, bool))
+                )
+            elif skind == "count_distinct":
+                per_group = np.empty(n_out, dtype=object)
+                for g in range(n_out):
+                    per_group[g] = np.zeros(0, np.uint64)
+                offset = 0
+                for p, st in zip(partials, shard_states):
+                    for g in range(p.n_groups):
+                        tgt = gids[offset + g]
+                        per_group[tgt] = np.union1d(per_group[tgt], st[1][0][g])
+                    offset += p.n_groups
+                data = np.array(
+                    [len(per_group[g]) for g in range(n_out)], dtype=np.uint64
+                )
+                merged_agg_cols.append(
+                    Column(SType.UINT64, data, np.ones(n_out, bool))
+                )
+            else:
+                vals = np.concatenate([st[1][0].data for st in shard_states])
+                dt = vals.dtype
+                if skind in ("sum", "count"):
+                    out = np.zeros(n_out, dtype=dt)
+                    np.add.at(out, gids, vals)
+                elif skind in ("min", "max"):
+                    if np.issubdtype(dt, np.floating):
+                        init = np.inf if skind == "min" else -np.inf
+                    else:
+                        info = np.iinfo(dt)
+                        init = info.max if skind == "min" else info.min
+                    out = np.full(n_out, init, dtype=dt)
+                    (np.minimum if skind == "min" else np.maximum).at(
+                        out, gids, vals
+                    )
+                else:
+                    raise RuntimeError_(f"unmergeable aggregate: {skind}")
+                stype = (
+                    SType.UINT64
+                    if skind == "count"
+                    else agg_calls[si].sfunction.return_type
+                )
+                merged_agg_cols.append(
+                    Column(stype, out, np.ones(n_out, bool))
+                )
+
+        emit_ctx = EvalContext(merged_agg_cols, n_out)
+        out_cols.append(evaluate_vector(emit_expr, emit_ctx))
+
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, out_cols, n_out)
+
+
 def _exec_group_by(node: qn.GroupByNode, txn) -> Relation:
     import os
+
+    from eventql_tpu.parallel.partitioned import (
+        PartitionedTableProvider,
+        execute_partitioned_group_by,
+    )
+
+    if isinstance(txn.tables, PartitionedTableProvider):
+        result = execute_partitioned_group_by(node, txn.tables, txn)
+        if result is not None:
+            return result
 
     if os.environ.get("EVENTQL_TPU_DEVICE") == "1":
         from eventql_tpu.exec.device_exec import (

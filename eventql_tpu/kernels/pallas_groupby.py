@@ -1,24 +1,30 @@
 """Pallas TPU hash-aggregate kernel.
 
 Re-casts GROUP BY aggregation as MXU matrix multiplication:
-for each row block, build a (B, K) one-hot of the bucket ids in VMEM
+for each row block, build a (K, B) one-hot of the bucket ids in VMEM
 and multiply the value-limb matrix against it. TPU scatter serializes
 (~5 Mrows/s measured) and 64-bit sorts are emulated, so this is the
 speed-of-light shape for bounded-key aggregation — the structural
 replacement for the reference's per-row hash-map loop (reference:
 sql/statements/select/groupby.cc:69-219).
 
-Exactness: uint64 values enter as two uint32 words and are split into
-8-bit limbs inside the kernel, so every f32 MAC and per-flush partial
-stays below 2^24 (exact); the cross-block combine runs in f64 (exact
-< 2^53) and reassembles uint64 with wraparound.
+Exactness without 64-bit in-kernel types:
+* uint64 values enter as two uint32 words, split into 8-bit limbs in
+  the kernel; every bf16 operand (one-hot, limb) is an integer < 256 —
+  exact in bf16's 8-bit significand — and MACs accumulate in f32
+* each VMEM accumulator carries (hi, lo) f32 planes with a periodic
+  carry lo → hi at 2^12, so both planes stay inside f32's exact-integer
+  range (< 2^24) for up to 2^36 accumulated limb mass — one final tiny
+  (2, R, K) output, no large f64 (emulated!) reductions
+* the u64 result reassembles host-side as hi*2^12 + lo per limb
 
 Mosaic notes (this jax version, axon forward-compat mode):
-* no 64-bit types in-kernel, and the i32→f32 / bool→f32 convert rules
-  recurse — all int→float conversion uses the 2^23 magic-number bitcast
-  trick instead
-* the kernel is traced under jax.enable_x64(False) because x64 grid
-  index arithmetic emits i64 converts
+* i32→f32 / bool→f32 convert rules recurse — int→float uses the 2^23
+  magic-number bitcast trick
+* bf16 select off an i1 mask trips a relayout bug — select f32, then
+  truncate to bf16
+* traced under jax.enable_x64(False): x64 grid-index arithmetic emits
+  unsupported i64 converts
 """
 
 from __future__ import annotations
@@ -31,11 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK = 1024
-FLUSH_EVERY = 4  # f32 partials stay exact: 4 * B * 255 < 2^24 for B=1024
+DEFAULT_BLOCK = 4096
+CARRY_EVERY = 4  # carry cadence: CARRY_EVERY * block * 255 must be < 2^24
 
 _MAGIC_I = 0x4B000000  # f32 bit pattern of 2^23
 _MAGIC_F = 8388608.0  # 2^23
+_CARRY_BASE = 4096.0  # lo plane carries into hi at 2^12
+
+R_PAD = 16  # ones-row + 8 limb rows, padded to the f32 sublane tile
 
 
 def _i32_to_f32(v):
@@ -47,13 +56,15 @@ def _i32_to_f32(v):
 
 
 def _agg_kernel(
-    gid_ref, lo_ref, hi_ref, mask_ref, out_ref, acc_ref, *, num_buckets, flush_every, r_pad
+    gid_ref, lo_ref, hi_ref, mask_ref, out_ref, acc_lo, acc_hi, *, num_buckets, carry_every
 ):
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
 
-    @pl.when(i % flush_every == 0)
+    @pl.when(i == 0)
     def _():
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        acc_lo[:, :] = jnp.zeros_like(acc_lo)
+        acc_hi[:, :] = jnp.zeros_like(acc_hi)
 
     gid = gid_ref[0, :, :]  # (1, B) int32 — kept 2D for mosaic
     lo = lo_ref[0, :, :]  # (1, B) int32 (low u32 word)
@@ -69,48 +80,44 @@ def _agg_kernel(
         for j in range(4):
             limb = (word >> (8 * j)) & 0xFF
             rows.append(_i32_to_f32(limb) * mf)
-    while len(rows) < r_pad:
+    while len(rows) < R_PAD:
         rows.append(jnp.zeros((1, B), jnp.float32))
-    limbs = jnp.concatenate(rows, axis=0)  # (r_pad, B)
+    limbs = jnp.concatenate(rows, axis=0)  # (R_PAD, B)
 
-    # one-hot as (K, B) so both matmul operands contract on B with no
-    # in-kernel transposes
+    # one-hot as (K, B): both matmul operands contract on B, no
+    # in-kernel transposes; f32 select then bf16 truncate (see notes)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (num_buckets, B), 0)
-    # select in f32 then truncate to bf16: selecting bf16 directly off
-    # an i1 mask trips a mosaic relayout bug ((8,128) mask vs (16,128)
-    # bf16 tiling)
     onehot = jnp.where(gid == iota_k, jnp.float32(1), jnp.float32(0)).astype(
         jnp.bfloat16
     )
-    # mask is folded into the limb rows, not the one-hot: masked rows
-    # multiply in zeros everywhere. bf16 operands are exact here (both
-    # the one-hot and 8-bit limbs are integers < 256, within bf16's
-    # 8-bit significand) and run the MXU at its native rate; products
-    # accumulate in f32.
 
-    acc_ref[:, :] += jax.lax.dot_general(
+    acc_lo[:, :] += jax.lax.dot_general(
         limbs.astype(jnp.bfloat16),
         onehot,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when((i + 1) % flush_every == 0)
+    @pl.when(((i + 1) % carry_every == 0) | (i == nb - 1))
     def _():
-        out_ref[0, :, :] = acc_ref[:, :]
+        # carry multiples of 2^12 from the lo plane into the hi plane;
+        # floor(a * 2^-12) is exact for integer a < 2^24
+        a = acc_lo[:, :]
+        t = jnp.floor(a * jnp.float32(1.0 / _CARRY_BASE))
+        acc_hi[:, :] += t
+        acc_lo[:, :] = a - t * jnp.float32(_CARRY_BASE)
+
+    @pl.when(i == nb - 1)
+    def _():
+        out_ref[0, :, :] = acc_lo[:, :]
+        out_ref[1, :, :] = acc_hi[:, :]
 
 
-R_PAD = 16  # ones-row + 8 limb rows, padded to the f32 sublane tile
-
-
-def _call_kernel(gid_blocks, lo_blocks, hi_blocks, mask_blocks, num_buckets, nflush, block):
+def _call_kernel(gid_blocks, lo_blocks, hi_blocks, mask_blocks, num_buckets, block):
     nb = gid_blocks.shape[0]
     return pl.pallas_call(
         functools.partial(
-            _agg_kernel,
-            num_buckets=num_buckets,
-            flush_every=FLUSH_EVERY,
-            r_pad=R_PAD,
+            _agg_kernel, num_buckets=num_buckets, carry_every=CARRY_EVERY
         ),
         interpret=jax.default_backend() != "tpu",
         grid=(nb,),
@@ -121,15 +128,16 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, mask_blocks, num_buckets, nfl
             pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, R_PAD, num_buckets),
-            lambda i: (i // FLUSH_EVERY, 0, 0),
-            memory_space=pltpu.VMEM,
+            (2, R_PAD, num_buckets), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nflush, R_PAD, num_buckets), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R_PAD, num_buckets), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((2, R_PAD, num_buckets), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((R_PAD, num_buckets), jnp.float32),
+            pltpu.VMEM((R_PAD, num_buckets), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * block * R_PAD * num_buckets,
-            bytes_accessed=nb * block * 16 + nflush * R_PAD * num_buckets * 4,
+            bytes_accessed=nb * block * 16 + 2 * R_PAD * num_buckets * 4,
             transcendentals=0,
         ),
     )(gid_blocks, lo_blocks, hi_blocks, mask_blocks)
@@ -143,13 +151,14 @@ def pallas_sum_count(
     num_buckets: int,
     block: int = DEFAULT_BLOCK,
 ):
-    """Fused filter + GROUP BY sum(values), count(*) for bounded keys.
+    """Fused filter + GROUP BY sum(values), count(*) for bounded keys
+    (0 <= gid < num_buckets).
 
-    Returns (counts u64[K], sums u64[K]). Exact (see module docstring).
+    Returns (counts u64[K], sums u64[K]). Exact for inputs up to ~2^36
+    rows of limb mass (see module docstring).
     """
     n = gid.shape[0]
-    nflush = -(-n // (block * FLUSH_EVERY))
-    nb = nflush * FLUSH_EVERY
+    nb = -(-n // block)
     pad = nb * block - n
 
     vals = values.astype(jnp.uint64)
@@ -159,19 +168,20 @@ def pallas_sum_count(
     gid_p = jnp.pad(gid.astype(jnp.int32), (0, pad)).reshape(nb, 1, block)
     lo_p = jnp.pad(lo, (0, pad)).reshape(nb, 1, block)
     hi_p = jnp.pad(hi, (0, pad)).reshape(nb, 1, block)
-    mask_p = (
-        jnp.pad(mask, (0, pad)).astype(jnp.int32).reshape(nb, 1, block)
-    )
+    mask_p = jnp.pad(mask, (0, pad)).astype(jnp.int32).reshape(nb, 1, block)
 
     with jax.enable_x64(False):
-        out = _call_kernel(gid_p, lo_p, hi_p, mask_p, num_buckets, nflush, block)
+        out = _call_kernel(gid_p, lo_p, hi_p, mask_p, num_buckets, block)
 
-    acc = out.astype(jnp.float64).sum(axis=0)  # (R_PAD, K), exact
+    # (2, R_PAD, K) → per-limb u64 totals: hi*2^12 + lo (both exact ints)
+    lo_t = out[0].astype(jnp.uint64)
+    hi_t = out[1].astype(jnp.uint64)
+    acc = hi_t * jnp.uint64(4096) + lo_t  # (R_PAD, K)
 
-    counts = acc[0].astype(jnp.uint64)
+    counts = acc[0]
     total = jnp.zeros((num_buckets,), jnp.uint64)
     for i in range(8):
-        total = total + (acc[1 + i].astype(jnp.uint64) << jnp.uint64(8 * i))
+        total = total + (acc[1 + i] << jnp.uint64(8 * i))
     return counts, total
 
 
@@ -196,9 +206,7 @@ def pallas_grouped_aggregate(
                 sum_vals = vals
         if sum_vals is None:
             sum_vals = jnp.zeros_like(gid, dtype=jnp.uint64)
-        counts, sums = pallas_sum_count(
-            mask, gid, sum_vals, num_buckets, block
-        )
+        counts, sums = pallas_sum_count(mask, gid, sum_vals, num_buckets, block)
         outs = []
         for vals, kind in zip(value_arrays, agg_kinds):
             outs.append(counts if kind == "count" else sums)
