@@ -168,8 +168,6 @@ class QueryPlanBuilder:
             return qn.DescribeTableNode(ast.children[0].token.value)
         if ast.ntype == "T_DRAW":
             return qn.ChartNode(ast.token.ttype, list(ast.children), [])
-        if ast.ntype == "T_EXPLAIN_QUERY":
-            return qn.ExplainNode(self.build(ast.children[0], tables))
         if ast.ntype == "T_CREATE_TABLE":
             return self._build_create_table(ast)
         if ast.ntype == "T_DROP_TABLE":
@@ -293,9 +291,25 @@ class QueryPlanBuilder:
                 for extra in draw_nodes[1:]:
                     chart.union_queries.extend(extra.union_queries)
                 out.append(chart)
-            else:
+            elif st.ntype in (
+                "T_SELECT",
+                "T_SHOW_TABLES",
+                "T_DESCRIBE_TABLE",
+                "T_DESCRIBE_PARTITIONS",
+                "T_CLUSTER_SHOW_SERVERS",
+                "T_CREATE_TABLE",
+                "T_CREATE_DATABASE",
+                "T_USE_DATABASE",
+                "T_DROP_TABLE",
+                "T_INSERT_INTO",
+                "T_ALTER_TABLE",
+            ):
                 out.append(self.build(st, tables))
                 i += 1
+            else:
+                # reference: queryplanbuilder.cc:214-216 — EXPLAIN and
+                # anything else outside the allowlist
+                raise RuntimeError_("invalid statement")
         return out
 
     # ------------------------------------------------------------------
