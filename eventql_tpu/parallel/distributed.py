@@ -94,3 +94,37 @@ def shard_table(mesh: Mesh, arrays, axis: str = "shards"):
     """Place host arrays onto the mesh, sharded on the leading axis."""
     sharding = NamedSharding(mesh, P(axis))
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def distributed_pallas_sum_count(
+    mesh: Mesh,
+    mask,
+    gid,
+    values,
+    num_buckets: int,
+    axis: str = "shards",
+):
+    """Multi-chip scan+filter+GROUP BY sum/count: each chip runs the
+    Pallas MXU hash-aggregate on its shard, then the fixed-width
+    accumulator tables merge with one psum over ICI — the collective
+    equivalent of the reference's QUERY_PARTIALAGGR fan-out + merge
+    (reference: groupby.cc:504-637). Hot (Zipf) keys are pre-combined
+    by the per-chip partial aggregation, so the exchange volume is
+    O(num_buckets) regardless of skew.
+    """
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(mask_l, gid_l, vals_l):
+        counts, sums = pallas_sum_count(mask_l, gid_l, vals_l, num_buckets)
+        counts = jax.lax.psum(counts, axis)
+        sums = jax.lax.psum(sums, axis)
+        return counts, sums
+
+    return step(mask, gid, values)
