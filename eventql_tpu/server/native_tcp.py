@@ -1,0 +1,396 @@
+"""Native binary TCP protocol — server and client.
+
+Wire-compatible implementation of the reference's framed TCP protocol
+(reference: doc/internals/binary_protocol.txt, opcodes
+src/eventql/eventql.h:71-100, frame payload layouts
+transport/native/frames/*.cc):
+
+  frame   = {opcode u16 BE}{flags u16 BE}{length u32 BE}{payload}
+  varint  = LEB128; lenencstr = varint length + bytes
+
+  HELLO        varint protover=1, lenencstr version, varint flags,
+               varint idle_timeout, varint authdata_len + blob,
+               [lenencstr database if flags & SWITCHDB]
+  READY        varint 0, varint idle_timeout
+  ERROR        lenencstr message
+  QUERY        lenencstr query, varint flags, varint maxrows,
+               [lenencstr database if flags & SWITCHDB]
+  QUERY_RESULT varint flags, varint ncols, varint nrows, 4x varint
+               stats, ncols lenencstr names, rows as lenencstr cells
+  INSERT       varint flags, lenencstr database, lenencstr table,
+               varint encoding (1=JSON), varint count, records
+
+The handshake and request loop mirror transport/native/server.cc
+(HELLO→READY, then one request at a time, QUERY_NEXT advancing
+multi-statement queries).
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+from typing import List, Optional, Tuple
+
+from eventql_tpu.core.errors import SQLError
+
+# opcodes (reference: eventql.h:71-100)
+OP_HELLO = 0x5E00
+OP_PING = 0x0001
+OP_HEARTBEAT = 0x0002
+OP_ERROR = 0x0003
+OP_READY = 0x0004
+OP_BYE = 0x0005
+OP_QUERY = 0x0006
+OP_QUERY_RESULT = 0x0007
+OP_QUERY_CONTINUE = 0x0008
+OP_QUERY_DISCARD = 0x0009
+OP_QUERY_PROGRESS = 0x000A
+OP_QUERY_NEXT = 0x000B
+OP_ACK = 0x000F
+OP_INSERT = 0x0010
+
+F_ENDOFREQUEST = 0x1
+
+HELLO_SWITCHDB = 0x2
+QUERY_SWITCHDB = 0x1
+QR_COMPLETE = 0x1
+QR_HASSTATS = 0x2
+QR_HASCOLNAMES = 0x4
+QR_PENDINGSTMT = 0x8
+
+INSERT_CTYPE_JSON = 0x01
+
+
+# -- varint / lenencstr codecs ---------------------------------------------
+
+
+def write_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, pos
+
+
+def write_lenencstr(s: bytes) -> bytes:
+    return write_varint(len(s)) + s
+
+
+def read_lenencstr(buf: bytes, pos: int) -> Tuple[bytes, int]:
+    n, pos = read_varint(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+def _send_frame(sock, opcode: int, flags: int, payload: bytes):
+    sock.sendall(struct.pack(">HHI", opcode, flags, len(payload)) + payload)
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("connection closed")
+        buf += chunk
+    return buf
+
+
+def _recv_frame(sock) -> Tuple[int, int, bytes]:
+    header = _recv_exact(sock, 8)
+    opcode, flags, length = struct.unpack(">HHI", header)
+    payload = _recv_exact(sock, length) if length else b""
+    return opcode, flags, payload
+
+
+# -- server -----------------------------------------------------------------
+
+
+class NativeTCPServer:
+    """The native protocol listener (reference:
+    transport/native/server.cc; thread per connection like
+    db/database.cc:555-573)."""
+
+    def __init__(self, table_service, host="127.0.0.1", port=9176):
+        from eventql_tpu.exec.runtime import Runtime
+
+        self.table_service = table_service
+        self.runtime = Runtime()
+        self.host = host
+        self.port = port
+        self._server: Optional[socketserver.ThreadingTCPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    outer._handle_connection(self.request)
+                except (ConnectionError, OSError):
+                    pass
+
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
+        self._server = socketserver.ThreadingTCPServer(
+            (self.host, self.port), Handler
+        )
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+
+    # -- connection loop ------------------------------------------------
+    def _handle_connection(self, sock):
+        # handshake: expect HELLO, answer READY
+        opcode, flags, payload = _recv_frame(sock)
+        if opcode != OP_HELLO:
+            _send_frame(
+                sock, OP_ERROR, F_ENDOFREQUEST, write_lenencstr(b"expected HELLO")
+            )
+            return
+        pos = 0
+        ver, pos = read_varint(payload, pos)
+        if ver != 1:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(b"invalid protocol version"),
+            )
+            return
+        _version, pos = read_lenencstr(payload, pos)
+        _hflags, pos = read_varint(payload, pos)
+        idle_timeout, pos = read_varint(payload, pos)
+        _send_frame(
+            sock, OP_READY, 0, write_varint(0) + write_varint(idle_timeout)
+        )
+
+        while True:
+            opcode, flags, payload = _recv_frame(sock)
+            if opcode == OP_BYE:
+                return
+            if opcode == OP_PING:
+                _send_frame(sock, OP_PING, 0, b"")
+                continue
+            if opcode == OP_QUERY:
+                self._handle_query(sock, payload)
+            elif opcode == OP_INSERT:
+                self._handle_insert(sock, payload)
+            else:
+                _send_frame(
+                    sock,
+                    OP_ERROR,
+                    F_ENDOFREQUEST,
+                    write_lenencstr(b"invalid opcode"),
+                )
+
+    def _handle_query(self, sock, payload):
+        pos = 0
+        query, pos = read_lenencstr(payload, pos)
+        _qflags, pos = read_varint(payload, pos)
+        _maxrows, pos = read_varint(payload, pos)
+
+        try:
+            txn = self.runtime.new_transaction(self.table_service)
+            plan = self.runtime.build_query_plan(txn, query.decode("utf-8"))
+            results = [plan.execute(i) for i in range(plan.num_queries)]
+        except SQLError as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(e.message.encode("utf-8")),
+            )
+            return
+
+        num = len(results)
+        for i, result in enumerate(results):
+            pending = i + 1 < num
+            self._send_result(sock, result, pending)
+            if pending:
+                # wait for QUERY_NEXT (reference: ops/query.cc:196-230)
+                opcode, _f, _p = _recv_frame(sock)
+                if opcode == OP_QUERY_DISCARD:
+                    return
+                if opcode != OP_QUERY_NEXT:
+                    _send_frame(
+                        sock,
+                        OP_ERROR,
+                        F_ENDOFREQUEST,
+                        write_lenencstr(b"unexpected opcode"),
+                    )
+                    return
+
+    def _send_result(self, sock, result, pending: bool):
+        # reference: QueryResultFrame::writeTo (frames/query_result.cc)
+        qflags = QR_HASCOLNAMES | QR_HASSTATS
+        if not pending:
+            qflags |= QR_COMPLETE
+        if pending:
+            qflags |= QR_PENDINGSTMT
+        body = bytearray()
+        body += write_varint(qflags)
+        body += write_varint(result.num_columns)
+        body += write_varint(result.num_rows)
+        for _ in range(4):  # stats: rows_modified/scanned, bytes, runtime
+            body += write_varint(0)
+        for c in result.columns:
+            body += write_lenencstr(c.encode("utf-8"))
+        for row in result.rows:
+            for cell in row:
+                body += write_lenencstr(cell.encode("utf-8"))
+        _send_frame(
+            sock,
+            OP_QUERY_RESULT,
+            F_ENDOFREQUEST if not pending else 0,
+            bytes(body),
+        )
+
+    def _handle_insert(self, sock, payload):
+        # reference: InsertFrame::parseFrom (frames/insert.cc:72-89)
+        pos = 0
+        iflags, pos = read_varint(payload, pos)
+        _database, pos = read_lenencstr(payload, pos)
+        table, pos = read_lenencstr(payload, pos)
+        encoding, pos = read_varint(payload, pos)
+        if iflags & 0x01:
+            _encinfo, pos = read_lenencstr(payload, pos)
+        count, pos = read_varint(payload, pos)
+        try:
+            if encoding != INSERT_CTYPE_JSON:
+                raise SQLError("unsupported record encoding")
+            for _ in range(count):
+                rec, pos = read_lenencstr(payload, pos)
+                self.table_service.insert_json(
+                    table.decode("utf-8"), rec.decode("utf-8")
+                )
+        except SQLError as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(e.message.encode("utf-8")),
+            )
+            return
+        _send_frame(sock, OP_ACK, F_ENDOFREQUEST, b"")
+
+
+# -- client -----------------------------------------------------------------
+
+
+class NativeTCPClient:
+    """Blocking client (reference: transport/native/client_tcp.h:39
+    TCPClient + the C client library's flow, client.c)."""
+
+    def __init__(self, host: str, port: int, database: str = ""):
+        self.sock = socket.create_connection((host, port))
+        payload = (
+            write_varint(1)
+            + write_lenencstr(b"eventql_tpu v0.1")
+            + write_varint(0)
+            + write_varint(0)
+            + write_varint(0)
+        )
+        _send_frame(self.sock, OP_HELLO, 0, payload)
+        opcode, _f, body = _recv_frame(self.sock)
+        if opcode == OP_ERROR:
+            msg, _ = read_lenencstr(body, 0)
+            raise SQLError(msg.decode())
+        if opcode != OP_READY:
+            raise SQLError(f"unexpected opcode in handshake: {opcode:#x}")
+
+    def query(self, query: str):
+        payload = (
+            write_lenencstr(query.encode("utf-8"))
+            + write_varint(0)
+            + write_varint(0)
+        )
+        _send_frame(self.sock, OP_QUERY, 0, payload)
+        results = []
+        while True:
+            opcode, flags, body = _recv_frame(self.sock)
+            if opcode == OP_ERROR:
+                msg, _ = read_lenencstr(body, 0)
+                raise SQLError(msg.decode())
+            if opcode in (OP_HEARTBEAT, OP_QUERY_PROGRESS):
+                continue
+            if opcode != OP_QUERY_RESULT:
+                raise SQLError(f"unexpected opcode: {opcode:#x}")
+            qflags, pos = read_varint(body, 0)
+            ncols, pos = read_varint(body, pos)
+            nrows, pos = read_varint(body, pos)
+            if qflags & QR_HASSTATS:
+                for _ in range(4):
+                    _v, pos = read_varint(body, pos)
+            columns = []
+            if qflags & QR_HASCOLNAMES:
+                for _ in range(ncols):
+                    c, pos = read_lenencstr(body, pos)
+                    columns.append(c.decode("utf-8"))
+            rows = []
+            for _ in range(nrows):
+                row = []
+                for _ in range(ncols):
+                    cell, pos = read_lenencstr(body, pos)
+                    row.append(cell.decode("utf-8"))
+                rows.append(row)
+            results.append((columns, rows))
+            if qflags & QR_PENDINGSTMT:
+                _send_frame(self.sock, OP_QUERY_NEXT, 0, b"")
+                continue
+            if qflags & QR_COMPLETE or flags & F_ENDOFREQUEST:
+                return results
+
+    def insert_json(self, table: str, records):
+        body = bytearray()
+        body += write_varint(0)
+        body += write_lenencstr(b"")
+        body += write_lenencstr(table.encode("utf-8"))
+        body += write_varint(INSERT_CTYPE_JSON)
+        body += write_varint(len(records))
+        for r in records:
+            body += write_lenencstr(r.encode("utf-8"))
+        _send_frame(self.sock, OP_INSERT, 0, bytes(body))
+        opcode, _f, payload = _recv_frame(self.sock)
+        if opcode == OP_ERROR:
+            msg, _ = read_lenencstr(payload, 0)
+            raise SQLError(msg.decode())
+        if opcode != OP_ACK:
+            raise SQLError(f"unexpected opcode: {opcode:#x}")
+
+    def ping(self):
+        _send_frame(self.sock, OP_PING, 0, b"")
+        opcode, _f, _p = _recv_frame(self.sock)
+        return opcode == OP_PING
+
+    def close(self):
+        try:
+            _send_frame(self.sock, OP_BYE, 0, b"")
+        except OSError:
+            pass
+        self.sock.close()

@@ -1,0 +1,54 @@
+"""Native binary protocol tests (reference wire format:
+doc/internals/binary_protocol.txt + transport/native/frames)."""
+
+import pytest
+
+from eventql_tpu.core.errors import SQLError
+from eventql_tpu.db.table_service import TableService
+from eventql_tpu.server.native_tcp import NativeTCPClient, NativeTCPServer
+
+
+@pytest.fixture
+def server():
+    s = NativeTCPServer(TableService(), port=0).start()
+    yield s
+    s.stop()
+
+
+def test_handshake_and_ping(server):
+    c = NativeTCPClient("127.0.0.1", server.port)
+    assert c.ping()
+    c.close()
+
+
+def test_query_roundtrip(server):
+    c = NativeTCPClient("127.0.0.1", server.port)
+    results = c.query("select 1 + 1 as two;")
+    assert results == [(["two"], [["2"]])]
+    c.close()
+
+
+def test_multi_statement_query(server):
+    c = NativeTCPClient("127.0.0.1", server.port)
+    results = c.query("select 1 as a; select 2 as b;")
+    assert results == [(["a"], [["1"]]), (["b"], [["2"]])]
+    c.close()
+
+
+def test_query_error(server):
+    c = NativeTCPClient("127.0.0.1", server.port)
+    with pytest.raises(SQLError) as e:
+        c.query("select ;")
+    assert "unexpected token T_SEMICOLON" in str(e.value)
+    c.close()
+
+
+def test_insert_and_query(server):
+    c = NativeTCPClient("127.0.0.1", server.port)
+    c.query(
+        "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    )
+    c.insert_json("ev", ['{"t": 1, "v": 10}', '{"t": 2, "v": 32}'])
+    results = c.query("select sum(v) from ev;")
+    assert results[0][1] == [["42"]]
+    c.close()
