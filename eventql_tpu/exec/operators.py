@@ -51,6 +51,10 @@ def execute_node(node: qn.QueryTreeNode, txn) -> Relation:
         return _exec_show_tables(node, txn)
     if isinstance(node, qn.DescribeTableNode):
         return _exec_describe_table(node, txn)
+    if isinstance(node, qn.DescribePartitionsNode):
+        return _exec_describe_partitions(node, txn)
+    if isinstance(node, qn.ClusterShowServersNode):
+        return _exec_cluster_show_servers(node, txn)
     if isinstance(node, qn.ChartNode):
         return _exec_chart(node, txn)
     if isinstance(node, qn.DDLNode):
@@ -914,6 +918,29 @@ def _exec_describe_table(node, txn) -> Relation:
         ],
         len(cols),
     )
+
+
+def _exec_describe_partitions(node, txn) -> Relation:
+    # single-process runtime: one partition per table shard (or one for
+    # unpartitioned tables); reference: statements/describe_partitions.cc
+    info = txn.tables.describe(node.table_name)
+    if info is None:
+        raise RuntimeError_(f"table not found: '{node.table_name}'")
+    shards_fn = getattr(txn.tables, "shards", None)
+    n = len(shards_fn(node.table_name)) if shards_fn else 1
+    rows = [
+        [f"{node.table_name}.{i}".encode(), b"localhost", b"", b"", b""]
+        for i in range(n)
+    ]
+    cols = [Column.from_strings([r[i] for r in rows]) for i in range(5)]
+    return Relation(list(qn.DescribePartitionsNode.COLUMNS), cols, len(rows))
+
+
+def _exec_cluster_show_servers(node, txn) -> Relation:
+    # standalone runtime: a single local server row
+    row = [b"localhost", b"SERVER_UP", b"localhost", b"eventql_tpu", b"0", b"0", b"0", b"0"]
+    cols = [Column.from_strings([row[i]]) for i in range(8)]
+    return Relation(list(qn.ClusterShowServersNode.COLUMNS), cols, 1)
 
 
 def _exec_chart(node, txn) -> Relation:

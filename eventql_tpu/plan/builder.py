@@ -166,6 +166,10 @@ class QueryPlanBuilder:
             return qn.ShowTablesNode()
         if ast.ntype == "T_DESCRIBE_TABLE":
             return qn.DescribeTableNode(ast.children[0].token.value)
+        if ast.ntype == "T_DESCRIBE_PARTITIONS":
+            return qn.DescribePartitionsNode(ast.children[0].token.value)
+        if ast.ntype == "T_CLUSTER_SHOW_SERVERS":
+            return qn.ClusterShowServersNode()
         if ast.ntype == "T_DRAW":
             return qn.ChartNode(ast.token.ttype, list(ast.children), [])
         if ast.ntype == "T_CREATE_TABLE":

@@ -478,6 +478,68 @@ class DescribeTableNode(TableExpressionNode):
         return [QualifiedColumn(n, n, SType.STRING) for n in self.get_result_columns()]
 
 
+class DescribePartitionsNode(TableExpressionNode):
+    """DESCRIBE PARTITIONS <table>
+    (reference: sql/statements/describe_partitions.cc:30-36)."""
+
+    COLUMNS = [
+        "partition_id",
+        "servers",
+        "keyrange_begin",
+        "keyrange_end",
+        "extra info",
+    ]
+
+    def __init__(self, table_name: str):
+        self.table_name = table_name
+
+    def get_result_columns(self):
+        return list(self.COLUMNS)
+
+    def get_computed_column_index(self, name, allow_add=False):
+        try:
+            return self.COLUMNS.index(name)
+        except ValueError:
+            return NOT_FOUND
+
+    def get_column_type(self, idx):
+        return SType.STRING
+
+    def get_available_columns(self):
+        return [QualifiedColumn(n, n, SType.STRING) for n in self.COLUMNS]
+
+
+class ClusterShowServersNode(TableExpressionNode):
+    """CLUSTER SHOW SERVERS
+    (reference: sql/statements/cluster_show_servers.cc:30-39)."""
+
+    COLUMNS = [
+        "name",
+        "status",
+        "listenaddr",
+        "buildinfo",
+        "load",
+        "disk_used",
+        "disk_free",
+        "partitions",
+    ]
+
+    def get_result_columns(self):
+        return list(self.COLUMNS)
+
+    def get_computed_column_index(self, name, allow_add=False):
+        try:
+            return self.COLUMNS.index(name)
+        except ValueError:
+            return NOT_FOUND
+
+    def get_column_type(self, idx):
+        return SType.STRING
+
+    def get_available_columns(self):
+        return [QualifiedColumn(n, n, SType.STRING) for n in self.COLUMNS]
+
+
 class ChartNode(TableExpressionNode):
     """DRAW <charttype> ...; SELECT ...; — renders queries to SVG
     (reference: sql/extensions/chartsql/chart_expression.h)."""
