@@ -21,6 +21,7 @@ class CSTableScanProvider(TableProvider):
         from eventql_tpu.columnar.cstable import CSTableReader
 
         self.table_name = table_name
+        self.path = path
         self.reader = CSTableReader(path)
         self._relation: Optional[Relation] = None
 
@@ -42,6 +43,13 @@ class CSTableScanProvider(TableProvider):
 
     def get_reader(self, table_name: str):
         return self.reader if table_name == self.table_name else None
+
+    def table_cache_key(self, table_name: str):
+        from eventql_tpu.exec.query_cache import QueryCache
+
+        if table_name != self.table_name:
+            return None
+        return QueryCache.file_cache_key(self.path)
 
 
 class CSVTableProvider(TableProvider):
@@ -99,4 +107,11 @@ class CompositeTableProvider(TableProvider):
         for p in self.providers:
             if p.describe(table_name) is not None:
                 return getattr(p, "get_reader", lambda n: None)(table_name)
+        return None
+
+    def table_cache_key(self, table_name: str):
+        for p in self.providers:
+            if p.describe(table_name) is not None:
+                fn = getattr(p, "table_cache_key", None)
+                return fn(table_name) if fn else None
         return None

@@ -557,7 +557,53 @@ def _merge_partials(
     return Relation(names, out_cols, n_out)
 
 
+def _group_by_fingerprint(node: qn.GroupByNode) -> str:
+    """Content fingerprint of a GroupBy plan (reference: the query cache
+    keys partial aggregates by scan cache key + expression fingerprint,
+    groupby.cc:255-295)."""
+    from eventql_tpu.exec.query_cache import QueryCache
+
+    parts = []
+    scan = node.table
+    if isinstance(scan, qn.SequentialScanNode):
+        parts.append(scan.table_name)
+        parts.extend(sl.expr.to_sql() for sl in scan.select_list)
+        parts.append(scan.where_expr.to_sql() if scan.where_expr else "")
+    parts.extend(e.to_sql() for e in node.group_exprs)
+    parts.extend(sl.expr.to_sql() for sl in node.select_list)
+    return QueryCache.fingerprint(*parts)
+
+
 def _exec_group_by(node: qn.GroupByNode, txn) -> Relation:
+    import os
+
+    # on-disk query cache: only for scans over immutable table files
+    cache = getattr(txn, "query_cache", None)
+    cache_key = None
+    if cache is not None and isinstance(node.table, qn.SequentialScanNode):
+        key_fn = getattr(txn.tables, "table_cache_key", None)
+        file_key = key_fn(node.table.table_name) if key_fn else None
+        if file_key is not None:
+            cache_key = QueryCache_fingerprint_combine(
+                file_key, _group_by_fingerprint(node)
+            )
+            cached = cache.get(cache_key)
+            if cached is not None:
+                return cached
+
+    result = _exec_group_by_impl(node, txn)
+    if cache_key is not None:
+        cache.store(cache_key, result)
+    return result
+
+
+def QueryCache_fingerprint_combine(file_key: str, plan_fp: str) -> str:
+    from eventql_tpu.exec.query_cache import QueryCache
+
+    return QueryCache.fingerprint(file_key, plan_fp)
+
+
+def _exec_group_by_impl(node: qn.GroupByNode, txn) -> Relation:
     import os
 
     from eventql_tpu.parallel.partitioned import (

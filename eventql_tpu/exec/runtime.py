@@ -56,8 +56,9 @@ class RelationTableProvider(TableProvider):
 
 
 class Transaction:
-    def __init__(self, tables: TableProvider):
+    def __init__(self, tables: TableProvider, query_cache=None):
         self.tables = tables
+        self.query_cache = query_cache
 
     def get_table_data(self, table_name: str) -> Relation:
         return self.tables.get_table_data(table_name)
@@ -86,8 +87,10 @@ class Runtime:
     def __init__(self, registry=DEFAULT_REGISTRY):
         self.registry = registry
 
-    def new_transaction(self, tables: Optional[TableProvider] = None) -> Transaction:
-        return Transaction(tables or RelationTableProvider())
+    def new_transaction(
+        self, tables: Optional[TableProvider] = None, query_cache=None
+    ) -> Transaction:
+        return Transaction(tables or RelationTableProvider(), query_cache)
 
     def build_query_plan(self, txn: Transaction, query: str) -> QueryPlan:
         parser = Parser()
