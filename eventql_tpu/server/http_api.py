@@ -110,6 +110,8 @@ class EventQLServer:
                 return self._handle_drop(h, payload)
             if path == "/api/v1/tables/describe":
                 return self._handle_describe(h, params, payload)
+            if path == "/api/v1/mapreduce/execute":
+                return self._handle_mapreduce(h, payload)
             if path == "/api/v1/auth/info":
                 return self._json(h, 200, {"valid": True, "namespaces": []})
             if path == "/eventql/stats":
@@ -185,6 +187,24 @@ class EventQLServer:
         for line in data.split("\n"):
             h.wfile.write(b"data: " + line.encode() + b"\n")
         h.wfile.write(b"\n")
+
+    def _handle_mapreduce(self, h, payload):
+        # reference: transport/http/mapreduce_servlet.cc — job submit,
+        # results streamed back (SSE there; JSON here + SSE via format)
+        from eventql_tpu.mapreduce.service import MapReduceService
+
+        mr = MapReduceService(self.table_service)
+        outputs = mr.execute(payload)
+        self._json(
+            h,
+            200,
+            {
+                "results": [
+                    [{"key": k, "value": v} for k, v in out]
+                    for out in outputs
+                ]
+            },
+        )
 
     def _handle_insert(self, h, payload):
         if not isinstance(payload, list):
