@@ -96,6 +96,44 @@ def shard_table(mesh: Mesh, arrays, axis: str = "shards"):
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
+def distributed_topk(
+    mesh: Mesh,
+    sort_key,
+    payload_index,
+    k: int,
+    axis: str = "shards",
+):
+    """Distributed ORDER BY ... LIMIT k: per-shard top-k (lax.top_k on
+    the pre-transformed key), all-gather of the k·P candidates over
+    ICI, and a replicated re-top-k — exact, and the exchange volume is
+    O(k·P) regardless of table size. This replaces the reference's
+    fully-materialized coordinator sort (reference: sql/statements/
+    select/orderby.cc:58-168 + streamed remote cursors).
+
+    sort_key: uint64 keys (larger = earlier in output), sharded.
+    payload_index: int64 global row ids, sharded.
+    Returns (keys[k], row_ids[k]) replicated.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(key_l, idx_l):
+        kk = min(k, key_l.shape[0])
+        top_vals, top_pos = jax.lax.top_k(key_l, kk)
+        top_idx = idx_l[top_pos]
+        all_vals = jax.lax.all_gather(top_vals, axis, tiled=True)
+        all_idx = jax.lax.all_gather(top_idx, axis, tiled=True)
+        f_vals, f_pos = jax.lax.top_k(all_vals, k)
+        return f_vals, all_idx[f_pos]
+
+    return step(sort_key, payload_index)
+
+
 def distributed_pallas_sum_count(
     mesh: Mesh,
     mask,

@@ -108,3 +108,26 @@ def test_distributed_grouped_aggregate():
             s, c = expected.get(int(k), (0, 0))
             expected[int(k)] = (s + int(v), c + 1)
     assert got == expected
+
+
+def test_distributed_topk():
+    from eventql_tpu.kernels.groupby import sortable_u64
+    from eventql_tpu.parallel.distributed import (
+        distributed_topk,
+        make_mesh,
+        shard_table,
+    )
+
+    mesh = make_mesh(8)
+    n = 8 * 256
+    rng = np.random.default_rng(9)
+    vals = rng.standard_normal(n)
+    keys = np.asarray(sortable_u64(jnp.asarray(vals)))  # ORDER BY vals DESC
+    idx = np.arange(n, dtype=np.int64)
+
+    keys_d, idx_d = shard_table(mesh, [keys, idx])
+    top_keys, top_idx = distributed_topk(mesh, keys_d, idx_d, 10)
+    top_idx = np.asarray(top_idx)
+
+    expected = np.argsort(-vals)[:10]
+    assert (top_idx == expected).all()
