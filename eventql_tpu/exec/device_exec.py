@@ -104,6 +104,202 @@ def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
     return out
 
 
+def try_execute_pallas_string_groupby(
+    node: qn.GroupByNode, txn
+) -> Optional[Relation]:
+    """Fast route for the canonical analytics shape:
+
+        SELECT key, agg(...), ... FROM t [WHERE ...] GROUP BY key
+
+    where `key` is a dictionary-encoded STRING column — the dictionary
+    bounds the bucket count statically, so the whole query runs as the
+    Pallas MXU one-hot aggregation (kernels/pallas_groupby). Returns
+    None when the shape doesn't match (caller falls through to the
+    general device path / host engine)."""
+    import jax.numpy as jnp
+
+    from eventql_tpu.exec.operators import _count_subject, _strip_aggregates
+    from eventql_tpu.kernels.pallas_groupby import pallas_grouped_aggregate
+
+    scan = node.table
+    if not isinstance(scan, qn.SequentialScanNode):
+        return None
+    if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
+        return None
+    if len(node.group_exprs) != 1:
+        return None
+
+    # group key must resolve to a plain STRING input column
+    g = node.group_exprs[0]
+    if not isinstance(g, ColumnReferenceNode) or g.column_index is None:
+        return None
+    key_sl = scan.select_list[g.column_index]
+    if not isinstance(key_sl.expr, ColumnReferenceNode):
+        return None
+    if key_sl.expr.return_type() != SType.STRING:
+        return None
+    key_input_idx = key_sl.expr.column_index
+
+    if scan.where_expr is not None and not jax_expr.expr_is_device_compatible(
+        scan.where_expr
+    ):
+        return None
+
+    # select entries: key passthrough or sum/count aggregates over
+    # device-compatible numeric args
+    entries = []
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            aggs: List[CallExpressionNode] = []
+            emit = _strip_aggregates(sl.expr, aggs)
+            for a in aggs:
+                kind = a.sfunction.aggregate.kind
+                if kind not in ("sum", "count"):
+                    return None
+                if kind == "sum":
+                    arg = a.args[0]
+                    if not jax_expr.expr_is_device_compatible(arg):
+                        return None
+                    # u64 limb aggregation is exact for uint64 and (via
+                    # two's-complement wraparound) int64; floats are not
+                    if a.sfunction.return_type not in (
+                        SType.UINT64,
+                        SType.INT64,
+                        SType.TIMESTAMP64,
+                    ):
+                        return None
+                if kind == "count" and _count_subject(a) is not None:
+                    subj = _count_subject(a)
+                    if not jax_expr.expr_is_device_compatible(subj):
+                        return None
+            if not jax_expr.expr_is_device_compatible(emit):
+                return None
+            entries.append(("agg", emit, aggs))
+        else:
+            e = sl.expr
+            if (
+                isinstance(e, ColumnReferenceNode)
+                and e.column_index == g.column_index
+            ):
+                entries.append(("key", None, None))
+            else:
+                return None
+
+    table = txn.get_table_data(scan.table_name)
+    n = table.num_rows
+    if n == 0:
+        return None
+    name_to_col = dict(zip(table.names, table.columns))
+    key_col = name_to_col[scan.input_columns[key_input_idx][0]]
+    K = len(key_col.dictionary)
+    if K == 0 or K > 65536:
+        return None
+
+    in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
+
+    # scan output columns on device (numeric only needed for agg args)
+    scan_cols = []
+    for sl in scan.select_list:
+        if sl.expr.return_type() == SType.STRING:
+            by_ref = (
+                isinstance(sl.expr, ColumnReferenceNode)
+                and sl.expr.column_index is not None
+            )
+            scan_cols.append(
+                jax_expr.compile_expr(sl.expr, in_cols, n) if by_ref else None
+            )
+        else:
+            scan_cols.append(jax_expr.compile_expr(sl.expr, in_cols, n))
+
+    if scan.where_expr is not None:
+        mask = jax_expr.compile_expr(scan.where_expr, in_cols, n).data
+    else:
+        mask = jnp.ones((n,), jnp.bool_)
+
+    gid = scan_cols[g.column_index].data.astype(jnp.int32)
+
+    # per aggregate: its value array + kind
+    vals, kinds, layout = [], [], []
+    entries_aggs_rtypes = {}
+    for tag, emit, aggs in entries:
+        if tag != "agg":
+            layout.append(("key", None, None))
+            continue
+        idxs = []
+        for a in aggs:
+            kind = a.sfunction.aggregate.kind
+            if kind == "count":
+                subj = _count_subject(a)
+                if subj is None:
+                    vals.append(jnp.zeros((n,), jnp.uint64))
+                    kinds.append("count")
+                else:
+                    sc = jax_expr.compile_expr(subj, scan_cols, n)
+                    vals.append(sc.valid.astype(jnp.uint64))
+                    kinds.append("sum")
+            else:
+                c = jax_expr.compile_expr(a.args[0], scan_cols, n)
+                vals.append(c.data.astype(jnp.uint64))
+                kinds.append("sum")
+            idxs.append(len(vals) - 1)
+            entries_aggs_rtypes[(id(emit), len(idxs) - 1)] = (
+                a.sfunction.return_type
+            )
+        layout.append(("agg", emit, idxs))
+
+    if not vals:
+        vals = [jnp.zeros((n,), jnp.uint64)]
+        kinds = ["count"]
+
+    # the pallas wrapper handles one sum; multiple distinct sums take
+    # the XLA one-hot kernel path (same contract)
+    distinct_sums = sum(1 for k in kinds if k == "sum")
+    if distinct_sums <= 1:
+        counts, outs = pallas_grouped_aggregate(
+            mask, gid, tuple(vals), tuple(kinds), K
+        )
+    else:
+        from eventql_tpu.kernels.onehot_agg import onehot_grouped_aggregate
+
+        counts, outs = onehot_grouped_aggregate(
+            mask, gid, tuple(vals), tuple(kinds), K
+        )
+
+    counts_h = np.asarray(counts)
+    outs_h = [np.asarray(o) for o in outs]
+    occupied = np.nonzero(counts_h > 0)[0]
+    ng = len(occupied)
+
+    from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
+
+    out_cols = []
+    for tag, emit, idxs in layout:
+        if tag == "key":
+            out_cols.append(
+                Column(
+                    SType.STRING,
+                    occupied.astype(np.int32),
+                    np.ones(ng, bool),
+                    key_col.dictionary,
+                )
+            )
+        else:
+            agg_cols = []
+            for slot, i in enumerate(idxs):
+                rtype = entries_aggs_rtypes[(id(emit), slot)]
+                data = outs_h[i][occupied].astype(np.uint64)
+                if rtype == SType.INT64:
+                    data = data.view(np.int64)
+                agg_cols.append(
+                    Column(rtype, data, np.ones(ng, bool))
+                )
+            ctx = EvalContext(agg_cols, ng)
+            out_cols.append(evaluate_vector(emit, ctx))
+
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, out_cols, ng)
+
+
 def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
     """Compile + run Scan→Filter→GroupBy as one device program."""
     import jax

@@ -78,3 +78,64 @@ def test_device_path_is_taken():
     stmts = Parser().parse("select k, sum(v) from t group by k;")
     node = QueryPlanBuilder().build(stmts[0], txn.tables)
     assert device_plan_eligible(node)
+
+
+def _make_string_table(n=5000, seed=11):
+    rng = np.random.default_rng(seed)
+    cities = [f"city{int(k):02d}".encode() for k in rng.integers(0, 19, n)]
+    vals = rng.integers(0, 1000, n).astype(np.uint64)
+    valid = rng.random(n) < 0.9
+    rel = Relation(
+        ["city", "v"],
+        [
+            Column.from_strings(cities),
+            Column(
+                SType.UINT64, np.where(valid, vals, 0).astype(np.uint64), valid
+            ),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("t", rel)
+    return p
+
+
+STRING_KEY_QUERIES = [
+    "select city, count(1), sum(v) from t group by city order by city;",
+    "select city, count(v) from t where v < 500 group by city order by city;",
+    "select city, sum(v) + count(1) from t group by city order by city;",
+]
+
+
+@pytest.mark.parametrize("query", STRING_KEY_QUERIES)
+def test_string_key_pallas_route_matches_host(query):
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    try:
+        os.environ["EVENTQL_TPU_DEVICE"] = "0"
+        rt = Runtime()
+        host = rt.build_query_plan(
+            rt.new_transaction(_make_string_table()), query
+        ).execute(0)
+        os.environ["EVENTQL_TPU_DEVICE"] = "1"
+        dev = rt.build_query_plan(
+            rt.new_transaction(_make_string_table()), query
+        ).execute(0)
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+    assert dev.columns == host.columns
+    assert dev.rows == host.rows
+
+
+def test_string_key_pallas_route_is_taken():
+    from eventql_tpu.exec.device_exec import try_execute_pallas_string_groupby
+    from eventql_tpu.plan.builder import QueryPlanBuilder
+    from eventql_tpu.sql.parser import Parser
+
+    rt = Runtime()
+    txn = rt.new_transaction(_make_string_table(200))
+    stmts = Parser().parse("select city, sum(v) from t group by city;")
+    node = QueryPlanBuilder().build(stmts[0], txn.tables)
+    assert try_execute_pallas_string_groupby(node, txn) is not None
