@@ -22,7 +22,17 @@ def main(argv=None):
     host, _, port = args.listen_http.partition(":")
     from eventql_tpu.server.http_api import EventQLServer
 
-    server = EventQLServer(host=host or "127.0.0.1", port=int(port or 9175))
+    table_service = None
+    if args.datadir:
+        from eventql_tpu.db.lsm import DurableTableService
+
+        table_service = DurableTableService(args.datadir)
+
+    server = EventQLServer(
+        table_service=table_service,
+        host=host or "127.0.0.1",
+        port=int(port or 9175),
+    )
     server.start()
     print(f"eventql_tpu server listening on http://{host}:{server.port}")
 
@@ -31,6 +41,8 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, lambda *a: stop.append(1))
     while not stop:
         time.sleep(0.2)
+    if args.datadir:
+        server.table_service.commit_all()
     server.stop()
     return 0
 
