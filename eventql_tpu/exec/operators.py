@@ -616,6 +616,16 @@ def _exec_group_by_impl(node: qn.GroupByNode, txn) -> Relation:
         if result is not None:
             return result
 
+    from eventql_tpu.parallel.cluster import ClusterTableProvider
+
+    if isinstance(txn.tables, ClusterTableProvider):
+        # cross-process fan-out: ship the partial plan to every worker
+        # (QUERY_PARTIALAGGR) and merge; None → shape not distributable,
+        # fall through to the pull-rows-and-aggregate-locally path
+        result = txn.tables.execute_partial_aggregate(node)
+        if result is not None:
+            return result
+
     if os.environ.get("EVENTQL_TPU_DEVICE") == "1":
         from eventql_tpu.exec.device_exec import (
             device_plan_eligible,

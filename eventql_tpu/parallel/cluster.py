@@ -1,0 +1,324 @@
+"""Multi-process cluster execution: plan shipping + partial-aggregate
+fan-out over the native TCP protocol.
+
+This is the process-level analog of the reference's distributed query
+path (reference: server/sql/scheduler.cc:55-159 builds per-partition
+partial plans; GroupByMergeExpression fans them out via TCPAsyncClient
+and merges accumulator states, groupby.cc:504-637; workers execute
+QUERY_PARTIALAGGR by decoding the shipped plan,
+transport/native/ops/query_partialaggr.cc:41-110).
+
+A coordinator holds the table catalog (which workers own a table's
+rows); GROUP BY queries ship the encoded GroupBy(scan) subtree to every
+owner, workers return serialized partials, and the coordinator merges
+them with the accumulator algebra. Within one host, the same pipeline
+runs as compiled mesh collectives (parallel/distributed.py) — this
+module is the DCN/process tier above it.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import io
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from eventql_tpu.core.errors import RuntimeError_, SQLError
+from eventql_tpu.core.types import SType
+from eventql_tpu.exec.relation import Column, Relation
+from eventql_tpu.exec.runtime import TableInfo
+from eventql_tpu.plan import nodes as qn
+from eventql_tpu.plan.builder import TableProvider
+
+# reference: evqld.cc:245-246 fan-out limits
+MAX_CONCURRENT_SHARDS = 256
+
+
+# -- partial serialization --------------------------------------------------
+
+
+def _save_column(arrays: dict, prefix: str, col: Column):
+    arrays[f"{prefix}_data"] = col.data
+    arrays[f"{prefix}_valid"] = col.valid
+    arrays[f"{prefix}_stype"] = np.array(int(col.stype))
+    if col.dictionary is not None:
+        arrays[f"{prefix}_dict"] = col.dictionary
+
+
+def _load_column(z, prefix: str) -> Column:
+    dictionary = None
+    if f"{prefix}_dict" in z.files:
+        dictionary = z[f"{prefix}_dict"]
+    return Column(
+        SType(int(z[f"{prefix}_stype"])),
+        z[f"{prefix}_data"],
+        z[f"{prefix}_valid"],
+        dictionary,
+    )
+
+
+def partial_to_bytes(partial) -> bytes:
+    """Serialize a GroupByPartial — the analog of the reference's
+    (group key, accumulator savestate) rows (groupby.cc:438-472)."""
+    arrays = {"n_groups": np.array(partial.n_groups)}
+    arrays["n_keys"] = np.array(len(partial.key_cols))
+    for i, k in enumerate(partial.key_cols):
+        _save_column(arrays, f"key{i}", k)
+    arrays["n_entries"] = np.array(len(partial.entries))
+    for ei, entry in enumerate(partial.entries):
+        if entry[0] == "first":
+            arrays[f"e{ei}_kind"] = np.array("first")
+            _save_column(arrays, f"e{ei}", entry[1])
+        else:
+            _tag, _emit, states, _calls = entry
+            arrays[f"e{ei}_kind"] = np.array("agg")
+            arrays[f"e{ei}_nstates"] = np.array(len(states))
+            for si, (skind, cols) in enumerate(states):
+                arrays[f"e{ei}_s{si}_kind"] = np.array(skind)
+                if skind == "count_distinct":
+                    arrays[f"e{ei}_s{si}_sets"] = cols[0]
+                elif skind == "mean":
+                    _save_column(arrays, f"e{ei}_s{si}_sum", cols[0])
+                    _save_column(arrays, f"e{ei}_s{si}_cnt", cols[1])
+                else:
+                    _save_column(arrays, f"e{ei}_s{si}", cols[0])
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def partial_from_bytes(data: bytes, template_partial):
+    """Rebuild a GroupByPartial using the coordinator's entry structure
+    (emit exprs / agg calls come from the coordinator's own plan)."""
+    from eventql_tpu.exec.operators import GroupByPartial
+
+    z = np.load(io.BytesIO(data), allow_pickle=True)
+    n_keys = int(z["n_keys"])
+    key_cols = [_load_column(z, f"key{i}") for i in range(n_keys)]
+    entries = []
+    for ei, tentry in enumerate(template_partial.entries):
+        kind = str(z[f"e{ei}_kind"])
+        if kind == "first":
+            entries.append(("first", _load_column(z, f"e{ei}")))
+        else:
+            _tag, emit, tstates, calls = tentry
+            states = []
+            for si, (skind, _cols) in enumerate(tstates):
+                wkind = str(z[f"e{ei}_s{si}_kind"])
+                if wkind == "count_distinct":
+                    states.append((wkind, [z[f"e{ei}_s{si}_sets"]]))
+                elif wkind == "mean":
+                    states.append(
+                        (
+                            wkind,
+                            [
+                                _load_column(z, f"e{ei}_s{si}_sum"),
+                                _load_column(z, f"e{ei}_s{si}_cnt"),
+                            ],
+                        )
+                    )
+                else:
+                    states.append((wkind, [_load_column(z, f"e{ei}_s{si}")]))
+            entries.append(("agg", emit, states, calls))
+    return GroupByPartial(key_cols, int(z["n_groups"]), entries)
+
+
+def relation_to_bytes(rel: Relation) -> bytes:
+    """Serialize a Relation for the QUERY_REMOTE streaming-scan response
+    (reference: transport/native/ops/query_remote.cc row batches)."""
+    arrays = {
+        "n_rows": np.array(rel.num_rows),
+        "n_cols": np.array(len(rel.columns)),
+        "names": np.array(rel.names),
+    }
+    for i, col in enumerate(rel.columns):
+        _save_column(arrays, f"c{i}", col)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def relation_from_bytes(data: bytes) -> Relation:
+    z = np.load(io.BytesIO(data), allow_pickle=True)
+    n_cols = int(z["n_cols"])
+    names = [str(n) for n in z["names"]] if n_cols else []
+    cols = [_load_column(z, f"c{i}") for i in range(n_cols)]
+    return Relation(names, cols, int(z["n_rows"]))
+
+
+# -- coordinator ------------------------------------------------------------
+
+
+class ClusterTableProvider(TableProvider):
+    """Routes queries to worker processes that own table shards
+    (reference: TSDBTableProvider + metadata partition lookup)."""
+
+    def __init__(self, workers: List[Tuple[str, int]]):
+        self.workers = list(workers)
+        self._clients: Dict[Tuple[str, int], object] = {}
+
+    def _client(self, addr):
+        from eventql_tpu.server.native_tcp import NativeTCPClient
+
+        if addr not in self._clients:
+            self._clients[addr] = NativeTCPClient(addr[0], addr[1])
+        return self._clients[addr]
+
+    def close(self):
+        for c in self._clients.values():
+            c.close()
+        self._clients.clear()
+
+    # table schema from the first worker that knows it
+    def describe(self, table_name: str) -> Optional[TableInfo]:
+        from eventql_tpu.core.types import _TYPENAMES
+
+        for addr in self.workers:
+            try:
+                results = self._client(addr).query(
+                    f"describe `{table_name}`;"
+                )
+            except SQLError:
+                continue
+            _cols, rows = results[0]
+            name_map = {v: k for k, v in _TYPENAMES.items()}
+            columns = []
+            for row in rows:
+                columns.append((row[0], name_map.get(row[1], SType.STRING)))
+            return TableInfo(table_name, columns)
+        return None
+
+    def list_tables(self):
+        names = set()
+        for addr in self.workers:
+            try:
+                results = self._client(addr).query("show tables;")
+                for row in results[0][1]:
+                    names.add(row[0])
+            except SQLError:
+                continue
+        return [self.describe(n) for n in sorted(names)]
+
+    def get_table_data(self, table_name: str) -> Relation:
+        """Pull a table's rows from every owner via QUERY_REMOTE — the
+        fallback tier for plan shapes that aren't partial-aggregatable
+        (reference: query_remote.cc streams the scanned rows back)."""
+        from eventql_tpu.parallel.partitioned import _concat_columns
+        from eventql_tpu.plan.coder import encode_plan
+        from eventql_tpu.plan.exprs import ColumnReferenceNode
+        from eventql_tpu.server.native_tcp import NativeTCPClient
+
+        info = self.describe(table_name)
+        if info is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+
+        # trivial select-all scan shipped to each worker
+        scan = qn.SequentialScanNode(table_name, info.columns)
+        for i, (cname, ctype) in enumerate(info.columns):
+            scan.input_columns.append((cname, ctype))
+            scan.select_list.append(
+                qn.SelectListEntry(
+                    ColumnReferenceNode(cname, ctype, i), cname
+                )
+            )
+        scan.output_columns = [c[0] for c in info.columns]
+        plan_data = encode_plan(scan)
+
+        def one(addr):
+            client = NativeTCPClient(addr[0], addr[1])
+            try:
+                return relation_from_bytes(client.query_remote(plan_data))
+            finally:
+                client.close()
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
+        ) as pool:
+            shards = list(pool.map(one, self.workers))
+
+        names = shards[0].names
+        cols = [
+            _concat_columns([sh.columns[i] for sh in shards])
+            for i in range(len(names))
+        ]
+        return Relation(names, cols, sum(sh.num_rows for sh in shards))
+
+    # -- distributed execution -----------------------------------------
+    def execute_partial_aggregate(self, node: qn.GroupByNode):
+        """Fan the encoded partial-aggregate plan out to all workers and
+        merge their partials (GroupByMerge)."""
+        from eventql_tpu.exec.operators import _merge_partials
+        from eventql_tpu.plan.coder import encode_plan
+        from eventql_tpu.server.native_tcp import NativeTCPClient
+
+        if not _plan_distributable(node):
+            return None
+        plan_data = encode_plan(node)
+
+        # template partial: entry structure with the coordinator's
+        # emit exprs/agg calls (no data)
+        template = _make_template_partial(node)
+
+        def one(addr):
+            client = NativeTCPClient(addr[0], addr[1])
+            try:
+                raw = client.query_partialaggr(plan_data)
+            finally:
+                client.close()
+            return partial_from_bytes(raw, template)
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
+        ) as pool:
+            partials = list(pool.map(one, self.workers))
+
+        return _merge_partials(node, partials)
+
+
+_MERGEABLE = {"sum", "count", "min", "max", "mean", "count_distinct"}
+
+
+def _plan_distributable(node: qn.GroupByNode) -> bool:
+    """Same shape check as the in-process partitioned path
+    (parallel/partitioned.py): flat scan + mergeable aggregates only."""
+    from eventql_tpu.plan.exprs import CallExpressionNode, has_aggregate_call
+
+    scan = node.table
+    if not isinstance(scan, qn.SequentialScanNode):
+        return False
+    if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
+        return False
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            stack = [sl.expr]
+            while stack:
+                e = stack.pop()
+                if isinstance(e, CallExpressionNode) and e.is_aggregate():
+                    if e.sfunction.aggregate.kind not in _MERGEABLE:
+                        return False
+                stack.extend(e.arguments())
+    return True
+
+
+def _make_template_partial(node: qn.GroupByNode):
+    from eventql_tpu.exec.operators import (
+        GroupByPartial,
+        _strip_aggregates,
+    )
+    from eventql_tpu.plan.exprs import CallExpressionNode, has_aggregate_call
+
+    entries = []
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            calls: List[CallExpressionNode] = []
+            emit = _strip_aggregates(sl.expr, calls)
+            states = []
+            for c in calls:
+                kind = c.sfunction.aggregate.kind
+                states.append((kind if kind != "mean" else "mean", None))
+            entries.append(("agg", emit, states, calls))
+        else:
+            entries.append(("first", None))
+    return GroupByPartial([], 0, entries)

@@ -50,6 +50,10 @@ OP_QUERY_PROGRESS = 0x000A
 OP_QUERY_NEXT = 0x000B
 OP_ACK = 0x000F
 OP_INSERT = 0x0010
+OP_QUERY_PARTIALAGGR = 0x0101
+OP_QUERY_PARTIALAGGR_RESULT = 0x0102
+OP_QUERY_REMOTE = 0x0103
+OP_QUERY_REMOTE_RESULT = 0x0104
 
 F_ENDOFREQUEST = 0x1
 
@@ -201,6 +205,10 @@ class NativeTCPServer:
                 self._handle_query(sock, payload)
             elif opcode == OP_INSERT:
                 self._handle_insert(sock, payload)
+            elif opcode == OP_QUERY_PARTIALAGGR:
+                self._handle_partialaggr(sock, payload)
+            elif opcode == OP_QUERY_REMOTE:
+                self._handle_query_remote(sock, payload)
             else:
                 _send_frame(
                     sock,
@@ -270,6 +278,54 @@ class NativeTCPServer:
             F_ENDOFREQUEST if not pending else 0,
             bytes(body),
         )
+
+    def _handle_partialaggr(self, sock, payload):
+        """Execute a shipped partial-aggregate plan against local tables
+        (reference: transport/native/ops/query_partialaggr.cc:41-110)."""
+        from eventql_tpu.exec.operators import _exec_group_by_local
+        from eventql_tpu.parallel.cluster import partial_to_bytes
+        from eventql_tpu.plan.coder import decode_plan
+
+        pos = 0
+        plan_data, pos = read_lenencstr(payload, pos)
+        try:
+            node = decode_plan(plan_data.decode("utf-8"))
+            table = self.table_service.get_table_data(node.table.table_name)
+            partial = _exec_group_by_local(node, table)
+            body = partial_to_bytes(partial)
+        except SQLError as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(e.message.encode("utf-8")),
+            )
+            return
+        _send_frame(sock, OP_QUERY_PARTIALAGGR_RESULT, F_ENDOFREQUEST, body)
+
+    def _handle_query_remote(self, sock, payload):
+        """Execute a shipped scan and stream raw columns back
+        (reference: transport/native/ops/query_remote.cc:40-140)."""
+        from eventql_tpu.exec.operators import _exec_seqscan_relation
+        from eventql_tpu.parallel.cluster import relation_to_bytes
+        from eventql_tpu.plan.coder import decode_plan
+
+        pos = 0
+        plan_data, pos = read_lenencstr(payload, pos)
+        try:
+            node = decode_plan(plan_data.decode("utf-8"))
+            table = self.table_service.get_table_data(node.table_name)
+            rel = _exec_seqscan_relation(node, table)
+            body = relation_to_bytes(rel)
+        except SQLError as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(e.message.encode("utf-8")),
+            )
+            return
+        _send_frame(sock, OP_QUERY_REMOTE_RESULT, F_ENDOFREQUEST, body)
 
     def _handle_insert(self, sock, payload):
         # reference: InsertFrame::parseFrom (frames/insert.cc:72-89)
@@ -382,6 +438,37 @@ class NativeTCPClient:
             raise SQLError(msg.decode())
         if opcode != OP_ACK:
             raise SQLError(f"unexpected opcode: {opcode:#x}")
+
+    def query_partialaggr(self, plan_data: str) -> bytes:
+        """Ship a partial-aggregate plan; returns serialized partial."""
+        _send_frame(
+            self.sock,
+            OP_QUERY_PARTIALAGGR,
+            0,
+            write_lenencstr(plan_data.encode("utf-8")),
+        )
+        opcode, _f, payload = _recv_frame(self.sock)
+        if opcode == OP_ERROR:
+            msg, _ = read_lenencstr(payload, 0)
+            raise SQLError(msg.decode())
+        if opcode != OP_QUERY_PARTIALAGGR_RESULT:
+            raise SQLError(f"unexpected opcode: {opcode:#x}")
+        return payload
+
+    def query_remote(self, plan_data: str) -> bytes:
+        _send_frame(
+            self.sock,
+            OP_QUERY_REMOTE,
+            0,
+            write_lenencstr(plan_data.encode("utf-8")),
+        )
+        opcode, _f, payload = _recv_frame(self.sock)
+        if opcode == OP_ERROR:
+            msg, _ = read_lenencstr(payload, 0)
+            raise SQLError(msg.decode())
+        if opcode != OP_QUERY_REMOTE_RESULT:
+            raise SQLError(f"unexpected opcode: {opcode:#x}")
+        return payload
 
     def ping(self):
         _send_frame(self.sock, OP_PING, 0, b"")
