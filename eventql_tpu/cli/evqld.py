@@ -1,7 +1,12 @@
 """Server binary (reference: evqld.cc).
 
-Starts the HTTP API server with a standalone in-process table service —
-the TPU-native equivalent of `evqld --standalone`.
+Starts the HTTP API listener and the native binary-protocol listener
+over a shared table service — the TPU-native equivalent of
+`evqld --standalone`. With --config_dir/--server_name the process
+registers itself in the standalone cluster registry
+(config/config_directory.py) and routes SQL through the cluster
+fan-out provider, so several evqld processes form a query cluster
+(reference: ConfigDirectory + the sharded execution path).
 """
 
 from __future__ import annotations
@@ -15,12 +20,28 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="evqld", description="eventql_tpu server")
     ap.add_argument("--listen_http", default="127.0.0.1:9175")
+    ap.add_argument(
+        "--listen_native",
+        default=None,
+        help="host:port for the binary protocol (default: http port + 1)",
+    )
     ap.add_argument("--standalone", action="store_true", default=True)
     ap.add_argument("--datadir", default=None, help="persist tables to this directory")
+    ap.add_argument("--config_dir", default=None, help="cluster registry file")
+    ap.add_argument("--server_name", default=None, help="this node's cluster id")
     args = ap.parse_args(argv)
 
     host, _, port = args.listen_http.partition(":")
+    host = host or "127.0.0.1"
+    port = int(port or 9175)
+    if args.listen_native:
+        nhost, _, nport = args.listen_native.partition(":")
+        nhost, nport = nhost or host, int(nport)
+    else:
+        nhost, nport = host, port + 1
+
     from eventql_tpu.server.http_api import EventQLServer
+    from eventql_tpu.server.native_tcp import NativeTCPServer
 
     table_service = None
     if args.datadir:
@@ -28,21 +49,68 @@ def main(argv=None):
 
         table_service = DurableTableService(args.datadir)
 
+    query_provider_factory = None
+    cdir = None
+    if args.config_dir:
+        from eventql_tpu.parallel.cluster import cluster_provider_from_config
+
+        query_provider_factory = lambda: cluster_provider_from_config(
+            args.config_dir
+        )
+
     server = EventQLServer(
         table_service=table_service,
-        host=host or "127.0.0.1",
-        port=int(port or 9175),
+        host=host,
+        port=port,
+        query_provider_factory=query_provider_factory,
     )
     server.start()
-    print(f"eventql_tpu server listening on http://{host}:{server.port}")
+    native = NativeTCPServer(
+        server.table_service,
+        host=nhost,
+        port=nport,
+        query_provider_factory=query_provider_factory,
+    ).start()
+
+    if args.config_dir and args.server_name:
+        from eventql_tpu.config.config_directory import (
+            SERVER_UP,
+            ConfigDirectory,
+            ServerConfig,
+        )
+
+        cdir = ConfigDirectory(args.config_dir)
+        cdir.update_server_config(
+            ServerConfig(
+                server_id=args.server_name,
+                server_addr=f"{nhost}:{native.port}",
+                server_status=SERVER_UP,
+            )
+        )
+
+    print(
+        f"eventql_tpu server listening on http://{host}:{server.port}"
+        f" native://{nhost}:{native.port}"
+    )
 
     stop = []
     signal.signal(signal.SIGINT, lambda *a: stop.append(1))
     signal.signal(signal.SIGTERM, lambda *a: stop.append(1))
     while not stop:
         time.sleep(0.2)
+    if cdir is not None:
+        from eventql_tpu.config.config_directory import SERVER_DOWN, ServerConfig
+
+        cdir.update_server_config(
+            ServerConfig(
+                server_id=args.server_name,
+                server_addr=f"{nhost}:{native.port}",
+                server_status=SERVER_DOWN,
+            )
+        )
     if args.datadir:
         server.table_service.commit_all()
+    native.stop()
     server.stop()
     return 0
 

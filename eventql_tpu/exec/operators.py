@@ -997,10 +997,22 @@ def _exec_describe_partitions(node, txn) -> Relation:
 
 
 def _exec_cluster_show_servers(node, txn) -> Relation:
-    # standalone runtime: a single local server row
-    row = [b"localhost", b"SERVER_UP", b"localhost", b"eventql_tpu", b"0", b"0", b"0", b"0"]
-    cols = [Column.from_strings([row[i]]) for i in range(8)]
-    return Relation(list(qn.ClusterShowServersNode.COLUMNS), cols, 1)
+    # cluster runtimes report the live worker set; standalone reports a
+    # single local server row (reference: cluster_show_servers.cc)
+    servers = getattr(txn.tables, "cluster_servers", None)
+    if servers is not None:
+        rows = [
+            [name.encode(), status.encode(), addr.encode(),
+             b"eventql_tpu", b"0", b"0", b"0", b"0"]
+            for name, status, addr in servers()
+        ]
+    else:
+        rows = [[b"localhost", b"SERVER_UP", b"localhost", b"eventql_tpu",
+                 b"0", b"0", b"0", b"0"]]
+    cols = [
+        Column.from_strings([r[i] for r in rows]) for i in range(8)
+    ]
+    return Relation(list(qn.ClusterShowServersNode.COLUMNS), cols, len(rows))
 
 
 def _exec_chart(node, txn) -> Relation:

@@ -158,6 +158,7 @@ class ClusterTableProvider(TableProvider):
     def __init__(self, workers: List[Tuple[str, int]]):
         self.workers = list(workers)
         self._clients: Dict[Tuple[str, int], object] = {}
+        self._rr = 0  # round-robin insert cursor
 
     def _client(self, addr):
         from eventql_tpu.server.native_tcp import NativeTCPClient
@@ -178,7 +179,7 @@ class ClusterTableProvider(TableProvider):
         for addr in self.workers:
             try:
                 results = self._client(addr).query(
-                    f"describe `{table_name}`;"
+                    f"describe `{table_name}`;", local=True
                 )
             except SQLError:
                 continue
@@ -194,12 +195,59 @@ class ClusterTableProvider(TableProvider):
         names = set()
         for addr in self.workers:
             try:
-                results = self._client(addr).query("show tables;")
+                results = self._client(addr).query("show tables;", local=True)
                 for row in results[0][1]:
                     names.add(row[0])
             except SQLError:
                 continue
         return [self.describe(n) for n in sorted(names)]
+
+    def cluster_servers(self):
+        """(name, status, addr) rows for CLUSTER SHOW SERVERS."""
+        from eventql_tpu.server.native_tcp import NativeTCPClient
+
+        rows = []
+        for host, port in self.workers:
+            try:
+                c = NativeTCPClient(host, port)
+                up = c.ping()
+                c.close()
+            except (OSError, SQLError):
+                up = False
+            rows.append(
+                (f"{host}:{port}", "SERVER_UP" if up else "SERVER_DOWN",
+                 f"{host}:{port}")
+            )
+        return rows
+
+    # -- DDL / DML broadcast -------------------------------------------
+    # (reference: ddl statements run through the metadata service and
+    # reach every node; inserts route to a partition owner. Here DDL is
+    # broadcast to all workers and inserts round-robin across them.)
+    def create_table(self, node: qn.CreateTableNode):
+        sql = create_table_sql(node)
+        for addr in self.workers:
+            self._client(addr).query(sql, local=True)
+
+    def drop_table(self, table_name: str):
+        for addr in self.workers:
+            self._client(addr).query(f"drop table `{table_name}`;", local=True)
+
+    def insert_json(self, table_name: str, json_data: str):
+        addr = self.workers[self._rr % len(self.workers)]
+        self._rr += 1
+        self._client(addr).insert_json(table_name, [json_data])
+
+    def insert(self, table_name: str, columns, values):
+        record = {}
+        for cname, v in zip(columns, values):
+            p = v.payload()
+            if isinstance(p, bytes):
+                p = p.decode("utf-8", errors="surrogateescape")
+            record[cname] = None if v.is_null else p
+        import json as _json
+
+        self.insert_json(table_name, _json.dumps(record))
 
     def get_table_data(self, table_name: str) -> Relation:
         """Pull a table's rows from every owner via QUERY_REMOTE — the
@@ -322,3 +370,32 @@ def _make_template_partial(node: qn.GroupByNode):
         else:
             entries.append(("first", None))
     return GroupByPartial([], 0, entries)
+
+
+def create_table_sql(node: qn.CreateTableNode) -> str:
+    """Regenerate CREATE TABLE DDL from the parsed node (for broadcasting
+    to workers; reference nodes receive the config via metadata ops)."""
+
+    def col(c, indent="  "):
+        if c.subcolumns is not None:
+            inner = ",\n".join(col(sc, indent + "  ") for sc in c.subcolumns)
+            t = f"RECORD (\n{inner}\n{indent})"
+        else:
+            t = c.column_type
+        rep = "REPEATED " if c.repeated else ""
+        nn = " NOT NULL" if c.not_null else ""
+        return f"{indent}{rep}`{c.column_name}` {t}{nn}"
+
+    parts = [col(c) for c in node.columns]
+    if node.primary_key:
+        pk = ", ".join(f"`{k}`" for k in node.primary_key)
+        parts.append(f"  PRIMARY KEY ({pk})")
+    return f"CREATE TABLE `{node.table_name}` (\n" + ",\n".join(parts) + "\n);"
+
+
+def cluster_provider_from_config(config_dir_path: str) -> "ClusterTableProvider":
+    """Build the coordinator's fan-out provider from the standalone
+    config directory's live-server list."""
+    from eventql_tpu.config.config_directory import ConfigDirectory
+
+    return ClusterTableProvider(ConfigDirectory(config_dir_path).worker_addrs())

@@ -52,8 +52,19 @@ class ServerStats:
 
 
 class EventQLServer:
-    def __init__(self, table_service: Optional[TableService] = None, host="127.0.0.1", port=9175):
+    def __init__(
+        self,
+        table_service: Optional[TableService] = None,
+        host="127.0.0.1",
+        port=9175,
+        query_provider_factory=None,
+    ):
         self.table_service = table_service or TableService()
+        # queries may run against a different provider than inserts —
+        # cluster coordinators fan SQL out while writes stay local
+        self.query_provider_factory = (
+            query_provider_factory or (lambda: self.table_service)
+        )
         self.runtime = Runtime()
         self.stats = ServerStats()
         self.host = host
@@ -145,7 +156,7 @@ class EventQLServer:
 
     # -- endpoints ------------------------------------------------------
     def _run_query(self, query: str):
-        txn = self.runtime.new_transaction(self.table_service)
+        txn = self.runtime.new_transaction(self.query_provider_factory())
         plan = self.runtime.build_query_plan(txn, query)
         results = []
         for i in range(plan.num_queries):

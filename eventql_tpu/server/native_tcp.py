@@ -59,6 +59,9 @@ F_ENDOFREQUEST = 0x1
 
 HELLO_SWITCHDB = 0x2
 QUERY_SWITCHDB = 0x1
+# extension: execute against this node's local tables only (no cluster
+# fan-out) — used for server-to-server DDL broadcast and schema lookups
+QUERY_LOCALONLY = 0x4
 QR_COMPLETE = 0x1
 QR_HASSTATS = 0x2
 QR_HASCOLNAMES = 0x4
@@ -132,10 +135,16 @@ class NativeTCPServer:
     transport/native/server.cc; thread per connection like
     db/database.cc:555-573)."""
 
-    def __init__(self, table_service, host="127.0.0.1", port=9176):
+    def __init__(
+        self, table_service, host="127.0.0.1", port=9176,
+        query_provider_factory=None,
+    ):
         from eventql_tpu.exec.runtime import Runtime
 
         self.table_service = table_service
+        self.query_provider_factory = (
+            query_provider_factory or (lambda: self.table_service)
+        )
         self.runtime = Runtime()
         self.host = host
         self.port = port
@@ -220,11 +229,16 @@ class NativeTCPServer:
     def _handle_query(self, sock, payload):
         pos = 0
         query, pos = read_lenencstr(payload, pos)
-        _qflags, pos = read_varint(payload, pos)
+        qflags, pos = read_varint(payload, pos)
         _maxrows, pos = read_varint(payload, pos)
 
         try:
-            txn = self.runtime.new_transaction(self.table_service)
+            provider = (
+                self.table_service
+                if qflags & QUERY_LOCALONLY
+                else self.query_provider_factory()
+            )
+            txn = self.runtime.new_transaction(provider)
             plan = self.runtime.build_query_plan(txn, query.decode("utf-8"))
             results = [plan.execute(i) for i in range(plan.num_queries)]
         except SQLError as e:
@@ -380,10 +394,10 @@ class NativeTCPClient:
         if opcode != OP_READY:
             raise SQLError(f"unexpected opcode in handshake: {opcode:#x}")
 
-    def query(self, query: str):
+    def query(self, query: str, local: bool = False):
         payload = (
             write_lenencstr(query.encode("utf-8"))
-            + write_varint(0)
+            + write_varint(QUERY_LOCALONLY if local else 0)
             + write_varint(0)
         )
         _send_frame(self.sock, OP_QUERY, 0, payload)
