@@ -1,10 +1,20 @@
 """cstable columnar file reader (vectorized).
 
-Re-implements the reference's cstable v0.1 on-disk format
-(format spec: io/cstable/cstable.h:38-135; v0.1 header parse:
+Re-implements BOTH on-disk versions of the reference's cstable format:
+
+v0.1 (format spec: io/cstable/cstable.h:38-135; header parse:
 io/cstable/cstable.cc:87-132; per-column body layout:
 io/cstable/columns/v1/ColumnReader.h — [vals_total u64][rlvl_size u64]
 [dlvl_size u64][data_size u64][rlvl simdbp128][dlvl simdbp128][data]).
+
+v0.2 (format spec: cstable.h:63-110): sector-padded header with dual
+sha1-checksummed metablocks (cstable.cc:106-166), then data pages
+tracked by a page index ((entry_type, column_id, offset, size) rows,
+cstable.cc:197-223); per-column value streams are split across pages:
+rlevels/dlevels as bitpacked pages with a u32 max_value prefix
+(columns/page_writer_bitpacked.cc), data as LEB128 / plain u64/u32 /
+IEEE754 / varint-length strings (columns/page_writer_*.cc). The row
+count lives in the winning metablock (highest transaction id).
 
 Levels use simdcomp's SIMD-BP128 vertical bit-packing (128-value blocks,
 util/util/BitPackDecoder.cc + libsimdcomp); decoded here as whole-column
@@ -50,6 +60,18 @@ _ENCODING_STYPE = {
     FLOAT_IEEE754: SType.FLOAT64,
     STRING_PLAIN: SType.STRING,
 }
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, pos
 
 
 def _bits(v: int) -> int:
@@ -180,7 +202,135 @@ class CSTableReader:
         self._decoded: Dict[str, DecodedColumn] = {}
 
     def _parse_v2(self):
-        raise RuntimeError_("cstable v0.2 reading not supported yet")
+        import hashlib
+
+        d = self.data
+        # header: magic(4) ver(2) flags(8) mb_a(48) mb_b(48) reserved(128)
+        pos = 14
+        metablocks = []
+        for _ in range(2):
+            blk = d[pos : pos + 48]
+            pos += 48
+            body, digest = blk[:28], blk[28:48]
+            if hashlib.sha1(body).digest() == digest:
+                txid, nrows, idx_off, idx_size = struct.unpack("<QQQI", body)
+                metablocks.append((txid, nrows, idx_off, idx_size))
+        if not metablocks:
+            raise RuntimeError_("can't open cstable: no valid metablocks found")
+        txid, num_rows, idx_off, idx_size = max(metablocks)
+        self.num_rows = num_rows
+        self.transaction_id = txid
+
+        pos += 128  # reserved
+        ncols, pos = _read_varint(d, pos)
+        cols = []
+        self._col_ids = {}
+        for _ in range(ncols):
+            _ltype, pos = _read_varint(d, pos)
+            enc, pos = _read_varint(d, pos)
+            col_id, pos = _read_varint(d, pos)
+            nlen, pos = _read_varint(d, pos)
+            name = d[pos : pos + nlen].decode()
+            pos += nlen
+            rmax, pos = _read_varint(d, pos)
+            dmax, pos = _read_varint(d, pos)
+            if enc not in _ENCODING_STYPE:
+                raise RuntimeError_(f"unsupported column type: {enc}")
+            cols.append(
+                ColumnConfig(name, enc, _ENCODING_STYPE[enc], rmax, dmax, 0, 0)
+            )
+            self._col_ids[name] = col_id
+        self.columns = cols
+        self._by_name = {c.name: c for c in cols}
+        self._decoded: Dict[str, DecodedColumn] = {}
+
+        # page index: varint count + (type, col_id, offset, size) rows
+        ipos = idx_off
+        nentries, ipos = _read_varint(d, ipos)
+        self._page_index: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        for _ in range(nentries):
+            etype, ipos = _read_varint(d, ipos)
+            col_id, ipos = _read_varint(d, ipos)
+            off, ipos = _read_varint(d, ipos)
+            size, ipos = _read_varint(d, ipos)
+            self._page_index.setdefault((etype, col_id), []).append((off, size))
+        self.version = 2
+
+    def _pages(self, etype: int, col_id: int) -> bytes:
+        """Concatenated page data for one (entry type, column) stream."""
+        parts = [
+            self.data[off : off + size]
+            for off, size in self._page_index.get((etype, col_id), [])
+        ]
+        return b"".join(parts)
+
+    def _decode_bitpacked_stream(self, buf: bytes, count_hint: int) -> np.ndarray:
+        """A v0.2 bitpacked level stream: u32 max_value then 128-value
+        simdbp blocks (with zero padding in the final block)."""
+        if not buf:
+            return np.zeros(count_hint, dtype=np.uint32)
+        (max_value,) = struct.unpack("<I", buf[:4])
+        maxbits = _bits(max_value)
+        if maxbits == 0:
+            return np.zeros(count_hint, dtype=np.uint32)
+        navail = (len(buf) - 4) // (16 * maxbits) * 128
+        return simdbp128_unpack(buf[4:], min(count_hint, navail), maxbits)
+
+    def _decode_column_v2(self, cfg: ColumnConfig) -> DecodedColumn:
+        col_id = self._col_ids[cfg.name]
+        data = self._pages(0x1, col_id)
+        rl_buf = self._pages(0x2, col_id)
+        dl_buf = self._pages(0x3, col_id)
+
+        if cfg.rlevel_max == 0:
+            # flat column: exactly one value slot per row
+            vals_total = self.num_rows
+            rlvls = np.zeros(vals_total, dtype=np.uint32)
+        else:
+            # the value count isn't stored; the final bitpacked block is
+            # zero-padded, and each padding zero would begin a spurious
+            # record — cut the stream after the num_rows-th record
+            upper = (len(rl_buf) - 4) * 8  # generous bound
+            rl_all = self._decode_bitpacked_stream(rl_buf, upper)
+            starts = np.nonzero(rl_all == 0)[0]
+            if len(starts) > self.num_rows:
+                vals_total = int(starts[self.num_rows])
+            else:
+                vals_total = len(rl_all)
+            rlvls = rl_all[:vals_total]
+
+        if cfg.dlevel_max == 0:
+            dlvls = np.zeros(vals_total, dtype=np.uint32)
+        else:
+            dlvls = self._decode_bitpacked_stream(dl_buf, vals_total)
+        ndefined = int((dlvls == cfg.dlevel_max).sum())
+
+        enc = cfg.encoding
+        if enc == UINT64_LEB128:
+            values = leb128_decode(data, ndefined)
+        elif enc == UINT64_PLAIN:
+            values = np.frombuffer(data, dtype="<u8", count=ndefined).astype(np.uint64)
+        elif enc == UINT32_PLAIN:
+            values = np.frombuffer(data, dtype="<u4", count=ndefined).astype(np.uint64)
+        elif enc == FLOAT_IEEE754:
+            values = np.frombuffer(data, dtype="<f8", count=ndefined).astype(np.float64)
+        elif enc == BOOLEAN_BITPACKED:
+            values = self._decode_bitpacked_stream(data, ndefined).astype(bool)
+        elif enc == UINT32_BITPACKED:
+            values = self._decode_bitpacked_stream(data, ndefined).astype(np.uint64)
+        elif enc == STRING_PLAIN:
+            # v0.2 strings are varint-length-prefixed
+            # (page_writer_lenencstring.cc), unlike v0.1's u32 prefix
+            values = []
+            q = 0
+            for _ in range(ndefined):
+                slen, q = _read_varint(data, q)
+                values.append(data[q : q + slen])
+                q += slen
+        else:
+            raise RuntimeError_(f"unsupported column type: {enc}")
+
+        return DecodedColumn(cfg, rlvls, dlvls, values)
 
     # -- column decode --------------------------------------------------
     def has_column(self, name: str) -> bool:
@@ -195,6 +345,10 @@ class CSTableReader:
         cfg = self._by_name.get(name)
         if cfg is None:
             raise RuntimeError_(f"column(s) not found: '{name}'")
+        if getattr(self, "version", 1) == 2:
+            out = self._decode_column_v2(cfg)
+            self._decoded[name] = out
+            return out
         body = self.data[cfg.body_offset : cfg.body_offset + cfg.body_size]
         vals_total, rlvl_size, dlvl_size, data_size = struct.unpack(
             "<QQQQ", body[:32]

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from eventql_tpu.columnar.cstable import CSTableReader
-from eventql_tpu.columnar.cstable_writer import write_cstable
+from eventql_tpu.columnar.cstable_v2 import write_cstable_v2 as write_cstable
 from eventql_tpu.core.errors import RuntimeError_
 from eventql_tpu.core.types import SType, SValue
 from eventql_tpu.db.table_service import (
