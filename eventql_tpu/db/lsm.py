@@ -100,8 +100,8 @@ class LSMTable(MemoryTable):
         return sorted(segs)
 
     # -- writes ---------------------------------------------------------
-    def insert_row(self, row: Dict[str, SValue]):
-        super().insert_row(row)
+    def insert_row(self, row: Dict[str, SValue], obj=None):
+        super().insert_row(row, obj=obj)
         if len(self.rows) >= self.arena_flush_rows:
             self.commit()
 

@@ -60,30 +60,48 @@ def _flatten_columns(
 
 
 class MemoryTable:
-    def __init__(self, name, columns, primary_key, partition_key, properties):
+    def __init__(
+        self, name, columns, primary_key, partition_key, properties,
+        column_defs=None,
+    ):
         self.name = name
         self.columns: List[Tuple[str, SType, bool]] = columns
         self.primary_key = primary_key
         self.partition_key = partition_key
         self.properties = dict(properties or [])
+        self.column_defs: List[ColumnDefinition] = column_defs or []
         self.rows: List[Dict[str, SValue]] = []
+        # raw record objects (for Dremel shredding of repeated fields)
+        self.objs: List[dict] = []
         self._relation_cache: Optional[Relation] = None
+        self._reader_cache = None
+
+    @property
+    def has_repeated(self) -> bool:
+        return any(c[2] for c in self.columns)
 
     # -- mutation -------------------------------------------------------
-    def insert_row(self, row: Dict[str, SValue]):
+    def insert_row(self, row: Dict[str, SValue], obj: Optional[dict] = None):
         known = {c[0] for c in self.columns}
         for cname in row:
             if cname not in known:
                 raise RuntimeError_(f"column not found: '{cname}'")
         self.rows.append(row)
+        if obj is None:
+            obj = _undot({k: v.payload() if not v.is_null else None
+                          for k, v in row.items()})
+        self.objs.append(obj)
         self._relation_cache = None
+        self._reader_cache = None
 
     def add_column(self, coldef: ColumnDefinition):
         for flat in _flatten_columns([coldef]):
             if any(c[0] == flat[0] for c in self.columns):
                 raise RuntimeError_(f"column already exists: '{flat[0]}'")
             self.columns.append(flat)
+        self.column_defs.append(coldef)
         self._relation_cache = None
+        self._reader_cache = None
 
     def drop_column(self, name: str):
         if name in self.primary_key:
@@ -92,15 +110,30 @@ class MemoryTable:
         self.columns = [c for c in self.columns if c[0] != name]
         if len(self.columns) == before:
             raise RuntimeError_(f"column not found: '{name}'")
+        self.column_defs = [d for d in self.column_defs if d.column_name != name]
         self._relation_cache = None
+        self._reader_cache = None
 
     # -- reads ----------------------------------------------------------
+    def get_reader(self):
+        """Dremel-assembly reader over the raw records; only built for
+        tables with REPEATED columns (flat tables use to_relation)."""
+        if not self.has_repeated:
+            return None
+        if self._reader_cache is None:
+            from eventql_tpu.columnar.shredder import ShreddedTableReader
+
+            self._reader_cache = ShreddedTableReader(self.column_defs, self.objs)
+        return self._reader_cache
+
     def to_relation(self) -> Relation:
         if self._relation_cache is not None:
             return self._relation_cache
         n = len(self.rows)
         names, cols = [], []
-        for cname, ctype, _rep in self.columns:
+        for cname, ctype, rep in self.columns:
+            if rep:
+                continue  # repeated columns only exist on the nested path
             names.append(cname)
             if ctype == SType.STRING:
                 vals = []
@@ -156,6 +189,7 @@ class TableService(TableProvider):
             list(node.primary_key),
             node.partition_key,
             node.properties,
+            column_defs=list(node.columns),
         )
 
     def drop_table(self, table_name: str) -> None:
@@ -203,25 +237,44 @@ class TableService(TableProvider):
         if not isinstance(obj, dict):
             raise RuntimeError_("JSON insert requires an object")
         flat = {}
-
-        def walk(o, prefix=""):
-            for k, v in o.items():
-                if isinstance(v, dict):
-                    walk(v, prefix + k + ".")
-                else:
-                    flat[prefix + k] = v
-
-        walk(obj)
         table = self.tables.get(table_name)
         if table is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
         schema = {c[0]: c[1] for c in table.columns}
+        repeated_roots = _repeated_roots(table.column_defs)
+        record_prefixes = {
+            k.rsplit(".", 1)[0] for k in schema if "." in k
+        }
+
+        def walk2(o, prefix=""):
+            for k, v in o.items():
+                name = prefix + k
+                under_repeated = any(
+                    name == rr or name.startswith(rr + ".")
+                    for rr in repeated_roots
+                )
+                if name in schema:
+                    if under_repeated:
+                        continue  # handled by the shredder
+                    flat[name] = v
+                elif name in record_prefixes or any(
+                    c.startswith(name + ".") for c in schema
+                ):
+                    if under_repeated:
+                        continue
+                    if not isinstance(v, dict):
+                        raise RuntimeError_(
+                            f"expected object for record column '{name}'"
+                        )
+                    walk2(v, name + ".")
+                else:
+                    raise RuntimeError_(f"column not found: '{name}'")
+
+        walk2(obj)
         row = {}
         for k, v in flat.items():
-            if k not in schema:
-                raise RuntimeError_(f"column not found: '{k}'")
             row[k] = _coerce(_from_json(v), schema[k])
-        table.insert_row(row)
+        table.insert_row(row, obj=obj)
 
     # -- TableProvider interface ---------------------------------------
     def describe(self, table_name: str) -> Optional[TableInfo]:
@@ -238,6 +291,37 @@ class TableService(TableProvider):
         if table is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
         return table.to_relation()
+
+    def get_reader(self, table_name: str):
+        table = self.tables.get(table_name)
+        if table is None:
+            return None
+        return table.get_reader()
+
+
+def _undot(flat: Dict[str, object]) -> dict:
+    """{"a.b": 1} → {"a": {"b": 1}} (for shredding rows inserted via
+    SQL VALUES lists)."""
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        tgt = out
+        for p in parts[:-1]:
+            tgt = tgt.setdefault(p, {})
+        tgt[parts[-1]] = v
+    return out
+
+
+def _repeated_roots(defs, prefix="") -> List[str]:
+    """Dotted names of fields that are REPEATED (at any nesting)."""
+    out = []
+    for d in defs:
+        name = prefix + d.column_name
+        if d.repeated:
+            out.append(name)
+        if d.subcolumns is not None:
+            out.extend(_repeated_roots(d.subcolumns, name + "."))
+    return out
 
 
 def _from_json(v) -> SValue:
