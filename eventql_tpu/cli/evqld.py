@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--datadir", default=None, help="persist tables to this directory")
     ap.add_argument("--config_dir", default=None, help="cluster registry file")
     ap.add_argument("--server_name", default=None, help="this node's cluster id")
+    ap.add_argument(
+        "--statsd_addr", default=None, help="push stats to this statsd host:port"
+    )
     args = ap.parse_args(argv)
 
     host, _, port = args.listen_http.partition(":")
@@ -48,6 +51,17 @@ def main(argv=None):
         from eventql_tpu.db.lsm import DurableTableService
 
         table_service = DurableTableService(args.datadir)
+        table_service.start_compaction_worker()
+
+    statsd_agent = None
+    if args.statsd_addr:
+        from eventql_tpu.utils.stats import StatsdAgent, evqld_stats
+
+        evqld_stats()  # register the server counter set
+        shost, _, sport = args.statsd_addr.partition(":")
+        statsd_agent = StatsdAgent(
+            (shost or "127.0.0.1", int(sport or 8125))
+        ).start()
 
     query_provider_factory = None
     cdir = None
@@ -108,7 +122,10 @@ def main(argv=None):
                 server_status=SERVER_DOWN,
             )
         )
+    if statsd_agent is not None:
+        statsd_agent.stop()
     if args.datadir:
+        table_service.stop_compaction_worker()
         server.table_service.commit_all()
     native.stop()
     server.stop()

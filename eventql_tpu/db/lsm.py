@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -231,14 +232,48 @@ class DurableTableService(TableService):
     """TableService persisting to an on-disk datadir (the standalone
     evqld storage mode)."""
 
+    # compact once a table accumulates this many segments (the analog of
+    # SimpleCompactionStrategy's small-table threshold,
+    # db/compaction_strategy.cc:40-76)
+    COMPACT_SEGMENT_THRESHOLD = 8
+
     def __init__(self, datadir: str, arena_flush_rows: int = DEFAULT_ARENA_FLUSH_ROWS):
         super().__init__()
         self.datadir = datadir
         self.arena_flush_rows = arena_flush_rows
+        self._compaction_thread = None
+        self._compaction_stop = threading.Event()
         os.makedirs(datadir, exist_ok=True)
         for name in sorted(os.listdir(datadir)):
             if os.path.exists(os.path.join(datadir, name, "table.json")):
                 self.tables[name] = LSMTable.open(datadir, name)
+
+    # -- background compaction (reference: db/compaction_worker.cc —
+    # a worker thread drains a queue of partitions needing compaction;
+    # here a periodic sweep over tables past the segment threshold) ----
+    def start_compaction_worker(self, interval: float = 5.0):
+        from eventql_tpu.utils.stats import evqld_stats
+
+        def run():
+            while not self._compaction_stop.wait(interval):
+                pending = [
+                    t
+                    for t in list(self.tables.values())
+                    if len(t._segments) >= self.COMPACT_SEGMENT_THRESHOLD
+                ]
+                evqld_stats().compaction_queue_length.set(len(pending))
+                for t in pending:
+                    t.compact()
+                evqld_stats().compaction_queue_length.set(0)
+
+        self._compaction_thread = threading.Thread(target=run, daemon=True)
+        self._compaction_thread.start()
+
+    def stop_compaction_worker(self):
+        if self._compaction_thread:
+            self._compaction_stop.set()
+            self._compaction_thread.join(timeout=10)
+            self._compaction_thread = None
 
     def create_table(self, node) -> None:
         if node.table_name in self.tables:
@@ -258,6 +293,10 @@ class DurableTableService(TableService):
                     "first column in the PRIMARY KEY must be of type "
                     "DATETIME, STRING or UINT64"
                 )
+        if any(c[2] for c in columns):
+            raise RuntimeError_(
+                "REPEATED columns are not supported on durable tables yet"
+            )
         self.tables[node.table_name] = LSMTable(
             self.datadir,
             node.table_name,
