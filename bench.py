@@ -42,15 +42,22 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", 8))
 
     rng = np.random.default_rng(42)
-    gid = jnp.asarray(rng.integers(0, n_keys, n).astype(np.int32))
-    values = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+    gid_h = rng.integers(0, n_keys, n).astype(np.int32)
+    values_h = rng.integers(0, 1000, n).astype(np.uint64)
+    gid = jnp.asarray(gid_h)
+    values = jnp.asarray(values_h)
     threshold = jnp.uint64(800)
+    # column-statistics hint (a real planner reads min/max from cstable
+    # metadata): static bound on the value width picks the limb count
+    value_bits = max(8, int(values_h.max()).bit_length() + 1)
 
     @jax.jit
     def pipeline_many(gid, values, threshold):
         def body(i, acc):
             mask = values + i.astype(jnp.uint64) < threshold
-            counts, sums = pallas_sum_count(mask, gid, values, n_keys)
+            counts, sums = pallas_sum_count(
+                mask, gid, values, n_keys, value_bits=value_bits
+            )
             return acc + sums.sum() + counts.sum()
 
         return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))

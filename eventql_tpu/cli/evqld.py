@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument(
         "--statsd_addr", default=None, help="push stats to this statsd host:port"
     )
+    ap.add_argument(
+        "--auth_secret",
+        default=None,
+        help="require HMAC auth tokens signed with this secret",
+    )
     args = ap.parse_args(argv)
 
     host, _, port = args.listen_http.partition(":")
@@ -72,11 +77,18 @@ def main(argv=None):
             args.config_dir
         )
 
+    client_auth = None
+    if args.auth_secret:
+        from eventql_tpu.server.auth import LegacyClientAuth
+
+        client_auth = LegacyClientAuth(args.auth_secret)
+
     server = EventQLServer(
         table_service=table_service,
         host=host,
         port=port,
         query_provider_factory=query_provider_factory,
+        client_auth=client_auth,
     )
     server.start()
     native = NativeTCPServer(
@@ -84,6 +96,7 @@ def main(argv=None):
         host=nhost,
         port=nport,
         query_provider_factory=query_provider_factory,
+        client_auth=client_auth,
     ).start()
 
     if args.config_dir and args.server_name:

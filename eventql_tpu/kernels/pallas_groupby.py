@@ -113,6 +113,120 @@ def _agg_kernel(
         out_ref[1, :, :] = acc_hi[:, :]
 
 
+K2 = 128  # default lanes of the small one-hot (k2 = gid % k2)
+
+
+def _agg_kernel_v4(
+    gid_ref, lo_ref, hi_ref, mask_ref, out_ref, acc_lo, acc_hi,
+    *, k1, r_act, rows_pad, carry_every, k2
+):
+    """Factored one-hot kernel: gid = k1*128 + k2. Builds the (128, B)
+    one-hot of k2 once, and replicates the limb planes masked by the k1
+    bucket-group into a tall (k1*r_act, B) operand. One matmul
+    (rows, B) @ (B, 128) then covers all k1*128 buckets — ~K2/K of the
+    VPU compare work of a full-width one-hot, and an MXU tile that is
+    ~rows/128 utilized instead of r_act/128."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_lo[:, :] = jnp.zeros_like(acc_lo)
+        acc_hi[:, :] = jnp.zeros_like(acc_hi)
+
+    gid = gid_ref[0, :, :]  # (1, B) int32
+    lo = lo_ref[0, :, :]
+    hi = hi_ref[0, :, :]
+    m = mask_ref[0, :, :]
+
+    B = gid.shape[1]
+    mf = _i32_to_f32(m)
+
+    # base rows: count + value limbs (8-bit), masked by the filter
+    base = [mf]
+    nlimbs = r_act - 1
+    for j in range(nlimbs):
+        word = lo if j < 4 else hi
+        limb = (word >> (8 * (j % 4))) & 0xFF
+        base.append(_i32_to_f32(limb) * mf)
+
+    # bucket-group masks (k1 = gid // k2) and masked limb replication
+    shift = (k2 - 1).bit_length()
+    ghi = gid >> shift
+    rows = []
+    for j in range(k1):
+        gmask = jnp.where(ghi == j, jnp.float32(1), jnp.float32(0))
+        for r in base:
+            rows.append(r * gmask)
+    while len(rows) < rows_pad:
+        rows.append(jnp.zeros((1, B), jnp.float32))
+    limbs = jnp.concatenate(rows, axis=0)  # (rows_pad, B)
+
+    # one-hot of the low bits only: (k2, B)
+    glo = gid & (k2 - 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k2, B), 0)
+    onehot = jnp.where(glo == iota_k, jnp.float32(1), jnp.float32(0)).astype(
+        jnp.bfloat16
+    )
+
+    acc_lo[:, :] += jax.lax.dot_general(
+        limbs.astype(jnp.bfloat16),
+        onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(((i + 1) % carry_every == 0) | (i == nb - 1))
+    def _():
+        a = acc_lo[:, :]
+        t = jnp.floor(a * jnp.float32(1.0 / _CARRY_BASE))
+        acc_hi[:, :] += t
+        acc_lo[:, :] = a - t * jnp.float32(_CARRY_BASE)
+
+    @pl.when(i == nb - 1)
+    def _():
+        out_ref[0, :, :] = acc_lo[:, :]
+        out_ref[1, :, :] = acc_hi[:, :]
+
+
+def _call_kernel_v4(
+    gid_blocks, lo_blocks, hi_blocks, mask_blocks, k1, r_act, block, k2
+):
+    nb = gid_blocks.shape[0]
+    rows_pad = -(-(k1 * r_act) // 8) * 8
+    return pl.pallas_call(
+        functools.partial(
+            _agg_kernel_v4,
+            k1=k1,
+            r_act=r_act,
+            rows_pad=rows_pad,
+            carry_every=CARRY_EVERY,
+            k2=k2,
+        ),
+        interpret=jax.default_backend() != "tpu",
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, rows_pad, k2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, rows_pad, k2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows_pad, k2), jnp.float32),
+            pltpu.VMEM((rows_pad, k2), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * block * rows_pad * k2,
+            bytes_accessed=nb * block * 16 + 2 * rows_pad * k2 * 4,
+            transcendentals=0,
+        ),
+    )(gid_blocks, lo_blocks, hi_blocks, mask_blocks)
+
+
 def _call_kernel(gid_blocks, lo_blocks, hi_blocks, mask_blocks, num_buckets, block):
     nb = gid_blocks.shape[0]
     return pl.pallas_call(
@@ -143,16 +257,28 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, mask_blocks, num_buckets, blo
     )(gid_blocks, lo_blocks, hi_blocks, mask_blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("num_buckets", "block"))
+# the factored kernel's tall operand is capped to bound VMEM; beyond it
+# the full-width one-hot kernel takes over
+_V4_MAX_ROWS = 512
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_buckets", "block", "value_bits", "k2")
+)
 def pallas_sum_count(
     mask: jax.Array,
     gid: jax.Array,
     values: jax.Array,
     num_buckets: int,
     block: int = DEFAULT_BLOCK,
+    value_bits: int = 64,
+    k2: int = K2,
 ):
     """Fused filter + GROUP BY sum(values), count(*) for bounded keys
     (0 <= gid < num_buckets).
+
+    value_bits: static bound on the value width (a column-statistics
+    hint from the planner; 8..64). Fewer limb planes → less MXU work.
 
     Returns (counts u64[K], sums u64[K]). Exact for inputs up to ~2^36
     rows of limb mass (see module docstring).
@@ -162,13 +288,36 @@ def pallas_sum_count(
     pad = nb * block - n
 
     vals = values.astype(jnp.uint64)
-    lo = (vals & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
-    hi = (vals >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    # bitcast u64 → (n, 2) u32 words: no emulated 64-bit shifts
+    words = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    lo = words[:, 0].astype(jnp.int32)
+    hi = words[:, 1].astype(jnp.int32)
 
     gid_p = jnp.pad(gid.astype(jnp.int32), (0, pad)).reshape(nb, 1, block)
     lo_p = jnp.pad(lo, (0, pad)).reshape(nb, 1, block)
     hi_p = jnp.pad(hi, (0, pad)).reshape(nb, 1, block)
     mask_p = jnp.pad(mask, (0, pad)).astype(jnp.int32).reshape(nb, 1, block)
+
+    nlimbs = -(-max(1, min(value_bits, 64)) // 8)
+    r_act = 1 + nlimbs
+    k1 = -(-num_buckets // k2)
+
+    if k1 * r_act <= _V4_MAX_ROWS:
+        with jax.enable_x64(False):
+            out = _call_kernel_v4(
+                gid_p, lo_p, hi_p, mask_p, k1, r_act, block, k2
+            )
+        lo_t = out[0].astype(jnp.uint64)
+        hi_t = out[1].astype(jnp.uint64)
+        acc = hi_t * jnp.uint64(4096) + lo_t  # (rows_pad, k2)
+        acc = acc[: k1 * r_act].reshape(k1, r_act, k2)
+        counts = acc[:, 0, :].reshape(-1)[:num_buckets]
+        total = jnp.zeros((k1 * k2,), jnp.uint64)
+        for i in range(nlimbs):
+            total = total + (
+                acc[:, 1 + i, :].reshape(-1) << jnp.uint64(8 * i)
+            )
+        return counts, total[:num_buckets]
 
     with jax.enable_x64(False):
         out = _call_kernel(gid_p, lo_p, hi_p, mask_p, num_buckets, block)

@@ -58,7 +58,11 @@ class EventQLServer:
         host="127.0.0.1",
         port=9175,
         query_provider_factory=None,
+        client_auth=None,
     ):
+        from eventql_tpu.server.auth import TrustClientAuth
+
+        self.client_auth = client_auth or TrustClientAuth()
         self.table_service = table_service or TableService()
         # queries may run against a different provider than inserts —
         # cluster coordinators fan SQL out while writes stay local
@@ -108,6 +112,32 @@ class EventQLServer:
         parsed = urlparse(h.path)
         path = parsed.path
         params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+
+        # Authorization: "Token <t>" or "Basic <b64 user:pass>"
+        # (reference: transport/http/http_auth.cc:32-63)
+        from eventql_tpu.server.auth import AuthError
+
+        auth_data = {}
+        hdrval = h.headers.get("Authorization", "")
+        if hdrval.startswith("Token "):
+            from urllib.parse import unquote
+
+            auth_data["auth_token"] = unquote(hdrval[len("Token ") :])
+        elif hdrval.startswith("Basic "):
+            import base64 as _b64
+
+            try:
+                basic = _b64.b64decode(hdrval[len("Basic ") :]).decode()
+            except Exception:
+                basic = ""
+            user, sep, password = basic.partition(":")
+            auth_data["user"] = user
+            if sep:
+                auth_data["password"] = password
+        try:
+            self.client_auth.authenticate(auth_data)
+        except AuthError as e:
+            return self._json(h, 401, {"error": str(e)})
         try:
             if path in ("/api/v1/sql", "/api/v1/sql_stream"):
                 return self._handle_sql(h, params, payload)

@@ -137,14 +137,16 @@ class NativeTCPServer:
 
     def __init__(
         self, table_service, host="127.0.0.1", port=9176,
-        query_provider_factory=None,
+        query_provider_factory=None, client_auth=None,
     ):
         from eventql_tpu.exec.runtime import Runtime
+        from eventql_tpu.server.auth import TrustClientAuth
 
         self.table_service = table_service
         self.query_provider_factory = (
             query_provider_factory or (lambda: self.table_service)
         )
+        self.client_auth = client_auth or TrustClientAuth()
         self.runtime = Runtime()
         self.host = host
         self.port = port
@@ -199,6 +201,31 @@ class NativeTCPServer:
         _version, pos = read_lenencstr(payload, pos)
         _hflags, pos = read_varint(payload, pos)
         idle_timeout, pos = read_varint(payload, pos)
+
+        # authdata: varint length + "key\0value\0..." pairs
+        # (reference: transport/native/frames/hello.cc:97-110; auth check
+        # server.cc:156-185)
+        auth_data = {}
+        if pos < len(payload):
+            alen, pos = read_varint(payload, pos)
+            if alen:
+                parts = payload[pos : pos + alen].split(b"\x00")
+                pos += alen
+                for i in range(0, len(parts) - 1, 2):
+                    auth_data[parts[i].decode()] = parts[i + 1].decode()
+        from eventql_tpu.server.auth import AuthError
+
+        try:
+            self.client_auth.authenticate(auth_data)
+        except AuthError as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(str(e).encode("utf-8")),
+            )
+            return
+
         _send_frame(
             sock, OP_READY, 0, write_varint(0) + write_varint(idle_timeout)
         )
@@ -377,14 +404,28 @@ class NativeTCPClient:
     """Blocking client (reference: transport/native/client_tcp.h:39
     TCPClient + the C client library's flow, client.c)."""
 
-    def __init__(self, host: str, port: int, database: str = ""):
+    def __init__(
+        self, host: str, port: int, database: str = "",
+        auth_token: str = "", user: str = "", password: str = "",
+    ):
         self.sock = socket.create_connection((host, port))
+        auth_pairs = []
+        if auth_token:
+            auth_pairs += ["auth_token", auth_token]
+        if user:
+            auth_pairs += ["user", user]
+        if password:
+            auth_pairs += ["password", password]
+        if database:
+            auth_pairs += ["database", database]
+        authdata = b"\x00".join(p.encode() for p in auth_pairs)
         payload = (
             write_varint(1)
             + write_lenencstr(b"eventql_tpu v0.1")
             + write_varint(0)
             + write_varint(0)
-            + write_varint(0)
+            + write_varint(len(authdata))
+            + authdata
         )
         _send_frame(self.sock, OP_HELLO, 0, payload)
         opcode, _f, body = _recv_frame(self.sock)
