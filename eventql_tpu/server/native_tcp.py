@@ -253,12 +253,30 @@ class NativeTCPServer:
                     write_lenencstr(b"invalid opcode"),
                 )
 
+    # reference: the server emits heartbeat frames while a query runs so
+    # idle timeouts don't kill long queries (session heartbeat_interval,
+    # transport/native/connection_tcp.cc)
+    HEARTBEAT_INTERVAL = 1.0
+
     def _handle_query(self, sock, payload):
         pos = 0
         query, pos = read_lenencstr(payload, pos)
         qflags, pos = read_varint(payload, pos)
         _maxrows, pos = read_varint(payload, pos)
 
+        send_lock = threading.Lock()
+        done = threading.Event()
+
+        def heartbeats():
+            while not done.wait(self.HEARTBEAT_INTERVAL):
+                try:
+                    with send_lock:
+                        _send_frame(sock, OP_HEARTBEAT, 0, b"")
+                except OSError:
+                    return
+
+        hb = threading.Thread(target=heartbeats, daemon=True)
+        hb.start()
         try:
             provider = (
                 self.table_service
@@ -269,6 +287,8 @@ class NativeTCPServer:
             plan = self.runtime.build_query_plan(txn, query.decode("utf-8"))
             results = [plan.execute(i) for i in range(plan.num_queries)]
         except SQLError as e:
+            done.set()
+            hb.join()
             _send_frame(
                 sock,
                 OP_ERROR,
@@ -276,6 +296,8 @@ class NativeTCPServer:
                 write_lenencstr(e.message.encode("utf-8")),
             )
             return
+        done.set()
+        hb.join()
 
         num = len(results)
         for i, result in enumerate(results):

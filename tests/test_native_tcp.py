@@ -52,3 +52,45 @@ def test_insert_and_query(server):
     results = c.query("select sum(v) from ev;")
     assert results[0][1] == [["42"]]
     c.close()
+
+
+def test_heartbeats_during_slow_query():
+    """The server emits HEARTBEAT frames while a query executes so long
+    queries survive client idle timeouts (reference: session heartbeat
+    in transport/native/connection_tcp.cc)."""
+    import time
+
+    from eventql_tpu.server import native_tcp as nt
+
+    class SlowService(TableService):
+        def get_table_data(self, table_name):
+            time.sleep(0.35)
+            return super().get_table_data(table_name)
+
+    svc = SlowService()
+    server = NativeTCPServer(svc, port=0)
+    server.HEARTBEAT_INTERVAL = 0.1
+    server.start()
+    try:
+        c = NativeTCPClient("127.0.0.1", server.port)
+        c.query("CREATE TABLE ev (t uint64, PRIMARY KEY (t));")
+        c.insert_json("ev", ['{"t": 1}'])
+        # issue the query manually and count heartbeat frames
+        payload = (
+            nt.write_lenencstr(b"select count(1) from ev;")
+            + nt.write_varint(0)
+            + nt.write_varint(0)
+        )
+        nt._send_frame(c.sock, nt.OP_QUERY, 0, payload)
+        heartbeats = 0
+        while True:
+            opcode, flags, body = nt._recv_frame(c.sock)
+            if opcode == nt.OP_HEARTBEAT:
+                heartbeats += 1
+                continue
+            assert opcode == nt.OP_QUERY_RESULT
+            break
+        assert heartbeats >= 2
+        c.close()
+    finally:
+        server.stop()
