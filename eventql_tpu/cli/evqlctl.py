@@ -46,7 +46,7 @@ def _table(headers, rows, out):
 
 
 def cmd_cluster_create(cdir, args, out):
-    cdir.cluster_create(args.cluster_name)
+    cdir.cluster_create(args.cluster_name, args.replication_factor)
     out.write("cluster created\n")
 
 
@@ -119,22 +119,30 @@ def cmd_table_config_set(cdir, args, out):
 
 
 def cmd_table_split(cdir, args, out):
-    # records the split intent in the registry (the reference enqueues a
-    # SPLIT_PARTITION metadata operation, table_split.cc:113-171)
-    cdir.update_table_config(
-        args.database or "default",
-        args.table_name,
-        {"split_pending": args.partition_id, "split_point": args.split_point},
+    """Split a partition's keyrange at split_point (the reference
+    enqueues a SPLIT_PARTITION metadata op, table_split.cc:113-171; in
+    the standalone registry the split applies immediately — replicas
+    keep the full keyrange, so no data moves and queries scope by the
+    new ranges)."""
+    from eventql_tpu.db.metadata import TableMetadata
+
+    db = args.database or "default"
+    cfg = cdir.get_table_config(db, args.table_name)
+    if not cfg or "metadata" not in cfg:
+        raise RuntimeError_(f"table not found: {args.table_name}")
+    meta = TableMetadata.from_json(cfg["metadata"])
+    split_point = (
+        int(args.split_point)
+        if meta.keyspace == "uint64"
+        else args.split_point
     )
-    out.write(f"split enqueued for partition {args.partition_id}\n")
+    meta.split(args.partition_id, split_point)
+    cdir.update_table_config(db, args.table_name, {"metadata": meta.to_json()})
+    out.write(f"split applied to partition {args.partition_id}\n")
 
 
 def cmd_table_split_finalize(cdir, args, out):
-    cdir.update_table_config(
-        args.database or "default",
-        args.table_name,
-        {"split_pending": None, "split_point": None},
-    )
+    # standalone splits apply immediately; finalize is a no-op ack
     out.write(f"split finalized for partition {args.partition_id}\n")
 
 
@@ -176,6 +184,7 @@ def main(argv=None):
 
     p = sub.add_parser("cluster-create", help="Create a new cluster.")
     p.add_argument("--cluster_name", default="default")
+    p.add_argument("--replication_factor", type=int, default=1)
 
     p = sub.add_parser(
         "cluster-add-server", help="Add a server to an existing cluster."

@@ -71,11 +71,15 @@ class ConfigDirectory:
             return json.load(f)
 
     # -- cluster ---------------------------------------------------------
-    def cluster_create(self, name: str = "default"):
+    def cluster_create(self, name: str = "default", replication_factor: int = 1):
         def fn(doc):
             if doc["cluster"] is not None:
                 raise RuntimeError_("cluster already exists")
-            doc["cluster"] = {"name": name, "created": int(time.time())}
+            doc["cluster"] = {
+                "name": name,
+                "created": int(time.time()),
+                "replication_factor": int(replication_factor),
+            }
 
         self._mutate(fn)
 

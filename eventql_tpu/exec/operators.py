@@ -141,6 +141,10 @@ def _exec_seqscan(node: qn.SequentialScanNode, txn) -> Relation:
 
 
 def _exec_seqscan_relation(node: qn.SequentialScanNode, table: Relation) -> Relation:
+    # partition scoping: keep only rows inside the assigned keyrange
+    # (reference: partition cursors bound the scan by keyrange)
+    if node.keyrange is not None:
+        table = _apply_keyrange(table, node.keyrange)
 
     # project the scan's input columns by name
     input_cols: List[Column] = []
@@ -164,6 +168,29 @@ def _exec_seqscan_relation(node: qn.SequentialScanNode, table: Relation) -> Rela
     if mask is not None:
         rel = rel.gather(np.nonzero(mask)[0])
     return rel
+
+
+def _apply_keyrange(table: Relation, keyrange) -> Relation:
+    col_name, begin, end = keyrange
+    name_to_col = dict(zip(table.names, table.columns))
+    if col_name not in name_to_col:
+        raise RuntimeError_(f"column(s) not found: '{col_name}'")
+    col = name_to_col[col_name]
+    keep = np.ones(table.num_rows, dtype=bool)
+    if col.stype == SType.STRING:
+        vals = col.dictionary[col.data].astype(object)
+        if begin != "":
+            keep &= vals >= str(begin).encode()
+        if end != "":
+            keep &= vals < str(end).encode()
+    else:
+        if begin != "":
+            keep &= col.data >= np.uint64(int(begin)).astype(col.data.dtype)
+        if end != "":
+            keep &= col.data < np.uint64(int(end)).astype(col.data.dtype)
+    if keep.all():
+        return table
+    return table.gather(np.nonzero(keep)[0])
 
 
 def _exec_select_expression(node: qn.SelectExpressionNode, txn) -> Relation:

@@ -155,8 +155,19 @@ class ClusterTableProvider(TableProvider):
     """Routes queries to worker processes that own table shards
     (reference: TSDBTableProvider + metadata partition lookup)."""
 
-    def __init__(self, workers: List[Tuple[str, int]]):
+    def __init__(
+        self,
+        workers: List[Tuple[str, int]],
+        cdir=None,
+        server_map: Optional[Dict[str, Tuple[str, int]]] = None,
+    ):
         self.workers = list(workers)
+        # cluster registry + server_id → address book enable the
+        # metadata tier: partition-routed writes with replication and
+        # one-replica-per-partition reads (absent → every worker owns
+        # its local rows and queries fan to all of them)
+        self.cdir = cdir
+        self.server_map = dict(server_map or {})
         self._clients: Dict[Tuple[str, int], object] = {}
         self._rr = 0  # round-robin insert cursor
 
@@ -181,7 +192,8 @@ class ClusterTableProvider(TableProvider):
                 results = self._client(addr).query(
                     f"describe `{table_name}`;", local=True
                 )
-            except SQLError:
+            except (OSError, ConnectionError, SQLError):
+                self._clients.pop(addr, None)
                 continue
             _cols, rows = results[0]
             name_map = {v: k for k, v in _TYPENAMES.items()}
@@ -198,7 +210,8 @@ class ClusterTableProvider(TableProvider):
                 results = self._client(addr).query("show tables;", local=True)
                 for row in results[0][1]:
                     names.add(row[0])
-            except SQLError:
+            except (OSError, ConnectionError, SQLError):
+                self._clients.pop(addr, None)
                 continue
         return [self.describe(n) for n in sorted(names)]
 
@@ -220,23 +233,102 @@ class ClusterTableProvider(TableProvider):
             )
         return rows
 
-    # -- DDL / DML broadcast -------------------------------------------
-    # (reference: ddl statements run through the metadata service and
-    # reach every node; inserts route to a partition owner. Here DDL is
-    # broadcast to all workers and inserts round-robin across them.)
+    # -- partition metadata --------------------------------------------
+    def _table_metadata(self, table_name: str):
+        from eventql_tpu.db.metadata import TableMetadata
+
+        if self.cdir is None:
+            return None
+        cfg = self.cdir.get_table_config("default", table_name)
+        if not cfg or "metadata" not in cfg:
+            return None
+        return TableMetadata.from_json(cfg["metadata"])
+
+    def _replication_factor(self) -> int:
+        if self.cdir is None:
+            return 1
+        cc = self.cdir.get_cluster_config() or {}
+        return int(cc.get("replication_factor", 1))
+
+    def _addr_of(self, server_id: str) -> Optional[Tuple[str, int]]:
+        return self.server_map.get(server_id)
+
+    # -- DDL / DML -----------------------------------------------------
+    # DDL broadcasts to every node (the reference pushes table configs
+    # through the metadata service); inserts route by partition key to
+    # all replicas of the owning partition with majority confirmation
+    # (reference: table_service.cc:933-1058).
     def create_table(self, node: qn.CreateTableNode):
+        from eventql_tpu.db.metadata import (
+            KEYSPACE_STRING,
+            KEYSPACE_UINT64,
+            TableMetadata,
+        )
+
         sql = create_table_sql(node)
         for addr in self.workers:
             self._client(addr).query(sql, local=True)
+
+        if self.cdir is not None and node.primary_key and self.server_map:
+            pk = node.primary_key[0]
+            pk_type = ""
+            for cd in node.columns:
+                if cd.column_name == pk:
+                    pk_type = cd.column_type.upper()
+            keyspace = (
+                KEYSPACE_STRING
+                if pk_type == "STRING"
+                else KEYSPACE_UINT64
+            )
+            sids = sorted(self.server_map)
+            nrepl = min(max(1, self._replication_factor()), len(sids))
+            meta = TableMetadata.initial(
+                keyspace, pk, node.table_name, sids[:nrepl]
+            )
+            self.cdir.update_table_config(
+                "default", node.table_name, {"metadata": meta.to_json()}
+            )
 
     def drop_table(self, table_name: str):
         for addr in self.workers:
             self._client(addr).query(f"drop table `{table_name}`;", local=True)
 
     def insert_json(self, table_name: str, json_data: str):
-        addr = self.workers[self._rr % len(self.workers)]
-        self._rr += 1
-        self._client(addr).insert_json(table_name, [json_data])
+        import json as _json
+
+        meta = self._table_metadata(table_name)
+        if meta is None:
+            addr = self.workers[self._rr % len(self.workers)]
+            self._rr += 1
+            self._client(addr).insert_json(table_name, [json_data], local=True)
+            return
+
+        record = _json.loads(json_data)
+        key = record.get(meta.partition_key)
+        if key is None:
+            raise RuntimeError_(f"missing field: {meta.partition_key}")
+        entry = meta.lookup(key)
+
+        # write every replica; require majority confirmations
+        # (EVQL_CLEVEL_WRITE_RELAXED semantics, table_service.cc:1036-48)
+        nconf = 0
+        for sid in entry.servers:
+            addr = self._addr_of(sid)
+            if addr is None:
+                continue
+            try:
+                client = self._client(addr)
+                client.insert_json(table_name, [json_data], local=True)
+                nconf += 1
+            except (OSError, SQLError, ConnectionError):
+                self._clients.pop(addr, None)
+        required = (len(entry.servers) + 1) // 2
+        if nconf < required:
+            raise RuntimeError_(
+                "couldn't perform enough replica writes for the requested"
+                f" consistency level; only {nconf} out of {required}"
+                " (required) writes succeeded"
+            )
 
     def insert(self, table_name: str, columns, values):
         record = {}
@@ -274,17 +366,16 @@ class ClusterTableProvider(TableProvider):
         scan.output_columns = [c[0] for c in info.columns]
         plan_data = encode_plan(scan)
 
-        def one(addr):
+        def fetch(addr, payload):
             client = NativeTCPClient(addr[0], addr[1])
             try:
-                return relation_from_bytes(client.query_remote(plan_data))
+                return relation_from_bytes(client.query_remote(payload))
             finally:
                 client.close()
 
-        with concurrent.futures.ThreadPoolExecutor(
-            max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
-        ) as pool:
-            shards = list(pool.map(one, self.workers))
+        shards = self._per_partition(
+            table_name, plan_data, fetch, scan_key="keyrange"
+        )
 
         names = shards[0].names
         cols = [
@@ -292,6 +383,53 @@ class ClusterTableProvider(TableProvider):
             for i in range(len(names))
         ]
         return Relation(names, cols, sum(sh.num_rows for sh in shards))
+
+    # -- partition fan-out ---------------------------------------------
+    def _per_partition(self, table_name, plan_data, fetch, scan_key):
+        """Run `fetch(addr, payload)` once per partition (keyrange-scoped
+        plan, first live replica; failover down the placement list), or
+        once per worker when the table has no partition metadata."""
+        import copy
+        import json as _json
+
+        meta = self._table_metadata(table_name)
+        if meta is None:
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
+            ) as pool:
+                return list(
+                    pool.map(lambda a: fetch(a, plan_data), self.workers)
+                )
+
+        base = _json.loads(plan_data)
+        jobs = []
+        for entry in meta.entries:
+            begin, end = meta.keyrange(entry.partition_id)
+            d = copy.deepcopy(base)
+            target = d["table"] if scan_key == "table" else d
+            target["keyrange"] = [meta.partition_key, begin, end]
+            jobs.append((entry, _json.dumps(d)))
+
+        def one(job):
+            entry, payload = job
+            last_err = None
+            for sid in entry.servers:
+                addr = self._addr_of(sid)
+                if addr is None:
+                    continue
+                try:
+                    return fetch(addr, payload)
+                except (OSError, ConnectionError) as e:
+                    last_err = e  # replica down: fail over to the next
+            raise SQLError(
+                f"no live replica for partition {entry.partition_id}"
+                + (f" ({last_err})" if last_err else "")
+            )
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(len(jobs), MAX_CONCURRENT_SHARDS)
+        ) as pool:
+            return list(pool.map(one, jobs))
 
     # -- distributed execution -----------------------------------------
     def execute_partial_aggregate(self, node: qn.GroupByNode):
@@ -309,19 +447,17 @@ class ClusterTableProvider(TableProvider):
         # emit exprs/agg calls (no data)
         template = _make_template_partial(node)
 
-        def one(addr):
+        def fetch(addr, payload):
             client = NativeTCPClient(addr[0], addr[1])
             try:
-                raw = client.query_partialaggr(plan_data)
+                raw = client.query_partialaggr(payload)
             finally:
                 client.close()
             return partial_from_bytes(raw, template)
 
-        with concurrent.futures.ThreadPoolExecutor(
-            max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
-        ) as pool:
-            partials = list(pool.map(one, self.workers))
-
+        partials = self._per_partition(
+            node.table.table_name, plan_data, fetch, scan_key="table"
+        )
         return _merge_partials(node, partials)
 
 
@@ -395,7 +531,16 @@ def create_table_sql(node: qn.CreateTableNode) -> str:
 
 def cluster_provider_from_config(config_dir_path: str) -> "ClusterTableProvider":
     """Build the coordinator's fan-out provider from the standalone
-    config directory's live-server list."""
-    from eventql_tpu.config.config_directory import ConfigDirectory
+    config directory: live-worker list plus the server_id address book
+    and the registry handle for partition metadata."""
+    from eventql_tpu.config.config_directory import SERVER_UP, ConfigDirectory
 
-    return ClusterTableProvider(ConfigDirectory(config_dir_path).worker_addrs())
+    cdir = ConfigDirectory(config_dir_path)
+    server_map = {}
+    for s in cdir.list_servers():
+        if s.server_status == SERVER_UP and s.server_addr:
+            host, _, port = s.server_addr.rpartition(":")
+            server_map[s.server_id] = (host or "127.0.0.1", int(port))
+    return ClusterTableProvider(
+        cdir.worker_addrs(), cdir=cdir, server_map=server_map
+    )

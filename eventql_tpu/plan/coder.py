@@ -127,6 +127,7 @@ def encode_scan(node: qn.SequentialScanNode) -> dict:
         "output_columns": node.output_columns,
         "where": encode_expr(node.where_expr) if node.where_expr else None,
         "strategy": node.aggr_strategy,
+        "keyrange": list(node.keyrange) if node.keyrange else None,
     }
 
 
@@ -143,6 +144,8 @@ def decode_scan(d: dict) -> qn.SequentialScanNode:
     node.output_columns = list(d["output_columns"])
     node.where_expr = decode_expr(d["where"]) if d["where"] else None
     node.aggr_strategy = d["strategy"]
+    kr = d.get("keyrange")
+    node.keyrange = tuple(kr) if kr else None
     return node
 
 

@@ -90,6 +90,11 @@ class SequentialScanNode(TableExpressionNode):
         self.output_columns: List[str] = []
         self.where_expr: Optional[ValueExpressionNode] = None
         self.aggr_strategy = self.NO_AGGREGATION
+        # partition scoping for distributed execution: restrict the scan
+        # to rows with begin <= column < end ("" = unbounded); set by the
+        # coordinator when it picks one replica per partition
+        # (reference: per-partition subtrees, server/sql/scheduler.cc)
+        self.keyrange: Optional[tuple] = None  # (column, begin, end)
 
     # -- naming ---------------------------------------------------------
     def normalize_column_name(self, column_name: str) -> str:

@@ -68,6 +68,9 @@ QR_HASCOLNAMES = 0x4
 QR_PENDINGSTMT = 0x8
 
 INSERT_CTYPE_JSON = 0x01
+# extension: insert into this node's local tables only (no partition
+# routing) — set on coordinator-to-replica writes
+INSERT_LOCALONLY = 0x40
 
 
 # -- varint / lenencstr codecs ---------------------------------------------
@@ -163,10 +166,14 @@ class NativeTCPServer:
                 except (ConnectionError, OSError):
                     pass
 
-        socketserver.ThreadingTCPServer.allow_reuse_address = True
-        self._server = socketserver.ThreadingTCPServer(
-            (self.host, self.port), Handler
-        )
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            # connection threads must not block shutdown: a peer holding
+            # a pooled connection open would wedge server_close()'s join
+            daemon_threads = True
+            block_on_close = False
+
+        self._server = Server((self.host, self.port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
@@ -179,8 +186,12 @@ class NativeTCPServer:
             self._server.shutdown()
             self._server.server_close()
 
+    # server-side idle timeout (reference: server.c2s_idle_timeout)
+    IDLE_TIMEOUT = 300.0
+
     # -- connection loop ------------------------------------------------
     def _handle_connection(self, sock):
+        sock.settimeout(self.IDLE_TIMEOUT)
         # handshake: expect HELLO, answer READY
         opcode, flags, payload = _recv_frame(sock)
         if opcode != OP_HELLO:
@@ -403,9 +414,17 @@ class NativeTCPServer:
         try:
             if encoding != INSERT_CTYPE_JSON:
                 raise SQLError("unsupported record encoding")
+            # clustered nodes route inserts by partition key (with
+            # replica writes) unless the sender asked for local-only —
+            # coordinator-to-replica writes must not re-route
+            target = self.table_service
+            if not iflags & INSERT_LOCALONLY:
+                provider = self.query_provider_factory()
+                if hasattr(provider, "insert_json"):
+                    target = provider
             for _ in range(count):
                 rec, pos = read_lenencstr(payload, pos)
-                self.table_service.insert_json(
+                target.insert_json(
                     table.decode("utf-8"), rec.decode("utf-8")
                 )
         except SQLError as e:
@@ -499,9 +518,9 @@ class NativeTCPClient:
             if qflags & QR_COMPLETE or flags & F_ENDOFREQUEST:
                 return results
 
-    def insert_json(self, table: str, records):
+    def insert_json(self, table: str, records, local: bool = False):
         body = bytearray()
-        body += write_varint(0)
+        body += write_varint(INSERT_LOCALONLY if local else 0)
         body += write_lenencstr(b"")
         body += write_lenencstr(table.encode("utf-8"))
         body += write_varint(INSERT_CTYPE_JSON)

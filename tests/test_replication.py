@@ -1,0 +1,177 @@
+"""Partition metadata, replicated writes, and replica failover
+(reference: db/metadata_file.h partition map, table_service.cc
+933-1058 majority-ack replica writes, server/sql/scheduler.cc
+per-partition keyrange-scoped subqueries)."""
+
+import json
+
+import pytest
+
+from eventql_tpu.config.config_directory import (
+    SERVER_UP,
+    ConfigDirectory,
+    ServerConfig,
+)
+from eventql_tpu.core.errors import RuntimeError_, SQLError
+from eventql_tpu.db.metadata import TableMetadata
+from eventql_tpu.db.table_service import TableService
+from eventql_tpu.exec.runtime import Runtime
+from eventql_tpu.parallel.cluster import cluster_provider_from_config
+from eventql_tpu.server.native_tcp import NativeTCPClient, NativeTCPServer
+
+
+def test_metadata_lookup_and_split():
+    meta = TableMetadata.initial("uint64", "t", "ev", ["a", "b"])
+    assert meta.lookup(0).servers == ["a", "b"]
+    pid = meta.entries[0].partition_id
+    meta.split(pid, 100)
+    assert len(meta.entries) == 2
+    assert meta.lookup(99).partition_id == pid
+    assert meta.lookup(100).partition_id != pid
+    assert meta.keyrange(pid) == ("", 100)
+    assert meta.keyrange(meta.entries[1].partition_id) == (100, "")
+    # round-trip
+    back = TableMetadata.from_json(meta.to_json())
+    assert [e.begin for e in back.entries] == ["", 100]
+    with pytest.raises(RuntimeError_):
+        meta.split(pid, 500)  # outside [ -inf, 100 )
+
+
+@pytest.fixture
+def cluster3(tmp_path):
+    """3 workers registered in a config dir with replication factor 2."""
+    cfg = str(tmp_path / "cluster.json")
+    cdir = ConfigDirectory(cfg)
+    cdir.cluster_create("test", replication_factor=2)
+    servers = []
+    for i in range(3):
+        svc = TableService()
+        server = NativeTCPServer(svc, port=0)
+        server.query_provider_factory = lambda: cluster_provider_from_config(cfg)
+        server.start()
+        cdir.update_server_config(
+            ServerConfig(f"node{i+1}", f"127.0.0.1:{server.port}", SERVER_UP)
+        )
+        servers.append(server)
+    yield cfg, cdir, servers
+    for s in servers:
+        s.stop()
+
+
+def _provider(cfg):
+    return cluster_provider_from_config(cfg)
+
+
+def test_replicated_insert_and_partition_query(cluster3):
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+
+    # metadata registered: one partition on 2 of 3 servers
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    assert len(meta.entries) == 1
+    assert len(meta.entries[0].servers) == 2
+
+    for i in range(20):
+        p.insert_json("ev", json.dumps({"t": i, "v": i}))
+
+    # rows landed on BOTH replicas (replication), none on the third
+    owners = set(meta.entries[0].servers)
+    for i, server in enumerate(servers):
+        nrows = server.table_service.get_table_data("ev").num_rows
+        if f"node{i+1}" in owners:
+            assert nrows == 20
+        else:
+            assert nrows == 0
+
+    # distributed query returns each row exactly once (no double count)
+    txn = rt.new_transaction(p)
+    plan = rt.build_query_plan(txn, "select count(1), sum(v) from ev;")
+    assert plan.execute(0).rows == [["20", str(sum(range(20)))]]
+    p.close()
+
+
+def test_split_scopes_queries(cluster3):
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    for i in range(10):
+        p.insert_json("ev", json.dumps({"t": i, "v": 1}))
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    meta.split(meta.entries[0].partition_id, 5)
+    cdir.update_table_config("default", "ev", {"metadata": meta.to_json()})
+
+    # two partitions now; query still counts every row exactly once
+    p2 = _provider(cfg)
+    txn = rt.new_transaction(p2)
+    plan = rt.build_query_plan(txn, "select count(1) from ev;")
+    assert plan.execute(0).rows == [["10"]]
+
+    # inserts after the split route by the new ranges
+    p2.insert_json("ev", json.dumps({"t": 7, "v": 1}))
+    txn = rt.new_transaction(p2)
+    assert rt.build_query_plan(txn, "select count(1) from ev;").execute(
+        0
+    ).rows == [["11"]]
+    p.close()
+    p2.close()
+
+
+def test_replica_failover(cluster3):
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    for i in range(12):
+        p.insert_json("ev", json.dumps({"t": i, "v": 2}))
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    first_owner = meta.entries[0].servers[0]
+    idx = int(first_owner[len("node") :]) - 1
+    servers[idx].stop()  # kill the primary replica
+
+    # queries fail over to the surviving replica: full results
+    p2 = _provider(cfg)
+    txn = rt.new_transaction(p2)
+    plan = rt.build_query_plan(txn, "select count(1), sum(v) from ev;")
+    assert plan.execute(0).rows == [["12", "24"]]
+
+    # writes still meet majority (1 of 2 required)
+    p2.insert_json("ev", json.dumps({"t": 100, "v": 2}))
+    txn = rt.new_transaction(p2)
+    assert rt.build_query_plan(txn, "select count(1) from ev;").execute(
+        0
+    ).rows == [["13"]]
+    p.close()
+    p2.close()
+
+
+def test_insert_missing_pk_errors(cluster3):
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    with pytest.raises(SQLError, match="missing field: t"):
+        p.insert_json("ev", json.dumps({"v": 5}))
+    p.close()
