@@ -90,7 +90,9 @@ def main(argv=None):
         query_provider_factory=query_provider_factory,
         client_auth=client_auth,
     )
-    server.start()
+    # the primary port sniffs the first byte and serves BOTH protocols
+    # (reference: server/listener.cc); a native-only port also listens
+    server.start(bind=False)
     native = NativeTCPServer(
         server.table_service,
         host=nhost,
@@ -98,6 +100,11 @@ def main(argv=None):
         query_provider_factory=query_provider_factory,
         client_auth=client_auth,
     ).start()
+
+    from eventql_tpu.server.listener import Listener
+
+    listener = Listener(server, native, host=host, port=port).start()
+    server.port = listener.port
 
     if args.config_dir and args.server_name:
         from eventql_tpu.config.config_directory import (
@@ -140,6 +147,7 @@ def main(argv=None):
     if args.datadir:
         table_service.stop_compaction_worker()
         server.table_service.commit_all()
+    listener.stop()
     native.stop()
     server.stop()
     return 0

@@ -67,9 +67,14 @@ class MapReduceService:
         self,
         table_service,
         max_concurrent_tasks: int = DEFAULT_MAX_CONCURRENT_TASKS,
+        spill_dir=None,
     ):
         self.table_service = table_service
         self.max_concurrent_tasks = max_concurrent_tasks
+        # result files: task outputs spill to sstable files like the
+        # reference (mapreduce_service.cc:177 writes each task result as
+        # an sstable; downstream tasks read cursors over them)
+        self.spill_dir = spill_dir
         self.results: Dict[str, List[Tuple[str, str]]] = {}
 
     # -- task primitives (reference: mapreduce/tasks/) ------------------
@@ -165,8 +170,30 @@ class MapReduceService:
         else:
             raise RuntimeError_(f"unknown mapreduce op: '{op}'")
 
+        if self.spill_dir is not None:
+            out = self._spill_roundtrip(name, out)
         cache[name] = out
         return out
+
+    def _spill_roundtrip(self, name, pairs):
+        """Persist a task result as an sstable file and read it back
+        (reference: result ids map to sstable files,
+        mapreduce_service.cc:442-462)."""
+        import os as _os
+        import uuid as _uuid
+
+        from eventql_tpu.columnar.sstable import SSTableReader, SSTableWriter
+
+        _os.makedirs(self.spill_dir, exist_ok=True)
+        path = _os.path.join(
+            self.spill_dir, f"mr-{name}-{_uuid.uuid4().hex[:12]}.sst"
+        )
+        w = SSTableWriter(path, userdata=name.encode())
+        for k, v in pairs:
+            w.append(k.encode(), v.encode())
+        w.finalize()
+        r = SSTableReader(path)
+        return [(k.decode(), v.decode()) for k, v in r.cursor()]
 
     # -- helpers --------------------------------------------------------
     def _table_shards(self, table_name: str):

@@ -77,7 +77,7 @@ class EventQLServer:
         self._thread: Optional[threading.Thread] = None
 
     # -- lifecycle ------------------------------------------------------
-    def start(self):
+    def start(self, bind: bool = True):
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -96,15 +96,30 @@ class EventQLServer:
                     payload = {}
                 server.handle(self, payload)
 
-        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
-        self.port = self._httpd.server_address[1]
-        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
-        self._thread.start()
+        if bind:
+            self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+            self.port = self._httpd.server_address[1]
+            self._thread = threading.Thread(
+                target=self._httpd.serve_forever, daemon=True
+            )
+            self._thread.start()
+        else:
+            # dispatch mode: an external Listener owns the socket and
+            # hands accepted connections to handle_socket()
+            self._httpd = ThreadingHTTPServer(
+                (self.host, 0), Handler, bind_and_activate=False
+            )
         return self
+
+    def handle_socket(self, conn, addr):
+        """Serve one already-accepted connection (used by the unified
+        protocol-sniffing Listener, server/listener.py)."""
+        self._httpd.RequestHandlerClass(conn, addr, self._httpd)
 
     def stop(self):
         if self._httpd:
-            self._httpd.shutdown()
+            if self._thread is not None:
+                self._httpd.shutdown()
             self._httpd.server_close()
 
     # -- request handling ----------------------------------------------
