@@ -720,11 +720,15 @@ def _sort_key_arrays(col: Column) -> np.ndarray:
 
 def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:
     child = execute_node(node.table, txn)
+    return _order_relation(child, node.sort_specs)
+
+
+def _order_relation(child: Relation, sort_specs) -> Relation:
     n = child.num_rows
     ctx = EvalContext(child.columns, n)
 
     keys = []
-    for spec in node.sort_specs:
+    for spec in sort_specs:
         col = evaluate_vector(spec.expr, ctx)
         k = _sort_key_arrays(col)
         if spec.descending:
@@ -744,6 +748,16 @@ def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:
 
 
 def _exec_limit(node: qn.LimitNode, txn) -> Relation:
+    # cluster tier: push LIMIT [+ ORDER BY] to the workers — each
+    # returns its top offset+limit candidates, the coordinator re-sorts
+    # the merged candidates and slices (the distributed top-k)
+    from eventql_tpu.parallel.cluster import ClusterTableProvider
+
+    if isinstance(txn.tables, ClusterTableProvider):
+        result = txn.tables.execute_pushdown_limit(node)
+        if result is not None:
+            return result
+
     child = execute_node(node.table, txn)
     lo = node.offset
     hi = node.offset + node.limit

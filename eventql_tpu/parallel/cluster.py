@@ -406,7 +406,9 @@ class ClusterTableProvider(TableProvider):
         for entry in meta.entries:
             begin, end = meta.keyrange(entry.partition_id)
             d = copy.deepcopy(base)
-            target = d["table"] if scan_key == "table" else d
+            target = d
+            while target.get("t") != "seqscan":
+                target = target["table"]
             target["keyrange"] = [meta.partition_key, begin, end]
             jobs.append((entry, _json.dumps(d)))
 
@@ -432,6 +434,57 @@ class ClusterTableProvider(TableProvider):
             return list(pool.map(one, jobs))
 
     # -- distributed execution -----------------------------------------
+    def execute_pushdown_limit(self, node: qn.LimitNode):
+        """Distributed top-k: ship Limit(OrderBy(scan)) / Limit(scan) to
+        every partition, merge the candidate sets, re-sort, slice
+        (reference: the scheduler pushes limits into the remote
+        subqueries; the merge is an OrderByMerge)."""
+        from eventql_tpu.exec.operators import _order_relation
+        from eventql_tpu.parallel.partitioned import _concat_columns
+        from eventql_tpu.plan.coder import encode_plan
+        from eventql_tpu.server.native_tcp import NativeTCPClient
+
+        inner = node.table
+        order_specs = None
+        if isinstance(inner, qn.OrderByNode):
+            order_specs = inner.sort_specs
+            scan = inner.table
+        else:
+            scan = inner
+        if not isinstance(scan, qn.SequentialScanNode):
+            return None
+        if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
+            return None
+
+        # workers must return their top offset+limit candidates
+        shipped = qn.LimitNode(node.offset + node.limit, 0, inner)
+        plan_data = encode_plan(shipped)
+
+        def fetch(addr, payload):
+            client = NativeTCPClient(addr[0], addr[1])
+            try:
+                return relation_from_bytes(client.query_remote(payload))
+            finally:
+                client.close()
+
+        shards = self._per_partition(
+            scan.table_name, plan_data, fetch, scan_key="walk"
+        )
+        names = shards[0].names
+        cols = [
+            _concat_columns([sh.columns[i] for sh in shards])
+            for i in range(len(names))
+        ]
+        merged = Relation(names, cols, sum(sh.num_rows for sh in shards))
+        if order_specs is not None:
+            merged = _order_relation(merged, order_specs)
+        import numpy as np
+
+        idx = np.arange(merged.num_rows)[
+            node.offset : node.offset + node.limit
+        ]
+        return merged.gather(idx)
+
     def execute_partial_aggregate(self, node: qn.GroupByNode):
         """Fan the encoded partial-aggregate plan out to all workers and
         merge their partials (GroupByMerge)."""

@@ -177,18 +177,68 @@ def decode_group_by(d: dict) -> qn.GroupByNode:
     return node
 
 
-def encode_plan(node) -> str:
+def encode_order_by(node: qn.OrderByNode) -> dict:
+    return {
+        "t": "orderby",
+        "sort": [
+            {"expr": encode_expr(sp.expr), "desc": sp.descending}
+            for sp in node.sort_specs
+        ],
+        "table": encode_tree(node.table),
+    }
+
+
+def decode_order_by(d: dict) -> qn.OrderByNode:
+    return qn.OrderByNode(
+        [
+            qn.SortSpec(decode_expr(sp["expr"]), sp["desc"])
+            for sp in d["sort"]
+        ],
+        decode_tree(d["table"]),
+    )
+
+
+def encode_limit(node: qn.LimitNode) -> dict:
+    return {
+        "t": "limit",
+        "limit": node.limit,
+        "offset": node.offset,
+        "table": encode_tree(node.table),
+    }
+
+
+def decode_limit(d: dict) -> qn.LimitNode:
+    return qn.LimitNode(d["limit"], d["offset"], decode_tree(d["table"]))
+
+
+def encode_tree(node) -> dict:
     if isinstance(node, qn.GroupByNode):
-        return json.dumps(encode_group_by(node))
+        return encode_group_by(node)
     if isinstance(node, qn.SequentialScanNode):
-        return json.dumps(encode_scan(node))
+        return encode_scan(node)
+    if isinstance(node, qn.OrderByNode):
+        return encode_order_by(node)
+    if isinstance(node, qn.LimitNode):
+        return encode_limit(node)
     raise RuntimeError_(f"plan node not shippable: {node!r}")
 
 
-def decode_plan(data: str):
-    d = json.loads(data)
-    if d["t"] == "groupby":
+def decode_tree(d: dict):
+    t = d["t"]
+    if t == "groupby":
         return decode_group_by(d)
-    if d["t"] == "seqscan":
+    if t == "seqscan":
         return decode_scan(d)
-    raise RuntimeError_(f"unknown plan wire type: {d['t']}")
+    if t == "orderby":
+        return decode_order_by(d)
+    if t == "limit":
+        return decode_limit(d)
+    raise RuntimeError_(f"unknown plan wire type: {t}")
+
+
+def encode_plan(node) -> str:
+    return json.dumps(encode_tree(node))
+
+
+def decode_plan(data: str):
+    return decode_tree(json.loads(data))

@@ -378,9 +378,10 @@ class NativeTCPServer:
         _send_frame(sock, OP_QUERY_PARTIALAGGR_RESULT, F_ENDOFREQUEST, body)
 
     def _handle_query_remote(self, sock, payload):
-        """Execute a shipped scan and stream raw columns back
-        (reference: transport/native/ops/query_remote.cc:40-140)."""
-        from eventql_tpu.exec.operators import _exec_seqscan_relation
+        """Execute a shipped subtree (scan, or limit/order-by pushdown)
+        against local tables and stream rows back (reference:
+        transport/native/ops/query_remote.cc:40-140)."""
+        from eventql_tpu.exec.operators import execute_node
         from eventql_tpu.parallel.cluster import relation_to_bytes
         from eventql_tpu.plan.coder import decode_plan
 
@@ -388,8 +389,8 @@ class NativeTCPServer:
         plan_data, pos = read_lenencstr(payload, pos)
         try:
             node = decode_plan(plan_data.decode("utf-8"))
-            table = self.table_service.get_table_data(node.table_name)
-            rel = _exec_seqscan_relation(node, table)
+            txn = self.runtime.new_transaction(self.table_service)
+            rel = execute_node(node, txn)
             body = relation_to_bytes(rel)
         except SQLError as e:
             _send_frame(

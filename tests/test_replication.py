@@ -175,3 +175,42 @@ def test_insert_missing_pk_errors(cluster3):
     with pytest.raises(SQLError, match="missing field: t"):
         p.insert_json("ev", json.dumps({"v": 5}))
     p.close()
+
+
+def test_pushdown_topk(cluster3):
+    """Distributed ORDER BY ... LIMIT: workers return top candidates per
+    partition; the coordinator merges, re-sorts, and slices."""
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    for i in range(50):
+        p.insert_json("ev", json.dumps({"t": i, "v": (i * 37) % 101}))
+    # split so the top-k spans partitions
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    meta.split(meta.entries[0].partition_id, 25)
+    cdir.update_table_config("default", "ev", {"metadata": meta.to_json()})
+
+    p2 = _provider(cfg)
+    txn = rt.new_transaction(p2)
+    plan = rt.build_query_plan(
+        txn, "select t, v from ev order by v desc limit 5;"
+    )
+    got = plan.execute(0).rows
+    vals = sorted(((i * 37) % 101, i) for i in range(50))[::-1][:5]
+    assert got == [[str(i), str(v)] for v, i in vals]
+
+    # offset + limit
+    txn = rt.new_transaction(p2)
+    plan = rt.build_query_plan(
+        txn, "select v from ev order by v desc limit 3 offset 4;"
+    )
+    expect = sorted(((i * 37) % 101) for i in range(50))[::-1][4:7]
+    assert plan.execute(0).rows == [[str(v)] for v in expect]
+    p.close()
+    p2.close()
