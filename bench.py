@@ -29,7 +29,114 @@ def _hbm_bandwidth_bytes():
     return table.get(gen, 819e9)
 
 
+def _timeit(fn, *args, reps=1):
+    """min-of-3 wall time with the relay round-trip subtracted."""
+    import numpy as np
+
+    out = fn(*args)
+    _ = np.asarray(out)  # compile + warm
+    ts = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    roundtrip = 0.0 if os.environ.get("BENCH_RAW") == "1" else 0.030
+    return max(min(ts) - roundtrip, 1e-9) / reps
+
+
+def bench_topk():
+    """BASELINE config 2: ORDER BY ... LIMIT top-k over 100M rows."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from eventql_tpu.kernels.sort import sortable_u64, topk_permutation
+
+    n = int(os.environ.get("BENCH_ROWS", 100_000_000))
+    k = int(os.environ.get("BENCH_K", 100))
+    reps = int(os.environ.get("BENCH_REPS", 4))
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
+
+    @jax.jit
+    def pipe(vals):
+        def body(i, acc):
+            key = sortable_u64(vals + i.astype(jnp.uint64))
+            idx = topk_permutation(key, k)
+            return acc + idx.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.int64(0))
+
+    per = _timeit(pipe, vals, reps=reps)
+    rows_per_sec = n / per
+    sol = _hbm_bandwidth_bytes() / 8.0  # one u64 stream
+    print(
+        json.dumps(
+            {
+                "metric": "orderby_limit_topk_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
+def bench_join():
+    """BASELINE config 3: fact-dim hash join + aggregate."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from eventql_tpu.kernels.join import fact_dim_join_aggregate
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    ndim = int(os.environ.get("BENCH_DIM", 65536))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 4))
+    rng = np.random.default_rng(9)
+    dim_keys = jnp.asarray(
+        rng.permutation(np.arange(ndim, dtype=np.uint64) * 7919)
+    )
+    dim_bucket = jnp.asarray(rng.integers(0, n_keys, ndim).astype(np.int32))
+    fact_keys = jnp.asarray(
+        rng.integers(0, ndim, n).astype(np.uint64) * 7919
+    )
+    fact_vals = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+
+    @jax.jit
+    def pipe(fact_keys, fact_vals, dim_keys, dim_bucket):
+        def body(i, acc):
+            mask = fact_vals + i.astype(jnp.uint64) < jnp.uint64(800)
+            counts, sums = fact_dim_join_aggregate(
+                fact_keys, fact_vals, mask, dim_keys, dim_bucket, n_keys
+            )
+            return acc + sums.sum() + counts.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    per = _timeit(pipe, fact_keys, fact_vals, dim_keys, dim_bucket, reps=reps)
+    rows_per_sec = n / per
+    sol = _hbm_bandwidth_bytes() / 21.0  # key u64 + value u64 + gid/mask
+    print(
+        json.dumps(
+            {
+                "metric": "join_groupby_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
 def main():
+    cfg = os.environ.get("BENCH_CONFIG", "groupby")
+    if cfg == "topk":
+        return bench_topk()
+    if cfg == "join":
+        return bench_join()
+
     import jax
     import jax.numpy as jnp
 

@@ -87,3 +87,38 @@ def test_console_against_server(server_proc):
     )
     assert "cnt" in out.stdout
     assert "| 2" in out.stdout
+
+
+def test_console_batch_and_file(tmp_path):
+    """Reference console flags: -f file execution, -B batch output,
+    --output_file (evql.cc:103-229)."""
+    import subprocess
+    import sys
+
+    sql = tmp_path / "q.sql"
+    sql.write_text(
+        "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));\n"
+        "INSERT INTO ev (t, v) VALUES (1, 10);\n"
+        "INSERT INTO ev (t, v) VALUES (2, 32);\n"
+        "select t, v from ev order by t;\n"
+    )
+    outf = tmp_path / "out.txt"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "eventql_tpu.cli.console",
+            "-B",
+            "-q",
+            "-f",
+            str(sql),
+            "--output_file",
+            str(outf),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in outf.read_text().splitlines() if l]
+    assert lines[-3:] == ["t\tv", "1\t10", "2\t32"]
