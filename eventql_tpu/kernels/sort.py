@@ -42,6 +42,103 @@ def topk_permutation(sort_key: jax.Array, k: int) -> jax.Array:
     descending key order. For ORDER BY x DESC LIMIT k pass
     sortable_u64(x); for ORDER BY x ASC LIMIT k pass
     sortable_u64(x, descending=True) (the flip makes the smallest x the
-    largest key). Ties break toward the lowest row index."""
+    largest key). Ties break toward the lowest row index.
+
+    Large inputs route through the histogram-threshold algorithm
+    (fast_topk_u64): XLA's top_k partial sort runs at ~0.2-0.3 Grows/s
+    on TPU for 64-bit keys, while one MXU histogram pass + candidate
+    compaction runs near memory bandwidth."""
+    n = sort_key.shape[0]
+    if n >= (1 << 21) and k <= 4096:
+        return fast_topk_u64(sort_key, k)
     _, idx = jax.lax.top_k(sort_key, k)
     return idx.astype(jnp.int64)
+
+
+# histogram-threshold top-k ------------------------------------------------
+#
+# 1. histogram the top PREFIX_BITS of every key with the MXU
+#    hash-aggregate kernel (a count-only grouped aggregate)
+# 2. threshold: T = the largest prefix whose from-the-top cumulative
+#    count reaches k — every true top-k row has prefix >= T
+# 3. compact candidate indices (jnp.nonzero with a static cap) and run
+#    the exact 64-bit top_k on just the candidates
+# 4. pathological skew (too many keys sharing the threshold prefix)
+#    falls back to the full top_k via lax.cond
+
+PREFIX_BITS = 12
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    n = sort_key.shape[0]
+    nbuckets = 1 << PREFIX_BITS
+    prefix = (sort_key >> jnp.uint64(64 - PREFIX_BITS)).astype(jnp.int32)
+
+    counts, _sums = pallas_sum_count(
+        jnp.ones((n,), bool),
+        prefix,
+        jnp.zeros((n,), jnp.uint64),
+        nbuckets,
+        value_bits=8,
+    )
+
+    # cumulative count from the TOP prefix downward
+    csum_desc = jnp.cumsum(counts[::-1])[::-1]
+    ge_k = csum_desc >= jnp.uint64(k)
+    # T = largest bucket with csum_desc >= k (k <= n guaranteed by caller)
+    T = (nbuckets - 1) - jnp.argmax(ge_k[::-1]).astype(jnp.int32)
+    n_candidates = csum_desc[T]
+
+    # chunked compaction: whole-array nonzero blows VMEM at 100M rows,
+    # so candidates compact per chunk (each chunk's nonzero is small)
+    # and concatenate with fill padding
+    chunk = min(n, 1 << 20)
+    nchunks = -(-n // chunk)
+    chunk_cap = int(
+        min(chunk, k + max(8 * chunk // nbuckets, 2 * k, 512))
+    )
+    cap = nchunks * chunk_cap
+
+    def fast_path(_):
+        pad = nchunks * chunk - n
+        pref_p = jnp.pad(prefix, (0, pad), constant_values=-1).reshape(
+            nchunks, chunk
+        )
+
+        def one_chunk(c, pref_c):
+            flag = pref_c >= T
+            (li,) = jnp.nonzero(flag, size=chunk_cap, fill_value=chunk)
+            gi = jnp.where(li < chunk, li + c * chunk, n)
+            overflow = flag.sum() > chunk_cap
+            return gi, overflow
+
+        gidx, overflows = jax.lax.map(
+            lambda args: one_chunk(*args),
+            (jnp.arange(nchunks), pref_p),
+        )
+        cand_idx = gidx.reshape(-1)
+        padded = jnp.concatenate([sort_key, jnp.zeros((1,), jnp.uint64)])
+        cand_keys = padded[jnp.minimum(cand_idx, n)]
+        _, pos = jax.lax.top_k(cand_keys, k)
+        return cand_idx[pos].astype(jnp.int64), overflows.any()
+
+    use_fast = n_candidates <= jnp.uint64(cap)
+    idx_fast, overflow = jax.lax.cond(
+        use_fast,
+        fast_path,
+        lambda _: (jnp.zeros((k,), jnp.int64), jnp.asarray(True)),
+        None,
+    )
+
+    # single exact-fallback instance (threshold-bucket overflow or
+    # extreme per-chunk skew)
+    def slow_path(_):
+        _, idx = jax.lax.top_k(sort_key, k)
+        return idx.astype(jnp.int64)
+
+    return jax.lax.cond(
+        use_fast & ~overflow, lambda _: idx_fast, slow_path, None
+    )

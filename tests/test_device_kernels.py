@@ -131,3 +131,26 @@ def test_distributed_topk():
 
     expected = np.argsort(-vals)[:10]
     assert (top_idx == expected).all()
+
+
+def test_fast_topk_histogram_threshold():
+    """Histogram-threshold top-k is exact, ordered, and falls back on
+    pathological prefix skew (kernels/sort.py fast_topk_u64)."""
+    import numpy as np
+
+    from eventql_tpu.kernels.sort import fast_topk_u64
+
+    rng = np.random.default_rng(11)
+    n, k = 1 << 22, 57
+    keys = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    idx = np.asarray(fast_topk_u64(jnp.asarray(keys), k))
+    vals = keys[idx]
+    assert (np.sort(vals)[::-1] == np.sort(keys)[::-1][:k]).all()
+    assert (vals[:-1] >= vals[1:]).all()  # descending order
+
+    # all keys share the top prefix → candidate overflow → exact fallback
+    skew = (np.uint64(0x5A5) << np.uint64(52)) | rng.integers(
+        0, 1 << 52, n, dtype=np.uint64
+    )
+    idx2 = np.asarray(fast_topk_u64(jnp.asarray(skew), k))
+    assert (np.sort(skew[idx2])[::-1] == np.sort(skew)[::-1][:k]).all()
