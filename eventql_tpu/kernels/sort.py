@@ -44,13 +44,14 @@ def topk_permutation(sort_key: jax.Array, k: int) -> jax.Array:
     sortable_u64(x, descending=True) (the flip makes the smallest x the
     largest key). Ties break toward the lowest row index.
 
-    Large inputs route through the histogram-threshold algorithm
-    (fast_topk_u64): XLA's top_k partial sort runs at ~0.2-0.3 Grows/s
-    on TPU for 64-bit keys, while one MXU histogram pass + candidate
-    compaction runs near memory bandwidth."""
-    n = sort_key.shape[0]
-    if n >= (1 << 21) and k <= 4096:
-        return fast_topk_u64(sort_key, k)
+    Measured dead-ends for accelerating this (v5e, 100M u64 rows):
+    lax.top_k 0.20 Grows/s, top_k on i32 0.29, approx_max_k with
+    recall_target=1.0 0.32, and the histogram-threshold candidate
+    compaction below 0.014 (jnp.nonzero lowers to scatter). The missing
+    primitive is a fast flagged-row extraction; a Pallas block-skipping
+    extractor (per-block any-reduce, scalar-extract only blocks holding
+    candidates) is the planned fix, at which point fast_topk_u64's
+    threshold math already provides exactness + skew fallback."""
     _, idx = jax.lax.top_k(sort_key, k)
     return idx.astype(jnp.int64)
 
