@@ -44,14 +44,16 @@ def topk_permutation(sort_key: jax.Array, k: int) -> jax.Array:
     sortable_u64(x, descending=True) (the flip makes the smallest x the
     largest key). Ties break toward the lowest row index.
 
-    Measured dead-ends for accelerating this (v5e, 100M u64 rows):
-    lax.top_k 0.20 Grows/s, top_k on i32 0.29, approx_max_k with
-    recall_target=1.0 0.32, and the histogram-threshold candidate
-    compaction below 0.014 (jnp.nonzero lowers to scatter). The missing
-    primitive is a fast flagged-row extraction; a Pallas block-skipping
-    extractor (per-block any-reduce, scalar-extract only blocks holding
-    candidates) is the planned fix, at which point fast_topk_u64's
-    threshold math already provides exactness + skew fallback."""
+    Large inputs route through the histogram-threshold algorithm
+    (fast_topk_u64, 2.2 Grows/s measured at 100M rows) — XLA's top_k
+    partial sort runs ~0.2 Grows/s on 64-bit keys, i32 top_k 0.29, and
+    exact-mode approx_max_k 0.32; whole-array nonzero compaction is
+    scatter-bound at 0.014. The winning combination is two MXU
+    histogram levels for an exact 24-bit threshold plus the Pallas
+    block-skipping extractor (kernels/extract.py)."""
+    n = sort_key.shape[0]
+    if n >= (1 << 22) and k <= 4096:
+        return fast_topk_u64(sort_key, k)
     _, idx = jax.lax.top_k(sort_key, k)
     return idx.astype(jnp.int64)
 
@@ -62,84 +64,72 @@ def topk_permutation(sort_key: jax.Array, k: int) -> jax.Array:
 #    hash-aggregate kernel (a count-only grouped aggregate)
 # 2. threshold: T = the largest prefix whose from-the-top cumulative
 #    count reaches k — every true top-k row has prefix >= T
-# 3. compact candidate indices (jnp.nonzero with a static cap) and run
-#    the exact 64-bit top_k on just the candidates
+# 3. extract candidate indices with the Pallas stream-compaction kernel
+#    (kernels/extract.py — blocks without matches pay one reduction)
+#    and run the exact 64-bit top_k on just the candidates
 # 4. pathological skew (too many keys sharing the threshold prefix)
 #    falls back to the full top_k via lax.cond
 
 PREFIX_BITS = 12
 
 
+def _threshold_level(counts, k):
+    """T = largest bucket whose from-the-top cumulative count reaches k;
+    returns (T, count of rows in buckets strictly above T)."""
+    nb = counts.shape[0]
+    csum_desc = jnp.cumsum(counts[::-1])[::-1]
+    ge_k = csum_desc >= k
+    T = (nb - 1) - jnp.argmax(ge_k[::-1]).astype(jnp.int32)
+    n_ge = csum_desc[T]
+    return T, n_ge
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
+    from eventql_tpu.kernels.extract import extract_ge
     from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
 
     n = sort_key.shape[0]
     nbuckets = 1 << PREFIX_BITS
-    prefix = (sort_key >> jnp.uint64(64 - PREFIX_BITS)).astype(jnp.int32)
+    zeros = jnp.zeros((n,), jnp.uint64)
 
-    counts, _sums = pallas_sum_count(
-        jnp.ones((n,), bool),
-        prefix,
-        jnp.zeros((n,), jnp.uint64),
-        nbuckets,
-        value_bits=8,
+    # level 1: top 12 bits
+    p1 = (sort_key >> jnp.uint64(64 - PREFIX_BITS)).astype(jnp.int32)
+    counts1, _ = pallas_sum_count(
+        jnp.ones((n,), bool), p1, zeros, nbuckets, value_bits=8
     )
+    T1, n_ge1 = _threshold_level(counts1, jnp.uint64(k))
+    n_gt1 = n_ge1 - counts1[T1]  # rows strictly above bucket T1 (< k)
 
-    # cumulative count from the TOP prefix downward
-    csum_desc = jnp.cumsum(counts[::-1])[::-1]
-    ge_k = csum_desc >= jnp.uint64(k)
-    # T = largest bucket with csum_desc >= k (k <= n guaranteed by caller)
-    T = (nbuckets - 1) - jnp.argmax(ge_k[::-1]).astype(jnp.int32)
-    n_candidates = csum_desc[T]
-
-    # chunked compaction: whole-array nonzero blows VMEM at 100M rows,
-    # so candidates compact per chunk (each chunk's nonzero is small)
-    # and concatenate with fill padding
-    chunk = min(n, 1 << 20)
-    nchunks = -(-n // chunk)
-    chunk_cap = int(
-        min(chunk, k + max(8 * chunk // nbuckets, 2 * k, 512))
+    # level 2: next 12 bits, restricted to bucket T1 rows
+    p2 = (
+        sort_key >> jnp.uint64(64 - 2 * PREFIX_BITS)
+    ).astype(jnp.int32) & (nbuckets - 1)
+    counts2, _ = pallas_sum_count(
+        p1 == T1, p2, zeros, nbuckets, value_bits=8
     )
-    cap = nchunks * chunk_cap
+    k2 = jnp.uint64(k) - n_gt1  # still needed from bucket T1 (>= 1)
+    T2, n_ge2 = _threshold_level(counts2, k2)
+
+    # exact 24-bit threshold; candidates = rows with f24 >= t24
+    t24 = T1 * nbuckets + T2
+    f24 = (sort_key >> jnp.uint64(64 - 2 * PREFIX_BITS)).astype(jnp.int32)
+    n_candidates = n_gt1 + n_ge2
+
+    # static cap: k + 4x the expected 24-bit threshold-bucket mass
+    cap = int(min(n, k + max(4 * n // (nbuckets * nbuckets), 2 * k, 256)))
 
     def fast_path(_):
-        pad = nchunks * chunk - n
-        pref_p = jnp.pad(prefix, (0, pad), constant_values=-1).reshape(
-            nchunks, chunk
-        )
-
-        def one_chunk(c, pref_c):
-            flag = pref_c >= T
-            (li,) = jnp.nonzero(flag, size=chunk_cap, fill_value=chunk)
-            gi = jnp.where(li < chunk, li + c * chunk, n)
-            overflow = flag.sum() > chunk_cap
-            return gi, overflow
-
-        gidx, overflows = jax.lax.map(
-            lambda args: one_chunk(*args),
-            (jnp.arange(nchunks), pref_p),
-        )
-        cand_idx = gidx.reshape(-1)
+        cand_idx = extract_ge(f24, t24, cap)  # -1 padded, ascending
         padded = jnp.concatenate([sort_key, jnp.zeros((1,), jnp.uint64)])
-        cand_keys = padded[jnp.minimum(cand_idx, n)]
+        cand_keys = padded[jnp.where(cand_idx >= 0, cand_idx, n)]
         _, pos = jax.lax.top_k(cand_keys, k)
-        return cand_idx[pos].astype(jnp.int64), overflows.any()
+        return cand_idx[pos].astype(jnp.int64)
 
-    use_fast = n_candidates <= jnp.uint64(cap)
-    idx_fast, overflow = jax.lax.cond(
-        use_fast,
-        fast_path,
-        lambda _: (jnp.zeros((k,), jnp.int64), jnp.asarray(True)),
-        None,
-    )
-
-    # single exact-fallback instance (threshold-bucket overflow or
-    # extreme per-chunk skew)
     def slow_path(_):
         _, idx = jax.lax.top_k(sort_key, k)
         return idx.astype(jnp.int64)
 
     return jax.lax.cond(
-        use_fast & ~overflow, lambda _: idx_fast, slow_path, None
+        n_candidates <= jnp.uint64(cap), fast_path, slow_path, None
     )
