@@ -255,8 +255,34 @@ def try_execute_pallas_string_groupby(
     # the XLA one-hot kernel path (same contract)
     distinct_sums = sum(1 for k in kinds if k == "sum")
     if distinct_sums <= 1:
+        # column-statistics hint: a static bound on the summed value's
+        # width picks the kernel's limb count (the reference's planner
+        # reads column stats; here the host column's max is in reach)
+        value_bits = 64
+        for (tag, emit, aggs) in entries:
+            if tag != "agg":
+                continue
+            for a in aggs:
+                if a.sfunction.aggregate.kind != "sum":
+                    continue
+                arg = a.args[0]
+                if (
+                    isinstance(arg, ColumnReferenceNode)
+                    and arg.column_index is not None
+                ):
+                    src = scan.select_list[arg.column_index].expr
+                    if (
+                        isinstance(src, ColumnReferenceNode)
+                        and src.column_index is not None
+                    ):
+                        hcol = name_to_col[
+                            scan.input_columns[src.column_index][0]
+                        ]
+                        if hcol.stype in (SType.UINT64, SType.TIMESTAMP64):
+                            m = int(hcol.data.max()) if n else 0
+                            value_bits = max(8, m.bit_length() + 1)
         counts, outs = pallas_grouped_aggregate(
-            mask, gid, tuple(vals), tuple(kinds), K
+            mask, gid, tuple(vals), tuple(kinds), K, value_bits=value_bits
         )
     else:
         from eventql_tpu.kernels.onehot_agg import onehot_grouped_aggregate

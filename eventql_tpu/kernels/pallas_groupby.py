@@ -246,7 +246,8 @@ def pallas_sum_count(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_buckets", "block", "agg_kinds")
+    jax.jit,
+    static_argnames=("num_buckets", "block", "agg_kinds", "value_bits"),
 )
 def pallas_grouped_aggregate(
     mask: jax.Array,
@@ -255,6 +256,7 @@ def pallas_grouped_aggregate(
     agg_kinds: Tuple[str, ...],
     num_buckets: int,
     block: int = DEFAULT_BLOCK,
+    value_bits: int = 64,
 ):
     """Compatibility wrapper over pallas_sum_count for ('sum','count')
     aggregate sets; other kinds fall back to the XLA one-hot kernel
@@ -266,7 +268,9 @@ def pallas_grouped_aggregate(
                 sum_vals = vals
         if sum_vals is None:
             sum_vals = jnp.zeros_like(gid, dtype=jnp.uint64)
-        counts, sums = pallas_sum_count(mask, gid, sum_vals, num_buckets, block)
+        counts, sums = pallas_sum_count(
+            mask, gid, sum_vals, num_buckets, block, value_bits=value_bits
+        )
         outs = []
         for vals, kind in zip(value_arrays, agg_kinds):
             outs.append(counts if kind == "count" else sums)
