@@ -701,20 +701,28 @@ def _exec_group_by_impl(node: qn.GroupByNode, txn) -> Relation:
 
 def _sort_key_arrays(col: Column) -> np.ndarray:
     """Turn a column into a numpy array that sorts like the reference's
-    typed cmp functions (strings: byte order via sorted dictionary)."""
+    typed cmp functions (strings: byte order via sorted dictionary).
+
+    NULL strings sort as the literal "NULL": the reference's boxed sort
+    evaluation renders null string cells through their display form
+    before cmp_string (Runtime_test TestRightJoin expects the NULL row
+    LAST under ORDER BY orderid ASC — "NULL" > "10443"). NULL numerics
+    pop as 0 from the VM stack (cmp_uint64) and sort first."""
     if col.stype == SType.STRING:
-        # order-preserving rank: sort dictionary, map ids to ranks;
-        # null payload b"" ranks like b""
-        sorted_idx = np.argsort(col.dictionary.astype(bytes), kind="stable")
-        ranks = np.empty(len(col.dictionary), dtype=np.int64)
-        ranks[sorted_idx] = np.arange(len(col.dictionary))
+        # order-preserving rank over dictionary entries + the NULL label
+        entries = list(col.dictionary.astype(bytes))
+        null_pos = len(entries)
+        entries.append(b"NULL")
+        order = sorted(range(len(entries)), key=lambda i: entries[i])
+        ranks = np.empty(len(entries), dtype=np.int64)
+        ranks[order] = np.arange(len(entries))
         keys = ranks[col.data]
         if not col.valid.all():
-            empty_rank = np.searchsorted(
-                col.dictionary.astype(bytes)[sorted_idx], b""
-            )
-            keys = np.where(col.valid, keys, empty_rank - 0)
+            keys = np.where(col.valid, keys, ranks[null_pos])
         return keys
+    if not col.valid.all():
+        zero = np.zeros((), dtype=col.data.dtype)
+        return np.where(col.valid, col.data, zero)
     return col.data
 
 

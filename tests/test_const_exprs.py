@@ -278,3 +278,26 @@ def test_trim():
     assert ev("ltrim(' fnord')") == "fnord"
     assert ev("rtrim('fnord')") == "fnord"
     assert ev("rtrim('foobar ')") == "foobar"
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        # Runtime_test.cc TestConversionFunctions
+        ("to_string(123)", "123"),
+        ("to_int('123')", "123"),
+        ("to_int('123.5')", "123"),
+        ("to_float('123')", "123.000000"),
+        ("to_float('123.5')", "123.500000"),
+    ],
+)
+def test_conversion_functions(expr, expected):
+    assert ev(expr) == expected
+
+
+def test_now_expr():
+    # Runtime_test.cc TestNowExpr: one row, one column, parseable time
+    import re
+
+    out = ev("now()")
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", out)

@@ -277,3 +277,144 @@ def test_describe_table():
     assert r.num_rows == 4
     assert r.get_row(0)[0] == "time"
     assert r.get_row(0)[1] == "string"
+
+
+# -- natural / right / wildcard joins (Runtime_test.cc TestNaturalJoin,
+# TestRightJoin, TestWildcardJoins; fixtures testtbl3-7.csv) -----------
+
+
+def _dept_provider():
+    return CompositeTableProvider(
+        [
+            CSVTableProvider(
+                "departments",
+                reference_path("test", "sql_testdata", "testtbl5.csv"),
+                column_separator=b"\t",
+            ),
+            CSVTableProvider(
+                "users",
+                reference_path("test", "sql_testdata", "testtbl6.csv"),
+                column_separator=b"\t",
+            ),
+            CSVTableProvider(
+                "openinghours",
+                reference_path("test", "sql_testdata", "testtbl7.csv"),
+                column_separator=b"\t",
+            ),
+        ]
+    )
+
+
+def _orders_provider():
+    return CompositeTableProvider(
+        [
+            CSVTableProvider(
+                "employees",
+                reference_path("test", "sql_testdata", "testtbl4.csv"),
+                column_separator=b"\t",
+            ),
+            CSVTableProvider(
+                "orders",
+                reference_path("test", "sql_testdata", "testtbl3.csv"),
+                column_separator=b"\t",
+            ),
+        ]
+    )
+
+
+def test_natural_join():
+    r = run(
+        "SELECT * FROM departments NATURAL JOIN users ORDER BY name;",
+        _dept_provider(),
+    )
+    assert r.columns == ["deptid", "name", "username"]
+    assert r.rows == [
+        ["1", "eng", "laura"],
+        ["1", "eng", "paul"],
+        ["2", "sales", "hans"],
+    ]
+
+
+def test_natural_join_three_tables():
+    r = run(
+        "SELECT * FROM departments NATURAL JOIN openinghours"
+        " NATURAL JOIN users ORDER BY name;",
+        _dept_provider(),
+    )
+    assert r.columns == [
+        "deptid",
+        "name",
+        "start_time",
+        "end_time",
+        "username",
+    ]
+    assert r.rows == [
+        ["1", "eng", "13:00", "22:00", "laura"],
+        ["1", "eng", "13:00", "22:00", "paul"],
+        ["2", "sales", "10:00", "19:00", "hans"],
+    ]
+
+
+def test_right_join():
+    r = run(
+        "SELECT orders.orderid, employees.firstname FROM orders"
+        " RIGHT JOIN employees ON orders.employeeid=employees.employeeid"
+        " ORDER BY orders.orderid;",
+        _orders_provider(),
+    )
+    assert r.num_columns == 2
+    assert r.num_rows == 197
+    assert r.get_row(0) == ["10248", "Steven"]
+    assert r.get_row(1) == ["10249", "Michael"]
+    assert r.get_row(195) == ["10443", "Laura"]
+    assert r.get_row(196) == ["NULL", "Adam"]
+
+
+def test_right_join_with_where():
+    r = run(
+        "SELECT orders.orderid, employees.firstname FROM orders"
+        " RIGHT JOIN employees ON orders.employeeid=employees.employeeid"
+        " WHERE employees.firstname = 'Steven'"
+        " ORDER BY orders.orderid;",
+        _orders_provider(),
+    )
+    assert r.num_rows == 11
+    assert r.get_row(0) == ["10248", "Steven"]
+    assert r.get_row(1) == ["10254", "Steven"]
+    assert r.get_row(10) == ["10397", "Steven"]
+
+
+def test_wildcard_join_on():
+    r = run(
+        "SELECT * FROM departments JOIN users"
+        " ON users.deptid = departments.deptid ORDER BY name;",
+        _dept_provider(),
+    )
+    assert r.num_columns == 4
+    assert r.columns[:2] == ["name", "deptid"]
+    assert r.num_rows == 3
+
+
+def test_wildcard_cross_join_where():
+    r = run(
+        "SELECT * FROM departments, users, openinghours"
+        " WHERE users.deptid = departments.deptid"
+        " AND openinghours.deptid = departments.deptid ORDER BY name;",
+        _dept_provider(),
+    )
+    assert r.num_columns == 7
+    assert r.columns[:3] == ["name", "deptid", "username"]
+    assert r.num_rows == 3
+
+
+def test_wildcard_join_subselect():
+    r = run(
+        "SELECT * FROM ("
+        " SELECT * FROM departments, users, openinghours"
+        " WHERE users.deptid = departments.deptid"
+        " AND openinghours.deptid = departments.deptid"
+        ") ORDER BY name;",
+        _dept_provider(),
+    )
+    assert r.num_columns == 7
+    assert r.num_rows == 3
