@@ -201,6 +201,9 @@ class EventQLServer:
 
     # -- endpoints ------------------------------------------------------
     def _run_query(self, query: str):
+        from eventql_tpu.utils.stats import evqld_stats
+
+        evqld_stats().num_queries.incr()
         txn = self.runtime.new_transaction(self.query_provider_factory())
         plan = self.runtime.build_query_plan(txn, query)
         results = []

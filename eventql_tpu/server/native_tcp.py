@@ -288,6 +288,9 @@ class NativeTCPServer:
 
         hb = threading.Thread(target=heartbeats, daemon=True)
         hb.start()
+        from eventql_tpu.utils.stats import evqld_stats
+
+        evqld_stats().num_queries.incr()
         try:
             provider = (
                 self.table_service
@@ -418,11 +421,14 @@ class NativeTCPServer:
             # clustered nodes route inserts by partition key (with
             # replica writes) unless the sender asked for local-only —
             # coordinator-to-replica writes must not re-route
+            from eventql_tpu.utils.stats import evqld_stats
+
             target = self.table_service
             if not iflags & INSERT_LOCALONLY:
                 provider = self.query_provider_factory()
                 if hasattr(provider, "insert_json"):
                     target = provider
+            evqld_stats().num_inserts.incr(count)
             for _ in range(count):
                 rec, pos = read_lenencstr(payload, pos)
                 target.insert_json(
