@@ -259,3 +259,130 @@ def materialize_records(reader, paths: List[str]) -> List[dict]:
             else:
                 tgt[parts[-1]] = v
     return out
+
+
+# -- record-level stream surgery (for LSM upsert merges) --------------------
+
+
+def record_spans(rlvls: np.ndarray, dlvls: np.ndarray, dlevel_max: int):
+    """Per-record (level-slot span, value span) boundaries: records
+    begin at rlvl == 0 slots."""
+    n = len(rlvls)
+    starts = np.nonzero(rlvls == 0)[0]
+    ends = np.append(starts[1:], n)
+    vcounts = np.zeros(len(starts), dtype=np.int64)
+    defined = (dlvls == dlevel_max).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(defined)])
+    vstarts = csum[starts]
+    vends = csum[ends]
+    return starts, ends, vstarts, vends
+
+
+def filter_decoded(dec: DecodedColumn, keep: np.ndarray) -> DecodedColumn:
+    """Keep only the records selected by the boolean mask (newest-wins
+    primary-key dedup cuts superseded records out of level streams)."""
+    if keep.all():
+        return dec
+    starts, ends, vstarts, vends = record_spans(
+        dec.rlvls, dec.dlvls, dec.config.dlevel_max
+    )
+    sel = np.nonzero(keep)[0]
+    slot_idx = np.concatenate(
+        [np.arange(starts[i], ends[i]) for i in sel]
+    ) if len(sel) else np.zeros(0, np.int64)
+    rlvls = dec.rlvls[slot_idx]
+    dlvls = dec.dlvls[slot_idx]
+    if isinstance(dec.values, list):
+        values = []
+        for i in sel:
+            values.extend(dec.values[vstarts[i] : vends[i]])
+    else:
+        vidx = np.concatenate(
+            [np.arange(vstarts[i], vends[i]) for i in sel]
+        ) if len(sel) else np.zeros(0, np.int64)
+        values = np.asarray(dec.values)[vidx]
+    return DecodedColumn(dec.config, rlvls, dlvls, values)
+
+
+def concat_decoded(cfg: ColumnConfig, decs: List[DecodedColumn]) -> DecodedColumn:
+    rlvls = np.concatenate([d.rlvls for d in decs]) if decs else np.zeros(0, np.uint32)
+    dlvls = np.concatenate([d.dlvls for d in decs]) if decs else np.zeros(0, np.uint32)
+    if any(isinstance(d.values, list) for d in decs):
+        values = []
+        for d in decs:
+            values.extend(list(d.values))
+    else:
+        values = (
+            np.concatenate([np.asarray(d.values) for d in decs])
+            if decs
+            else np.zeros(0, np.uint64)
+        )
+    return DecodedColumn(cfg, rlvls, dlvls, values)
+
+
+def _missing_records(cfg: ColumnConfig, n: int) -> DecodedColumn:
+    """n records with the column entirely absent."""
+    return DecodedColumn(
+        cfg,
+        np.zeros(n, np.uint32),
+        np.zeros(n, np.uint32),
+        [] if cfg.stype == SType.STRING else np.zeros(0, np.uint64),
+    )
+
+
+class CompositeNestedReader:
+    """Merged Dremel view over several sources (LSM segments + arena),
+    each with a per-record keep mask from the newest-wins primary-key
+    dedup. Source order here = output record order (oldest first, like
+    the flat merge in db/lsm.py)."""
+
+    def __init__(self, defs: List[ColumnDefinition], sources):
+        """sources: [(reader, keep_mask bool[nrecords])] oldest first."""
+        self.defs = defs
+        self.sources = sources
+        self.num_rows = int(sum(k.sum() for _r, k in sources))
+        self._configs = {}
+        for m in leaf_metas(defs):
+            self._configs[m.path] = ColumnConfig(
+                m.path,
+                _STYPE_ENC.get(m.stype, 13),
+                m.stype,
+                m.rlevel_max,
+                m.dlevel_max,
+                0,
+                0,
+            )
+        self._cache = {}
+
+    def has_column(self, name: str) -> bool:
+        return name in self._configs
+
+    def column_config(self, name: str):
+        return self._configs.get(name)
+
+    def decode_column(self, name: str) -> DecodedColumn:
+        if name in self._cache:
+            return self._cache[name]
+        cfg = self._configs.get(name)
+        if cfg is None:
+            raise RuntimeError_(f"column(s) not found: '{name}'")
+        parts = []
+        for reader, keep in self.sources:
+            nkeep = int(keep.sum())
+            if nkeep == 0:
+                continue
+            if reader.has_column(name):
+                dec = reader.decode_column(name)
+                parts.append(
+                    DecodedColumn(cfg, *_filtered_streams(dec, keep))
+                )
+            else:
+                parts.append(_missing_records(cfg, nkeep))
+        out = concat_decoded(cfg, parts)
+        self._cache[name] = out
+        return out
+
+
+def _filtered_streams(dec: DecodedColumn, keep: np.ndarray):
+    f = filter_decoded(dec, keep)
+    return f.rlvls, f.dlvls, f.values

@@ -39,6 +39,42 @@ from eventql_tpu.exec.relation import Column, Relation
 DEFAULT_ARENA_FLUSH_ROWS = 100_000
 
 
+def _defs_to_json(defs):
+    out = []
+    for d in defs or []:
+        out.append(
+            {
+                "name": d.column_name,
+                "type": d.column_type,
+                "repeated": d.repeated,
+                "not_null": d.not_null,
+                "subcolumns": _defs_to_json(d.subcolumns)
+                if d.subcolumns is not None
+                else None,
+            }
+        )
+    return out
+
+
+def _defs_from_json(data):
+    from eventql_tpu.plan.nodes import ColumnDefinition
+
+    out = []
+    for d in data or []:
+        out.append(
+            ColumnDefinition(
+                d["name"],
+                d["type"],
+                repeated=d.get("repeated", False),
+                not_null=d.get("not_null", False),
+                subcolumns=_defs_from_json(d["subcolumns"])
+                if d.get("subcolumns") is not None
+                else None,
+            )
+        )
+    return out
+
+
 class LSMTable(MemoryTable):
     """A MemoryTable whose rows durably persist as LSM segments."""
 
@@ -51,14 +87,19 @@ class LSMTable(MemoryTable):
         partition_key,
         properties,
         arena_flush_rows: int = DEFAULT_ARENA_FLUSH_ROWS,
+        column_defs=None,
     ):
-        super().__init__(name, columns, primary_key, partition_key, properties)
+        super().__init__(
+            name, columns, primary_key, partition_key, properties,
+            column_defs=column_defs,
+        )
         self.base_dir = base_dir
         self.dir = os.path.join(base_dir, name)
         self.arena_flush_rows = arena_flush_rows
         os.makedirs(self.dir, exist_ok=True)
         self._write_config()
         self._segments: List[str] = self._list_segments()
+        self._segment_readers = {}
 
     # -- config ---------------------------------------------------------
     def _write_config(self):
@@ -71,6 +112,7 @@ class LSMTable(MemoryTable):
             "primary_key": self.primary_key,
             "partition_key": self.partition_key,
             "properties": self.properties,
+            "column_defs": _defs_to_json(self.column_defs),
         }
         tmp = os.path.join(self.dir, "table.json.tmp")
         with open(tmp, "w") as f:
@@ -89,6 +131,7 @@ class LSMTable(MemoryTable):
             cfg["primary_key"],
             cfg.get("partition_key"),
             list(cfg.get("properties", {}).items()),
+            column_defs=_defs_from_json(cfg.get("column_defs")),
         )
         return t
 
@@ -112,21 +155,34 @@ class LSMTable(MemoryTable):
         269-348 — arena → cstable, then arena cleared)."""
         if not self.rows:
             return
-        rel = MemoryTable.to_relation(self)
         seq = len(self._segments)
         seg_name = f"segment-{seq:06d}.cst"
         tmp = os.path.join(self.dir, seg_name + ".tmp")
-        write_cstable(tmp, rel)
+        if self.has_repeated:
+            # Dremel-shredded v0.2 segment: every leaf (flat + repeated)
+            # persists as level/value streams
+            from eventql_tpu.columnar.shredder import shred_records
+
+            _write_nested_segment(
+                tmp, shred_records(self.column_defs, self.objs), len(self.objs)
+            )
+        else:
+            rel = MemoryTable.to_relation(self)
+            write_cstable(tmp, rel)
         os.replace(tmp, os.path.join(self.dir, seg_name))
         self._segments.append(seg_name)
         self.rows = []
+        self.objs = []
         self._relation_cache = None
+        self._reader_cache = None
 
     def compact(self):
         """Fold all segments into one major segment with upsert
         resolution applied (reference: LSMPartitionWriter::compact +
         SimpleCompactionStrategy, db/compaction_strategy.h:58-77)."""
         self.commit()
+        if self.has_repeated:
+            return self._compact_nested()
         rel = self.to_relation()
         for seg in self._segments:
             os.unlink(os.path.join(self.dir, seg))
@@ -165,6 +221,104 @@ class LSMTable(MemoryTable):
         self._relation_cache = merged
         return merged
 
+    def _compact_nested(self):
+        """Merge all nested segments through the composite Dremel reader
+        (upsert-resolved) into one major segment."""
+        reader = self.get_reader()
+        if reader is None:
+            return
+        from eventql_tpu.columnar.shredder import leaf_metas
+
+        streams = {}
+        for m in leaf_metas(self.column_defs):
+            dec = reader.decode_column(m.path)
+            streams[m.path] = (dec.rlvls, dec.dlvls, dec.values, m)
+        for seg in self._segments:
+            os.unlink(os.path.join(self.dir, seg))
+            self._segment_readers.pop(seg, None)
+        self._segments = []
+        if reader.num_rows:
+            seg_name = "segment-000000.cst"
+            tmp = os.path.join(self.dir, seg_name + ".tmp")
+            _write_nested_segment(tmp, streams, reader.num_rows)
+            os.replace(tmp, os.path.join(self.dir, seg_name))
+            self._segments = [seg_name]
+        self._relation_cache = None
+        self._reader_cache = None
+
+    def _segment_reader(self, seg: str) -> CSTableReader:
+        if seg not in self._segment_readers:
+            self._segment_readers[seg] = CSTableReader(
+                os.path.join(self.dir, seg)
+            )
+        return self._segment_readers[seg]
+
+    def get_reader(self):
+        """Merged Dremel view over arena + segments with newest-wins
+        primary-key dedup (nested analog of to_relation)."""
+        if not self.has_repeated or not self.column_defs:
+            return None
+        if self._reader_cache is not None:
+            return self._reader_cache
+        from eventql_tpu.columnar.shredder import (
+            CompositeNestedReader,
+            ShreddedTableReader,
+        )
+
+        # newest first: arena, then segments newest→oldest
+        sources_newest = []
+        if self.objs:
+            arena = ShreddedTableReader(self.column_defs, self.objs)
+            sources_newest.append((arena, self._arena_pks()))
+        for seg in reversed(self._segments):
+            r = self._segment_reader(seg)
+            sources_newest.append((r, self._segment_pks(r)))
+
+        seen = set()
+        with_keep = []
+        for reader, pks in sources_newest:
+            if pks is None:  # no primary key: keep everything
+                keep = np.ones(reader.num_rows, dtype=bool)
+            else:
+                keep = np.zeros(len(pks), dtype=bool)
+                for i, key in enumerate(pks):
+                    if key not in seen:
+                        seen.add(key)
+                        keep[i] = True
+            with_keep.append((reader, keep))
+
+        self._reader_cache = CompositeNestedReader(
+            self.column_defs, list(reversed(with_keep))
+        )
+        return self._reader_cache
+
+    def _arena_pks(self):
+        if not self.primary_key:
+            return None
+        out = []
+        for row in self.rows:
+            out.append(
+                tuple(
+                    row[k].payload() if k in row and not row[k].is_null else None
+                    for k in self.primary_key
+                )
+            )
+        return out
+
+    def _segment_pks(self, reader):
+        if not self.primary_key:
+            return None
+        cols = [reader.flat_column(k) for k in self.primary_key]
+        out = []
+        for i in range(reader.num_rows):
+            out.append(
+                tuple(
+                    c.value_at(i).payload() if c.valid[i] else None
+                    for c in cols
+                )
+            )
+        return out
+
     def _read_segment(self, seg: str) -> Relation:
         reader = CSTableReader(os.path.join(self.dir, seg))
         rel = reader.to_relation(flat_only=True)
@@ -174,7 +328,9 @@ class LSMTable(MemoryTable):
         n = rel.num_rows
         from eventql_tpu.exec.relation import dtype_for
 
-        for cname, ctype, _rep in self.columns:
+        for cname, ctype, rep in self.columns:
+            if rep:
+                continue  # repeated columns only exist on the nested path
             names.append(cname)
             if cname in by_name:
                 cols.append(by_name[cname])
@@ -226,6 +382,26 @@ def _concat_relations(parts: List[Relation]) -> Relation:
         for i in range(len(names))
     ]
     return Relation(list(names), cols, sum(p.num_rows for p in parts))
+
+
+def _write_nested_segment(path: str, streams, num_rows: int):
+    """streams: {path: (rlvls, dlvls, values, meta)} from the shredder
+    (or re-decoded from a composite reader)."""
+    from eventql_tpu.columnar.cstable_v2 import CSTableV2Writer, _flat_encoding
+
+    w = CSTableV2Writer(path)
+    for cpath, (rlvls, dlvls, values, m) in streams.items():
+        enc = _flat_encoding(m.stype)
+        w.add_column(cpath, enc, m.rlevel_max, m.dlevel_max)
+        vals = values
+        if m.stype == SType.STRING:
+            vals = [bytes(v) for v in values]
+        elif not isinstance(values, np.ndarray):
+            vals = np.asarray(values, dtype=np.uint64)
+        elif m.stype != SType.FLOAT64:
+            vals = values.astype(np.uint64, copy=False)
+        w.set_column_values(cpath, rlvls, dlvls, vals)
+    w.commit(num_rows)
 
 
 class DurableTableService(TableService):
@@ -293,10 +469,6 @@ class DurableTableService(TableService):
                     "first column in the PRIMARY KEY must be of type "
                     "DATETIME, STRING or UINT64"
                 )
-        if any(c[2] for c in columns):
-            raise RuntimeError_(
-                "REPEATED columns are not supported on durable tables yet"
-            )
         self.tables[node.table_name] = LSMTable(
             self.datadir,
             node.table_name,
@@ -305,6 +477,7 @@ class DurableTableService(TableService):
             node.partition_key,
             node.properties,
             self.arena_flush_rows,
+            column_defs=list(node.columns),
         )
 
     def drop_table(self, table_name: str) -> None:
