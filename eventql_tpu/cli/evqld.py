@@ -106,6 +106,7 @@ def main(argv=None):
     listener = Listener(server, native, host=host, port=port).start()
     server.port = listener.port
 
+    repl_worker = None
     if args.config_dir and args.server_name:
         from eventql_tpu.config.config_directory import (
             SERVER_UP,
@@ -121,6 +122,12 @@ def main(argv=None):
                 server_status=SERVER_UP,
             )
         )
+
+        from eventql_tpu.db.replication import ReplicationWorker
+
+        repl_worker = ReplicationWorker(
+            server.table_service, args.config_dir, args.server_name
+        ).start()
 
     print(
         f"eventql_tpu server listening on http://{host}:{server.port}"
@@ -142,6 +149,8 @@ def main(argv=None):
                 server_status=SERVER_DOWN,
             )
         )
+    if repl_worker is not None:
+        repl_worker.stop()
     if statsd_agent is not None:
         statsd_agent.stop()
     if args.datadir:

@@ -214,3 +214,56 @@ def test_pushdown_topk(cluster3):
     assert plan.execute(0).rows == [[str(v)] for v in expect]
     p.close()
     p2.close()
+
+
+def test_replication_repair_catches_up(cluster3):
+    """A replica that missed writes while down converges via the
+    anti-entropy pull (reference: db/replication_worker.cc role)."""
+    from eventql_tpu.db.replication import ReplicationWorker
+    from eventql_tpu.server.native_tcp import NativeTCPServer
+
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+
+    from eventql_tpu.db.metadata import TableMetadata
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    owners = meta.entries[0].servers
+    victim_id = owners[1]
+    vidx = int(victim_id[len("node") :]) - 1
+    victim = servers[vidx]
+    victim_svc = victim.table_service
+    victim_port = victim.port
+    victim.stop()  # replica goes down
+    p.close()  # drop pooled connections so the failure is visible
+
+    p = _provider(cfg)
+    for i in range(15):
+        p.insert_json("ev", json.dumps({"t": i, "v": i * 2}))
+    assert victim_svc.get_table_data("ev").num_rows == 0
+
+    # replica comes back on the same port and repairs
+    revived = NativeTCPServer(victim_svc, port=victim_port).start()
+    try:
+        worker = ReplicationWorker(victim_svc, cfg, victim_id, interval=999)
+        repaired = worker.repair_once()
+        assert repaired == 15
+        assert victim_svc.get_table_data("ev").num_rows == 15
+        # idempotent: a second sweep repairs nothing
+        assert worker.repair_once() == 0
+        # totals via the revived replica alone match
+        txn = rt.new_transaction(p)
+        rows = rt.build_query_plan(
+            txn, "select count(1), sum(v) from ev;"
+        ).execute(0).rows
+        assert rows == [["15", str(sum(i * 2 for i in range(15)))]]
+    finally:
+        revived.stop()
+    p.close()
