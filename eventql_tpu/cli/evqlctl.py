@@ -146,6 +146,18 @@ def cmd_table_split_finalize(cdir, args, out):
     out.write(f"split finalized for partition {args.partition_id}\n")
 
 
+def cmd_rebalance(cdir, args, out):
+    """Repair partition placements after membership changes (reference:
+    db/rebalance.cc); new replicas backfill via the anti-entropy
+    workers."""
+    from eventql_tpu.db.rebalance import rebalance
+
+    changes = rebalance(cdir, args.database or "default")
+    for line in changes:
+        out.write(line + "\n")
+    out.write(f"rebalance complete: {len(changes)} change(s)\n")
+
+
 def cmd_table_import(args, out):
     """Stream a json/csv file into a table over the native protocol
     (reference: table_import.cc uploads in batches via the client lib)."""
@@ -223,6 +235,11 @@ def main(argv=None):
     p.add_argument("--table_name", required=True)
     p.add_argument("--partition_id", required=True)
 
+    p = sub.add_parser(
+        "rebalance", help="Rebalance partition placements across servers."
+    )
+    p.add_argument("--database", default="default")
+
     p = sub.add_parser("table-import", help="Import json or csv data to a table.")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9176)
@@ -248,6 +265,7 @@ def main(argv=None):
             "table-config-set": cmd_table_config_set,
             "table-split": cmd_table_split,
             "table-split-finalize": cmd_table_split_finalize,
+            "rebalance": cmd_rebalance,
         }[args.command]
         handler(cdir, args, out)
         return 0

@@ -104,6 +104,23 @@ def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
     return out
 
 
+def _pad_buckets(K: int) -> int:
+    """Round the bucket count up to the kernel's k1*128 grid — distinct
+    dictionary sizes then share compiled kernel variants."""
+    return max(128, -(-K // 128) * 128)
+
+
+def _pad_rows(n: int, block: int = 8192) -> int:
+    """Round the row count up to a coarse bucket (next power-of-two
+    multiple of the kernel block) to bound jit recompiles across table
+    sizes; callers mask the padding out."""
+    nb = -(-n // block)
+    p = 1
+    while p < nb:
+        p <<= 1
+    return p * block
+
+
 def try_execute_pallas_string_groupby(
     node: qn.GroupByNode, txn
 ) -> Optional[Relation]:
@@ -281,9 +298,20 @@ def try_execute_pallas_string_groupby(
                         if hcol.stype in (SType.UINT64, SType.TIMESTAMP64):
                             m = int(hcol.data.max()) if n else 0
                             value_bits = max(8, m.bit_length() + 1)
+        # pad the static dimensions to coarse grids so distinct queries
+        # and table sizes share compiled kernel variants
+        value_bits = -(-value_bits // 8) * 8
+        Kp = _pad_buckets(K)
+        n_p = _pad_rows(n)
+        if n_p != n:
+            mask = jnp.pad(mask, (0, n_p - n))
+            gid = jnp.pad(gid, (0, n_p - n))
+            vals = tuple(jnp.pad(v, (0, n_p - n)) for v in vals)
         counts, outs = pallas_grouped_aggregate(
-            mask, gid, tuple(vals), tuple(kinds), K, value_bits=value_bits
+            mask, gid, tuple(vals), tuple(kinds), Kp, value_bits=value_bits
         )
+        counts = counts[:K]
+        outs = tuple(o[:K] for o in outs)
     else:
         from eventql_tpu.kernels.onehot_agg import onehot_grouped_aggregate
 

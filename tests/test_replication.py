@@ -267,3 +267,57 @@ def test_replication_repair_catches_up(cluster3):
     finally:
         revived.stop()
     p.close()
+
+
+def test_rebalance_backfills_new_replica(cluster3):
+    """Removing an owner + rebalance reassigns the partition to another
+    live server; its repair sweep pulls the data (db/rebalance.cc flow)."""
+    from eventql_tpu.db.rebalance import rebalance
+    from eventql_tpu.db.replication import ReplicationWorker
+
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    for i in range(10):
+        p.insert_json("ev", json.dumps({"t": i, "v": 5}))
+
+    from eventql_tpu.db.metadata import TableMetadata
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    old_owners = list(meta.entries[0].servers)
+    departed = old_owners[0]
+    cdir.remove_server(departed)
+
+    changes = rebalance(cdir)
+    assert any("removed placement" in c for c in changes)
+    assert any("added replica" in c for c in changes)
+
+    meta2 = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    new_owners = meta2.entries[0].servers
+    assert departed not in new_owners
+    assert len(new_owners) == 2
+
+    # the newly placed replica backfills via repair
+    newcomer = [s for s in new_owners if s not in old_owners][0]
+    nidx = int(newcomer[len("node") :]) - 1
+    worker = ReplicationWorker(
+        servers[nidx].table_service, cfg, newcomer, interval=999
+    )
+    assert worker.repair_once() == 10
+    assert servers[nidx].table_service.get_table_data("ev").num_rows == 10
+
+    # queries through a fresh coordinator see consistent data
+    p2 = _provider(cfg)
+    txn = rt.new_transaction(p2)
+    rows = rt.build_query_plan(txn, "select count(1), sum(v) from ev;").execute(0).rows
+    assert rows == [["10", "50"]]
+    p.close()
+    p2.close()
