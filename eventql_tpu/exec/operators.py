@@ -1030,11 +1030,29 @@ def _exec_describe_table(node, txn) -> Relation:
 
 
 def _exec_describe_partitions(node, txn) -> Relation:
-    # single-process runtime: one partition per table shard (or one for
-    # unpartitioned tables); reference: statements/describe_partitions.cc
+    # cluster runtimes report the real partition map (partition_id +
+    # comma-joined server placements, describe_partitions.cc:31-52);
+    # single-process runtimes report one partition per shard
     info = txn.tables.describe(node.table_name)
     if info is None:
         raise RuntimeError_(f"table not found: '{node.table_name}'")
+
+    parts_fn = getattr(txn.tables, "table_partitions", None)
+    if parts_fn is not None:
+        parts = parts_fn(node.table_name)
+        if parts is not None:
+            rows = [
+                [pid.encode(), ",".join(servers).encode(),
+                 str(keyrange[0]).encode(), str(keyrange[1]).encode(), b""]
+                for pid, servers, keyrange in parts
+            ]
+            cols = [
+                Column.from_strings([r[i] for r in rows]) for i in range(5)
+            ]
+            return Relation(
+                list(qn.DescribePartitionsNode.COLUMNS), cols, len(rows)
+            )
+
     shards_fn = getattr(txn.tables, "shards", None)
     n = len(shards_fn(node.table_name)) if shards_fn else 1
     rows = [

@@ -215,6 +215,17 @@ class ClusterTableProvider(TableProvider):
                 continue
         return [self.describe(n) for n in sorted(names)]
 
+    def table_partitions(self, table_name: str):
+        """(partition_id, servers, (begin, end)) rows for DESCRIBE
+        PARTITIONS (reference: describe_partitions.cc)."""
+        meta = self._table_metadata(table_name)
+        if meta is None:
+            return None
+        return [
+            (e.partition_id, list(e.servers), meta.keyrange(e.partition_id))
+            for e in meta.entries
+        ]
+
     def cluster_servers(self):
         """(name, status, addr) rows for CLUSTER SHOW SERVERS."""
         from eventql_tpu.server.native_tcp import NativeTCPClient

@@ -321,3 +321,31 @@ def test_rebalance_backfills_new_replica(cluster3):
     assert rows == [["10", "50"]]
     p.close()
     p2.close()
+
+
+def test_describe_partitions_cluster(cluster3):
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    from eventql_tpu.db.metadata import TableMetadata
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    meta.split(meta.entries[0].partition_id, 100)
+    cdir.update_table_config("default", "ev", {"metadata": meta.to_json()})
+
+    p2 = _provider(cfg)
+    txn = rt.new_transaction(p2)
+    r = rt.build_query_plan(txn, "describe partitions ev;").execute(0)
+    assert r.num_rows == 2
+    # each row: partition_id, comma-joined servers
+    for row in r.rows:
+        assert len(row[0]) == 20
+        assert row[1].count("node") == 2
+    p.close()
+    p2.close()
