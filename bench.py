@@ -88,28 +88,37 @@ def bench_join():
     import jax.numpy as jnp
 
     jax.config.update("jax_enable_x64", True)
-    from eventql_tpu.kernels.join import fact_dim_join_aggregate
+    from eventql_tpu.kernels.join import (
+        dim_fingerprints_unique,
+        pallas_dim_join_gid,
+    )
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
 
     n = int(os.environ.get("BENCH_ROWS", 1 << 24))
-    ndim = int(os.environ.get("BENCH_DIM", 65536))
+    ndim = int(os.environ.get("BENCH_DIM", 1024))
     n_keys = int(os.environ.get("BENCH_KEYS", 1024))
     reps = int(os.environ.get("BENCH_REPS", 4))
     rng = np.random.default_rng(9)
     dim_keys = jnp.asarray(
-        rng.permutation(np.arange(ndim, dtype=np.uint64) * 7919)
+        rng.permutation(np.arange(ndim, dtype=np.uint64) * 7919 + 3)
     )
     dim_bucket = jnp.asarray(rng.integers(0, n_keys, ndim).astype(np.int32))
     fact_keys = jnp.asarray(
-        rng.integers(0, ndim, n).astype(np.uint64) * 7919
+        rng.integers(0, ndim, n).astype(np.uint64) * 7919 + 3
     )
     fact_vals = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+
+    # path selection (host fingerprint check) happens outside the jit
+    assert dim_fingerprints_unique(np.asarray(dim_keys))
 
     @jax.jit
     def pipe(fact_keys, fact_vals, dim_keys, dim_bucket):
         def body(i, acc):
             mask = fact_vals + i.astype(jnp.uint64) < jnp.uint64(800)
-            counts, sums = fact_dim_join_aggregate(
-                fact_keys, fact_vals, mask, dim_keys, dim_bucket, n_keys
+            gid = pallas_dim_join_gid(fact_keys, dim_keys, dim_bucket)
+            m = mask & (gid >= 0)
+            counts, sums = pallas_sum_count(
+                m, jnp.maximum(gid, 0), fact_vals, n_keys, value_bits=16
             )
             return acc + sums.sum() + counts.sum()
 

@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 from eventql_tpu.kernels.groupby import sortable_u64
 
+# the fingerprint-compare join kernel holds an (n_dims, B) match matrix
+# in VMEM; beyond this many dims the searchsorted path takes over
+MAX_COMPARE_DIMS = 2048
+_JOIN_BLOCK = 4096
+
 
 @jax.jit
 def build_side(keys: jax.Array):
@@ -59,7 +64,6 @@ def dim_join_gather(
     return idx, matched
 
 
-@functools.partial(jax.jit, static_argnames=("num_buckets",))
 def fact_dim_join_aggregate(
     fact_keys: jax.Array,
     fact_values: jax.Array,
@@ -76,9 +80,186 @@ def fact_dim_join_aggregate(
     drop (inner join). Returns (counts u64[K], sums u64[K])."""
     from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
 
+    nd = dim_keys.shape[0]
+    if nd <= MAX_COMPARE_DIMS and dim_fingerprints_unique(
+        np.asarray(dim_keys)
+    ):
+        # gather-free probe: one (D, B) fingerprint compare + int8 MXU
+        # payload extraction (see pallas_dim_join_gid)
+        gid = pallas_dim_join_gid(fact_keys, dim_keys, dim_bucket)
+        mask = fact_mask & (gid >= 0)
+        gid = jnp.maximum(gid, 0)
+        return pallas_sum_count(mask, gid, fact_values, num_buckets)
+
     sk, perm = build_side(dim_keys)
     idx, matched = dim_join_gather(sk, perm, fact_keys)
+    gid, mask = _gather_gid(dim_bucket, idx, matched, fact_mask)
+    return pallas_sum_count(mask, gid, fact_values, num_buckets)
+
+
+# -- gather-free dimension join (Pallas) ------------------------------------
+#
+# XLA dynamic gather runs ~0.14 Grows/s on v5e, which caps the
+# binary-search probe at ~6 Mrows/s. For bounded dimension tables the
+# probe re-casts as dense compute:
+#   * each fact row's 32-bit key fingerprint compares against ALL dim
+#    fingerprints at once — one (D, B) VPU compare, no gather
+#   * the matched dim's payload (bucket id + full key for verification)
+#    extracts through ONE int8 MXU matmul: planes(P, D) @ eq(D, B)
+#   * the reconstructed dim key must equal the fact key (collisions of
+#    the fingerprint across fact keys are caught exactly); the caller
+#    pre-checks that dim fingerprints are mutually unique and falls
+#    back to searchsorted otherwise
+
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_P_PLANES = 16  # ones + 2 bucket limbs + 8 key limbs, padded to 16
+
+
+def _fingerprint(lo, hi):
+    # cheap 32-bit mix of both words; arithmetic shifts are masked so
+    # int32 (device) and uint32 (host check) agree bit for bit
+    return (
+        lo
+        ^ ((hi << 13) | ((hi >> 19) & 0x1FFF))
+        ^ ((hi >> 7) & 0x01FFFFFF)
+    )
+
+
+def _join_kernel(flo_ref, fhi_ref, dfp_ref, planes_ref, gid_ref):
+    flo = flo_ref[0, :, :]  # (1, B) i32
+    fhi = fhi_ref[0, :, :]
+    dfp = dfp_ref[:, :]  # (D, 1) i32 dim fingerprints
+    planes = planes_ref[:, :]  # (P, D) int8, offset-encoded
+    B = flo.shape[1]
+
+    h = _fingerprint(flo, fhi)  # (1, B)
+    eq = jnp.where(dfp == h, 1, 0).astype(jnp.int8)  # (D, B)
+
+    m = jax.lax.dot_general(
+        planes,
+        eq,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (P, B)
+
+    cnt = m[0:1, :]  # matches per row (0 or 1: dim fps unique)
+    off = 128 * cnt  # un-offset the int8 encoding
+
+    def limb(i):
+        return m[i : i + 1, :] + off
+
+    bucket = limb(1) | (limb(2) << 8)
+    dlo = limb(3) | (limb(4) << 8) | (limb(5) << 16) | (limb(6) << 24)
+    dhi = limb(7) | (limb(8) << 8) | (limb(9) << 16) | (limb(10) << 24)
+
+    valid = (cnt == 1) & (dlo == flo) & (dhi == fhi)
+    gid_ref[0, :, :] = jnp.where(valid, bucket, -1)
+
+
+def _dim_planes(dim_keys: jax.Array, dim_bucket: jax.Array, D: int):
+    """(P, D) int8 payload planes + (D, 1) fingerprints, zero-padded."""
+    nd = dim_keys.shape[0]
+    words = jax.lax.bitcast_convert_type(
+        dim_keys.astype(jnp.uint64), jnp.uint32
+    )
+    dlo = words[:, 0].astype(jnp.int32)
+    dhi = words[:, 1].astype(jnp.int32)
+    db = dim_bucket.astype(jnp.int32)
+
+    # ones plane stays unoffset (0/1 fits int8); payload limbs are
+    # offset by -128 and recovered via 128 * match-count. Padded dim
+    # slots are all-zero on every plane, so even a fact fingerprint
+    # that collides with a padded slot contributes nothing.
+    rows = [jnp.ones((nd,), jnp.int32)]
+    for w, j in [(db, 0), (db, 1)]:
+        rows.append(((w >> (8 * j)) & 0xFF) - 128)
+    for w in (dlo, dhi):
+        for j in range(4):
+            rows.append(((w >> (8 * j)) & 0xFF) - 128)
+    planes = jnp.stack(rows, axis=0)
+    pad_rows = _P_PLANES - planes.shape[0]
+    planes = jnp.concatenate(
+        [planes, jnp.zeros((pad_rows, nd), jnp.int32)], axis=0
+    )
+    if D > nd:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((_P_PLANES, D - nd), jnp.int32)], axis=1
+        )
+    planes = planes.astype(jnp.int8)
+
+    fp = _fingerprint(dlo, dhi)
+    if D > nd:
+        fp = jnp.concatenate(
+            [fp, jnp.full((D - nd,), jnp.int32(-0x55AA55AB))]
+        )
+    return planes, fp.reshape(D, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def pallas_dim_join_gid(
+    fact_keys: jax.Array,
+    dim_keys: jax.Array,
+    dim_bucket: jax.Array,
+    block: int = _JOIN_BLOCK,
+):
+    """Per fact row: the joined dim's bucket id, or -1 when the key has
+    no dim match. Caller MUST ensure dim fingerprints are unique
+    (dim_fingerprints_unique) — collisions between dims would double
+    match; fact-side fingerprint collisions are verified exactly."""
+    n = fact_keys.shape[0]
+    nd = dim_keys.shape[0]
+    D = max(128, -(-nd // 128) * 128)
+
+    fwords = jax.lax.bitcast_convert_type(
+        fact_keys.astype(jnp.uint64), jnp.uint32
+    )
+    flo = fwords[:, 0].astype(jnp.int32)
+    fhi = fwords[:, 1].astype(jnp.int32)
+    nb = -(-n // block)
+    pad = nb * block - n
+    flo_p = jnp.pad(flo, (0, pad)).reshape(nb, 1, block)
+    fhi_p = jnp.pad(fhi, (0, pad)).reshape(nb, 1, block)
+
+    planes, dfp = _dim_planes(dim_keys, dim_bucket, D)
+
+    with jax.enable_x64(False):
+        gid = pl.pallas_call(
+            _join_kernel,
+            interpret=jax.default_backend() != "tpu",
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_P_PLANES, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb, 1, block), jnp.int32),
+        )(flo_p, fhi_p, dfp, planes)
+    return gid.reshape(-1)[:n]
+
+
+@jax.jit
+def _gather_gid(dim_bucket, idx, matched, fact_mask):
     safe_idx = jnp.where(matched, idx, 0)
     gid = dim_bucket[safe_idx].astype(jnp.int32)
-    mask = fact_mask & matched
-    return pallas_sum_count(mask, gid, fact_values, num_buckets)
+    return gid, fact_mask & matched
+
+
+def dim_fingerprints_unique(dim_keys_host) -> bool:
+    """Host-side precondition check for the fingerprint-compare join
+    (bit-identical to the kernel's masked-shift fingerprint)."""
+    dk = np.asarray(dim_keys_host, dtype=np.uint64)
+    lo = (dk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    hi = (dk >> np.uint64(32)).astype(np.int64)
+    fp = (
+        lo
+        ^ (((hi << 13) & 0xFFFFFFFF) | ((hi >> 19) & 0x1FFF))
+        ^ ((hi >> 7) & 0x01FFFFFF)
+    ) & 0xFFFFFFFF
+    return len(np.unique(fp)) == len(fp)

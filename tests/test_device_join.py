@@ -58,3 +58,29 @@ def test_fact_dim_join_aggregate():
             exp_sums[b] += v
     assert (counts == exp_counts).all()
     assert (sums == exp_sums).all()
+
+
+def test_fingerprint_join_gid():
+    """Gather-free probe: fingerprint compare + int8 MXU payload
+    extraction, exact incl. misses (kernels/join.py pallas_dim_join_gid)."""
+    import numpy as np
+
+    from eventql_tpu.kernels.join import (
+        dim_fingerprints_unique,
+        pallas_dim_join_gid,
+    )
+
+    rng = np.random.default_rng(13)
+    nd, n = 777, 20000
+    dim_keys = rng.permutation(np.arange(nd, dtype=np.uint64) * 104729 + 11)
+    assert dim_fingerprints_unique(dim_keys)
+    dim_bucket = rng.integers(0, 512, nd).astype(np.int32)
+    fact = rng.integers(0, nd * 3, n).astype(np.uint64) * 104729 + 11
+    gid = np.asarray(
+        pallas_dim_join_gid(
+            jnp.asarray(fact), jnp.asarray(dim_keys), jnp.asarray(dim_bucket)
+        )
+    )
+    lut = {int(k): int(b) for k, b in zip(dim_keys, dim_bucket)}
+    ref = np.array([lut.get(int(k), -1) for k in fact], dtype=np.int32)
+    np.testing.assert_array_equal(gid, ref)
