@@ -107,6 +107,7 @@ def main(argv=None):
     server.port = listener.port
 
     repl_worker = None
+    monitor = None
     if args.config_dir and args.server_name:
         from eventql_tpu.config.config_directory import (
             SERVER_UP,
@@ -129,6 +130,16 @@ def main(argv=None):
             server.table_service, args.config_dir, args.server_name
         ).start()
 
+        from eventql_tpu.db.monitor import Monitor
+
+        monitor = Monitor(
+            server.table_service,
+            args.config_dir,
+            args.server_name,
+            f"{nhost}:{native.port}",
+            datadir=args.datadir,
+        ).start()
+
     print(
         f"eventql_tpu server listening on http://{host}:{server.port}"
         f" native://{nhost}:{native.port}"
@@ -149,6 +160,8 @@ def main(argv=None):
                 server_status=SERVER_DOWN,
             )
         )
+    if monitor is not None:
+        monitor.stop()
     if repl_worker is not None:
         repl_worker.stop()
     if statsd_agent is not None:

@@ -1,0 +1,234 @@
+"""mysql2evql — import a MySQL table into eventql_tpu.
+
+The reference binary streams rows out of a live MySQL server
+(reference: tools/mysql2evql.cc:1-387 — scans the table, maps the
+schema, uploads row batches via the API). Driverless environments are
+the norm here, so this port consumes a **mysqldump file** (the
+canonical interchange format mysqldump emits: CREATE TABLE + extended
+INSERT statements) and performs the same schema mapping + batched
+upload over the native protocol.
+
+    mysql2evql --source_file dump.sql --source_table users \\
+               --destination_table users --host localhost --port 9176
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from typing import Dict, List, Optional, Tuple
+
+# MySQL type → eventql type (reference: mysql2evql.cc schema mapping)
+_TYPE_MAP = [
+    (re.compile(r"tinyint\(1\)", re.I), "boolean"),
+    (re.compile(r"bool(ean)?", re.I), "boolean"),
+    (re.compile(r"(tiny|small|medium|big)?int", re.I), "uint64"),
+    (re.compile(r"(double|float|decimal|numeric|real)", re.I), "double"),
+    (re.compile(r"(datetime|timestamp|date|time|year)", re.I), "datetime"),
+    (re.compile(r"(var)?char|(tiny|medium|long)?text|enum|set|(var)?binary|(tiny|medium|long)?blob|json", re.I), "string"),
+]
+
+
+def map_type(mysql_type: str) -> str:
+    for pat, evql in _TYPE_MAP:
+        if pat.match(mysql_type.strip()):
+            return evql
+    return "string"
+
+
+def parse_create_table(sql: str, table: str):
+    """(columns [(name, evql_type)], primary_key [names]) from the
+    dump's CREATE TABLE statement."""
+    m = re.search(
+        r"CREATE TABLE\s+`?" + re.escape(table) + r"`?\s*\((.*?)\)\s*(ENGINE|;)",
+        sql,
+        re.S | re.I,
+    )
+    if not m:
+        raise ValueError(f"no CREATE TABLE for '{table}' in dump")
+    body = m.group(1)
+    columns: List[Tuple[str, str]] = []
+    primary_key: List[str] = []
+    for line in body.split("\n"):
+        line = line.strip().rstrip(",")
+        if not line:
+            continue
+        pk = re.match(r"PRIMARY KEY\s*\((.*?)\)", line, re.I)
+        if pk:
+            primary_key = [
+                c.strip(" `") for c in pk.group(1).split(",")
+            ]
+            continue
+        if re.match(r"(UNIQUE\s+)?KEY|CONSTRAINT|INDEX|FOREIGN", line, re.I):
+            continue
+        cm = re.match(r"`([^`]+)`\s+(\S+)", line)
+        if cm:
+            columns.append((cm.group(1), map_type(cm.group(2))))
+    return columns, primary_key
+
+
+def _split_tuples(values: str):
+    """Yield the (...) tuples of an extended INSERT, respecting quotes
+    and backslash escapes."""
+    i, n = 0, len(values)
+    while i < n:
+        while i < n and values[i] != "(":
+            i += 1
+        if i >= n:
+            return
+        depth = 0
+        start = i
+        in_str = False
+        while i < n:
+            c = values[i]
+            if in_str:
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    yield values[start + 1 : i]
+                    i += 1
+                    break
+            i += 1
+
+
+def _split_fields(tup: str) -> List[Optional[str]]:
+    out: List[Optional[str]] = []
+    i, n = 0, len(tup)
+    buf: List[str] = []
+    in_str = False
+    while i <= n:
+        c = tup[i] if i < n else ","
+        if in_str:
+            if c == "\\" and i + 1 < n:
+                nxt = tup[i + 1]
+                buf.append(
+                    {"n": "\n", "t": "\t", "r": "\r", "0": "\0"}.get(nxt, nxt)
+                )
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+            else:
+                buf.append(c)
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            buf.append("\x00STR\x00")  # mark as string-typed
+            i += 1
+            continue
+        if c == ",":
+            field = "".join(buf).strip()
+            if field.upper() == "NULL":
+                out.append(None)
+            else:
+                out.append(field)
+            buf = []
+            i += 1
+            continue
+        buf.append(c)
+        i += 1
+    return out
+
+
+def _datetime_to_micros(val: str) -> int:
+    """MySQL DATETIME/DATE literals → unix micros (UTC, like the
+    reference's time mapping)."""
+    import calendar
+    import time as _time
+
+    val = val.strip()
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            st = _time.strptime(val, fmt)
+            return calendar.timegm(st) * 1_000_000
+        except ValueError:
+            continue
+    return int(float(val))  # already numeric
+
+
+def parse_inserts(sql: str, table: str, columns):
+    """Yield JSON-ready record dicts from all INSERT statements."""
+    for m in re.finditer(
+        r"INSERT INTO\s+`?" + re.escape(table) + r"`?\s*(?:\([^)]*\))?\s*VALUES\s*(.*?);\s*$",
+        sql,
+        re.S | re.I | re.M,
+    ):
+        for tup in _split_tuples(m.group(1)):
+            fields = _split_fields(tup)
+            record = {}
+            for (cname, ctype), val in zip(columns, fields):
+                if val is None:
+                    continue
+                is_str = val.startswith("\x00STR\x00")
+                if is_str:
+                    val = val.replace("\x00STR\x00", "")
+                if ctype == "datetime":
+                    record[cname] = _datetime_to_micros(val)
+                elif ctype == "uint64" and not is_str:
+                    record[cname] = int(float(val))
+                elif ctype == "double" and not is_str:
+                    record[cname] = float(val)
+                elif ctype == "boolean":
+                    record[cname] = val not in ("0", "false", "")
+                else:
+                    record[cname] = val
+            yield record
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mysql2evql")
+    ap.add_argument("--source_file", required=True, help="mysqldump output")
+    ap.add_argument("--source_table", required=True)
+    ap.add_argument("--destination_table", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9176)
+    ap.add_argument("--batch_size", type=int, default=128)
+    args = ap.parse_args(argv)
+
+    dst = args.destination_table or args.source_table
+    with open(args.source_file) as f:
+        sql = f.read()
+
+    columns, primary_key = parse_create_table(sql, args.source_table)
+    if not primary_key:
+        primary_key = [columns[0][0]]
+
+    from eventql_tpu.server.native_tcp import NativeTCPClient
+
+    col_ddl = ",\n".join(f"  `{n}` {t}" for n, t in columns)
+    pk = ", ".join(f"`{k}`" for k in primary_key)
+    ddl = f"CREATE TABLE `{dst}` (\n{col_ddl},\n  PRIMARY KEY ({pk})\n);"
+
+    client = NativeTCPClient(args.host, args.port)
+    client.query(ddl)
+
+    batch: List[str] = []
+    n = 0
+    for record in parse_inserts(sql, args.source_table, columns):
+        batch.append(json.dumps(record))
+        if len(batch) >= args.batch_size:
+            client.insert_json(dst, batch)
+            n += len(batch)
+            batch = []
+    if batch:
+        client.insert_json(dst, batch)
+        n += len(batch)
+    client.close()
+    print(f"imported {n} rows into {dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

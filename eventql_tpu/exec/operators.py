@@ -33,6 +33,31 @@ from eventql_tpu.plan.exprs import (
 
 
 def execute_node(node: qn.QueryTreeNode, txn) -> Relation:
+    trace = getattr(txn, "trace", None)
+    if trace is not None:
+        import time as _time
+
+        depth = txn._trace_depth
+        txn._trace_depth += 1
+        t0 = _time.perf_counter()
+        try:
+            rel = _execute_node_inner(node, txn)
+        finally:
+            txn._trace_depth -= 1
+        trace.insert(
+            depth if depth < len(trace) else len(trace),
+            (
+                type(node).__name__,
+                depth,
+                _time.perf_counter() - t0,
+                getattr(rel, "num_rows", 0),
+            ),
+        )
+        return rel
+    return _execute_node_inner(node, txn)
+
+
+def _execute_node_inner(node: qn.QueryTreeNode, txn) -> Relation:
     if isinstance(node, qn.SequentialScanNode):
         return _exec_seqscan(node, txn)
     if isinstance(node, qn.SelectExpressionNode):

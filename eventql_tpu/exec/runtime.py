@@ -56,12 +56,30 @@ class RelationTableProvider(TableProvider):
 
 
 class Transaction:
-    def __init__(self, tables: TableProvider, query_cache=None):
+    def __init__(self, tables: TableProvider, query_cache=None, trace=None):
         self.tables = tables
         self.query_cache = query_cache
+        # per-operator timing (survey §5: the reference has no tracer —
+        # this is the TPU build's addition): list of
+        # (operator, depth, wall_seconds, output_rows) tuples, enabled
+        # by passing trace=[] or EVENTQL_TRACE=1
+        import os as _os
+
+        if trace is None and _os.environ.get("EVENTQL_TRACE") == "1":
+            trace = []
+        self.trace = trace
+        self._trace_depth = 0
 
     def get_table_data(self, table_name: str) -> Relation:
         return self.tables.get_table_data(table_name)
+
+    def trace_report(self) -> str:
+        if not self.trace:
+            return ""
+        out = []
+        for op, depth, secs, rows in self.trace:
+            out.append(f"{'  ' * depth}{op}: {secs * 1e3:.3f} ms, {rows} rows")
+        return "\n".join(out)
 
 
 class QueryPlan:

@@ -160,6 +160,7 @@ class ClusterTableProvider(TableProvider):
         workers: List[Tuple[str, int]],
         cdir=None,
         server_map: Optional[Dict[str, Tuple[str, int]]] = None,
+        failed_shard_policy: str = "tolerate",
     ):
         self.workers = list(workers)
         # cluster registry + server_id → address book enable the
@@ -170,6 +171,11 @@ class ClusterTableProvider(TableProvider):
         self.server_map = dict(server_map or {})
         self._clients: Dict[Tuple[str, int], object] = {}
         self._rr = 0  # round-robin insert cursor
+        # reference default: query_failed_shard_policy=tolerate
+        # (evqld.cc:247) — queries return partial results with
+        # failed-shard accounting instead of erroring
+        self.failed_shard_policy = failed_shard_policy
+        self.num_failed_shards = 0
 
     def _client(self, addr):
         from eventql_tpu.server.native_tcp import NativeTCPClient
@@ -434,6 +440,11 @@ class ClusterTableProvider(TableProvider):
                     return fetch(addr, payload)
                 except (OSError, ConnectionError) as e:
                     last_err = e  # replica down: fail over to the next
+            if self.failed_shard_policy == "tolerate":
+                # partial results + failed-shard accounting
+                # (reference: groupby.cc:511,622-628)
+                self.num_failed_shards += 1
+                return None
             raise SQLError(
                 f"no live replica for partition {entry.partition_id}"
                 + (f" ({last_err})" if last_err else "")
@@ -442,7 +453,10 @@ class ClusterTableProvider(TableProvider):
         with concurrent.futures.ThreadPoolExecutor(
             max_workers=min(len(jobs), MAX_CONCURRENT_SHARDS)
         ) as pool:
-            return list(pool.map(one, jobs))
+            out = [r for r in pool.map(one, jobs) if r is not None]
+        if not out:
+            raise SQLError("no live replica for any partition")
+        return out
 
     # -- distributed execution -----------------------------------------
     def execute_pushdown_limit(self, node: qn.LimitNode):

@@ -418,3 +418,25 @@ def test_wildcard_join_subselect():
     )
     assert r.num_columns == 7
     assert r.num_rows == 3
+
+
+def test_operator_trace():
+    """Per-operator timing trace (a TPU-build addition; SURVEY §5 notes
+    the reference has no tracer)."""
+    from eventql_tpu.exec.runtime import Runtime
+
+    rt = Runtime()
+    txn = rt.new_transaction(csv1_provider())
+    txn.trace = []
+    plan = rt.build_query_plan(
+        txn,
+        "select time, value from testtable order by time limit 3;",
+    )
+    r = plan.execute(0)
+    assert r.num_rows == 3
+    ops = [t[0] for t in txn.trace]
+    assert "LimitNode" in ops
+    assert "OrderByNode" in ops
+    assert "SequentialScanNode" in ops
+    report = txn.trace_report()
+    assert "ms" in report and "rows" in report

@@ -349,3 +349,68 @@ def test_describe_partitions_cluster(cluster3):
         assert row[1].count("node") == 2
     p.close()
     p2.close()
+
+
+def test_monitor_publishes_load(cluster3, tmp_path):
+    from eventql_tpu.db.monitor import Monitor
+
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    p.insert_json("ev", json.dumps({"t": 1, "v": 1}))
+
+    mon = Monitor(
+        servers[0].table_service, cfg, "node1",
+        f"127.0.0.1:{servers[0].port}",
+    )
+    mon.publish_once()
+    s = cdir.get_server_config("node1")
+    assert s.load_partitions >= 1
+    p.close()
+
+
+def test_tolerate_failed_shards_partial_results(cluster3):
+    """With every replica of a partition down, the default tolerate
+    policy returns partial results and counts the failed shard
+    (reference: query_failed_shard_policy=tolerate, evqld.cc:247)."""
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    for i in range(10):
+        p.insert_json("ev", json.dumps({"t": i, "v": 1}))
+
+    # split: [0, 5) and [5, inf)
+    from eventql_tpu.db.metadata import TableMetadata
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    meta.split(meta.entries[0].partition_id, 5)
+    # place the SECOND partition only on node3, then kill node3
+    meta.entries[1].servers = ["node3"]
+    cdir.update_table_config("default", "ev", {"metadata": meta.to_json()})
+    servers[2].stop()
+
+    p2 = _provider(cfg)
+    txn = rt.new_transaction(p2)
+    rows = rt.build_query_plan(txn, "select count(1) from ev;").execute(0).rows
+    assert rows == [["5"]]  # partial: only the live partition
+    assert p2.num_failed_shards == 1
+
+    # strict policy raises instead
+    p3 = _provider(cfg)
+    p3.failed_shard_policy = "strict"
+    txn = rt.new_transaction(p3)
+    with pytest.raises(SQLError, match="no live replica"):
+        rt.build_query_plan(txn, "select count(1) from ev;").execute(0)
+    p.close()
+    p2.close()
+    p3.close()
