@@ -108,6 +108,7 @@ def main(argv=None):
 
     repl_worker = None
     monitor = None
+    leader = None
     if args.config_dir and args.server_name:
         from eventql_tpu.config.config_directory import (
             SERVER_UP,
@@ -129,6 +130,10 @@ def main(argv=None):
         repl_worker = ReplicationWorker(
             server.table_service, args.config_dir, args.server_name
         ).start()
+
+        from eventql_tpu.db.leader import Leader
+
+        leader = Leader(args.config_dir, args.server_name).start()
 
         from eventql_tpu.db.monitor import Monitor
 
@@ -160,6 +165,8 @@ def main(argv=None):
                 server_status=SERVER_DOWN,
             )
         )
+    if leader is not None:
+        leader.stop()
     if monitor is not None:
         monitor.stop()
     if repl_worker is not None:

@@ -185,7 +185,7 @@ class LSMTable(MemoryTable):
             return self._compact_nested()
         rel = self.to_relation()
         for seg in self._segments:
-            os.unlink(os.path.join(self.dir, seg))
+            _trash_file(self.dir, seg)
         self._segments = []
         if rel.num_rows:
             seg_name = "segment-000000.cst"
@@ -234,7 +234,7 @@ class LSMTable(MemoryTable):
             dec = reader.decode_column(m.path)
             streams[m.path] = (dec.rlvls, dec.dlvls, dec.values, m)
         for seg in self._segments:
-            os.unlink(os.path.join(self.dir, seg))
+            _trash_file(self.dir, seg)
             self._segment_readers.pop(seg, None)
         self._segments = []
         if reader.num_rows:
@@ -384,6 +384,42 @@ def _concat_relations(parts: List[Relation]) -> Relation:
     return Relation(list(names), cols, sum(p.num_rows for p in parts))
 
 
+def _trash_file(table_dir: str, name: str):
+    """Move a dereferenced segment into the trash dir instead of
+    unlinking it (reference: FileTracker dereference + trash-dir GC,
+    db/garbage_collector.cc / db/file_tracker.cc) — readers holding the
+    old file keep working until the GC sweep."""
+    trash = os.path.join(table_dir, ".trash")
+    os.makedirs(trash, exist_ok=True)
+    src = os.path.join(table_dir, name)
+    try:
+        os.replace(src, os.path.join(trash, name))
+    except OSError:
+        pass
+
+
+def collect_garbage(datadir: str, min_age_seconds: float = 0.0) -> int:
+    """Delete trashed segment files older than min_age_seconds; returns
+    the number removed (reference: GarbageCollector::runOnce)."""
+    import time as _time
+
+    removed = 0
+    now = _time.time()
+    for root, dirs, _files in os.walk(datadir):
+        if ".trash" not in dirs:
+            continue
+        trash = os.path.join(root, ".trash")
+        for f in os.listdir(trash):
+            p = os.path.join(trash, f)
+            try:
+                if now - os.path.getmtime(p) >= min_age_seconds:
+                    os.unlink(p)
+                    removed += 1
+            except OSError:
+                pass
+    return removed
+
+
 def _write_nested_segment(path: str, streams, num_rows: int):
     """streams: {path: (rlvls, dlvls, values, meta)} from the shredder
     (or re-decoded from a composite reader)."""
@@ -441,6 +477,7 @@ class DurableTableService(TableService):
                 for t in pending:
                     t.compact()
                 evqld_stats().compaction_queue_length.set(0)
+                collect_garbage(self.datadir, min_age_seconds=interval)
 
         self._compaction_thread = threading.Thread(target=run, daemon=True)
         self._compaction_thread.start()

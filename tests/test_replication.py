@@ -414,3 +414,71 @@ def test_tolerate_failed_shards_partial_results(cluster3):
     p.close()
     p2.close()
     p3.close()
+
+
+def test_leader_election_and_failover(cluster3, tmp_path):
+    """One leader at a time via the registry lock; leadership fails over
+    on release; the leader's pass runs rebalance (db/leader.cc flow)."""
+    from eventql_tpu.db.leader import Leader
+
+    cfg, cdir, servers = cluster3
+    l1 = Leader(cfg, "node1")
+    l2 = Leader(cfg, "node2")
+    assert l1.try_acquire()
+    assert not l2.try_acquire()
+    assert l1.is_leader and not l2.is_leader
+
+    # leader duty = rebalance: under-replicated placement gets fixed
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    from eventql_tpu.db.metadata import TableMetadata
+
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    meta.entries[0].servers = meta.entries[0].servers[:1]  # under-replicated
+    cdir.update_table_config("default", "ev", {"metadata": meta.to_json()})
+
+    l1.run_leader_duties()
+    meta2 = TableMetadata.from_json(
+        cdir.get_table_config("default", "ev")["metadata"]
+    )
+    assert len(meta2.entries[0].servers) == 2  # backfilled to RF
+
+    l1.release()
+    assert l2.try_acquire()
+    l2.release()
+    p.close()
+
+
+def test_gc_trash_sweep(tmp_path):
+    import os
+
+    from eventql_tpu.db.lsm import DurableTableService, collect_garbage
+
+    svc = DurableTableService(str(tmp_path), arena_flush_rows=2)
+    rt = Runtime()
+    txn = rt.new_transaction(svc)
+    rt.build_query_plan(
+        txn, "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    for i in range(8):
+        svc.insert_json("ev", json.dumps({"t": i, "v": i}))
+    table = svc.tables["ev"]
+    nsegs = len(table._segments)
+    assert nsegs >= 3
+    table.compact()
+    trash = os.path.join(str(tmp_path), "ev", ".trash")
+    assert len(os.listdir(trash)) == nsegs  # superseded segments trashed
+    removed = collect_garbage(str(tmp_path))
+    assert removed == nsegs
+    assert os.listdir(trash) == []
+    # data intact after GC
+    txn = rt.new_transaction(svc)
+    assert rt.build_query_plan(txn, "select count(1) from ev;").execute(
+        0
+    ).rows == [["8"]]
