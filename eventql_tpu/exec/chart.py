@@ -284,7 +284,12 @@ class TimeDomain(ContinuousDomain):
 
 
 class DiscreteDomain:
-    """reference: util/charts/discretedomain.h"""
+    """reference: util/charts/discretedomain.h
+
+    Quirk kept for parity: the reference computes the category index as
+    `categories.end() - find(...)`, i.e. the distance from the found
+    element to the END — so the FIRST category added scales closest to
+    1.0 and later categories walk toward 0 (discretedomain.h:45-83)."""
 
     is_time = False
 
@@ -299,29 +304,39 @@ class DiscreteDomain:
     def build(self):
         self.built = True
 
+    def _rindex(self, v) -> int:
+        # reference: index = end - find = n - pos; 0 means "not found"
+        try:
+            return len(self.categories) - self.categories.index(v)
+        except ValueError:
+            raise RuntimeError_("can't scale value")
+
     def scale(self, v) -> float:
-        idx = self.categories.index(v) + 1
-        return (idx / len(self.categories)) - (0.5 / len(self.categories))
+        idx = self._rindex(v)
+        if idx < 1:
+            raise RuntimeError_("can't scale value")
+        return (idx - 0.5) / len(self.categories)
 
     def scale_range(self, v):
-        idx = self.categories.index(v) + 1
+        idx = self._rindex(v)
+        if idx < 1:
+            raise RuntimeError_("can't scale value")
         n = len(self.categories)
         return ((idx - 1) / n, idx / n)
 
     def get_ticks(self):
-        n = len(self.categories)
         out = [0.0]
-        for i in range(n):
-            out.append((i + 1) / n)
+        for c in self.categories:
+            out.append(self.scale_range(c)[1])
         return out
 
     def get_labels(self):
-        out = []
-        for i, c in enumerate(self.categories):
-            n = len(self.categories)
-            mid = (i + 1) / n - 0.5 / n
-            out.append((mid, str(c)))
-        return out
+        return [(self.scale(c), self.label(c)) for c in self.categories]
+
+    def label(self, v) -> str:
+        if isinstance(v, float):
+            return _double_to_string(v)
+        return str(v)
 
 
 class Series:
@@ -445,6 +460,301 @@ class PointChart(LineChart):
                     series.name,
                 )
         target.finish_group()
+
+
+class AreaChart(LineChart):
+    """reference: util/charts/areachart.h (AreaChart2D semantics: each
+    (x, y) point covers the surface between 0 and y). Stacked areas are
+    unimplemented in the reference ("FIXPAUL: stacked areas",
+    areachart.h:292) and therefore here too."""
+
+    # reference: areachart.cc:33-36
+    K_DEFAULT_LINE_STYLE = "none"
+    K_DEFAULT_LINE_WIDTH = "1"
+    K_DEFAULT_POINT_STYLE = "none"
+    K_DEFAULT_POINT_SIZE = "2"
+
+    def add_series(self, series: Series, x_is_time: bool):
+        if self.x_domain is None:
+            if any(isinstance(x, str) for x, _y, _l in series.points):
+                self.x_domain = DiscreteDomain()
+            else:
+                self.x_domain = TimeDomain() if x_is_time else ContinuousDomain()
+        if self.y_domain is None:
+            self.y_domain = ContinuousDomain()
+            self.y_domain.set_padding(
+                K_DEFAULT_DOMAIN_PADDING, K_DEFAULT_DOMAIN_PADDING
+            )
+        for x, y, _label in series.points:
+            self.x_domain.add_value(x)
+            self.y_domain.add_value(0.0)  # 2D lower bound
+            self.y_domain.add_value(y)
+        if "color" not in series.properties:
+            series.properties["color"] = _COLOR_PALETTE[
+                self._color_index % len(_COLOR_PALETTE)
+            ]
+            self._color_index += 1
+        series.properties.setdefault("linestyle", self.K_DEFAULT_LINE_STYLE)
+        series.properties.setdefault("linewidth", self.K_DEFAULT_LINE_WIDTH)
+        series.properties.setdefault("pointstyle", self.K_DEFAULT_POINT_STYLE)
+        series.properties.setdefault("pointsize", self.K_DEFAULT_POINT_SIZE)
+        self.series.append(series)
+
+    def render(self, target: SVGTarget, viewport: Viewport):
+        # reference: AreaChart3D::render (areachart.h:295-390)
+        self.x_domain.build()
+        self.y_domain.build()
+        target.begin_group("areas")
+        for series in self.series:
+            point_style = series.prop("pointstyle")
+            point_size = float(series.prop("pointsize"))
+            line_style = series.prop("linestyle")
+            line_width = float(series.prop("linewidth"))
+            color = series.prop("color")
+
+            area_coords = []
+            border_top = []
+            border_bottom = []
+            for x, y, label in series.points:
+                s_x = self.x_domain.scale(x)
+                s_y2 = 1.0 - self.y_domain.scale(y)
+                dx = viewport.padding[3] + s_x * viewport.inner_width
+                dy2 = viewport.padding[0] + s_y2 * viewport.inner_height
+                area_coords.append((dx, dy2))
+                border_top.append((dx, dy2))
+                target.draw_point(
+                    dx, dy2, point_style, point_size, color, "point",
+                    label, series.name,
+                )
+            for x, y_lo, label in [
+                (x, 0.0, label) for x, _y, label in reversed(series.points)
+            ]:
+                s_x = self.x_domain.scale(x)
+                s_y1 = 1.0 - self.y_domain.scale(y_lo)
+                dx = viewport.padding[3] + s_x * viewport.inner_width
+                dy1 = viewport.padding[0] + s_y1 * viewport.inner_height
+                area_coords.append((dx, dy1))
+                if y_lo != 0:
+                    border_bottom.append((dx, dy1))
+                    target.draw_point(
+                        dx, dy1, point_style, point_size, color, "point",
+                        label, series.name,
+                    )
+            target.draw_path(
+                area_coords,
+                "fill",
+                0 if line_style == "none" else line_width,
+                False,
+                color,
+                "area",
+            )
+            if line_style != "none":
+                target.draw_path(
+                    border_top, line_style, line_width, False, color, "line"
+                )
+                if border_bottom:
+                    target.draw_path(
+                        border_bottom, line_style, line_width, False, color,
+                        "line",
+                    )
+        target.finish_group()
+
+
+class BarChart:
+    """reference: util/charts/barchart.h (BarChart2D semantics: one bar
+    per point with label x and height y; positive y maps to the
+    (0, y) range, negative y to (y, 0) — barchart.h:585-597; series
+    sharing x labels render as grouped bars, or stacked when STACKED)."""
+
+    K_BAR_PADDING = 0.3  # barchart.h:61
+    K_BAR_PADDING_INNER = 0.2  # barchart.h:62
+    K_LABEL_PADDING = 8  # barchart.h:63
+
+    def __init__(self):
+        self.x_domain: Optional[DiscreteDomain] = None
+        self.y_domain: Optional[ContinuousDomain] = None
+        self.series: List[Series] = []
+        self._color_index = 0
+        self.orientation = "vertical"
+        self.stacked = False
+        self.show_labels = False
+        # SeriesJoin3D analog: bars keyed by x in first-appearance order
+        self._bars: Dict[object, dict] = {}
+        self._bar_order: List = []
+
+    def add_series(self, series: Series, x_is_time: bool):
+        if self.x_domain is None:
+            self.x_domain = DiscreteDomain()
+        if self.y_domain is None:
+            self.y_domain = ContinuousDomain()
+            self.y_domain.set_padding(
+                K_DEFAULT_DOMAIN_PADDING, K_DEFAULT_DOMAIN_PADDING
+            )
+        n_series = len(self.series)
+        for x, y, label in series.points:
+            # BarChart2D::addSeries null-coord mapping (barchart.h:585)
+            lo, hi = (0.0, float(y)) if y > 0 else (float(y), 0.0)
+            self.x_domain.add_value(x)
+            self.y_domain.add_value(lo)
+            self.y_domain.add_value(hi)
+            bar = self._bars.get(x)
+            if bar is None:
+                bar = {"ys": [(0.0, 0.0)] * n_series, "label": ""}
+                self._bars[x] = bar
+                self._bar_order.append(x)
+            while len(bar["ys"]) < n_series:
+                bar["ys"].append((0.0, 0.0))
+            # SeriesJoin3D::addPoint drops duplicate x within one series
+            # (seriesjoin.h:84-86) but still joins the label
+            if len(bar["ys"]) < n_series + 1:
+                bar["ys"].append((lo, hi))
+            if not bar["label"]:
+                bar["label"] = label
+            elif bar["label"] != label:
+                bar["label"] += ", " + label
+        for x in self._bar_order:
+            bar = self._bars[x]
+            while len(bar["ys"]) < n_series + 1:
+                bar["ys"].append((0.0, 0.0))
+        if "color" not in series.properties:
+            series.properties["color"] = _COLOR_PALETTE[
+                self._color_index % len(_COLOR_PALETTE)
+            ]
+            self._color_index += 1
+        self.series.append(series)
+        self.set_stacked(self.stacked)
+
+    def set_orientation(self, orientation: str):
+        self.orientation = orientation
+
+    def set_stacked(self, stacked: bool):
+        # reference: BarChart3D::setStacked extends the y domain by each
+        # bar's stacked total (barchart.h:546-560)
+        self.stacked = stacked
+        if stacked and self.y_domain is not None:
+            for x in self._bar_order:
+                total = 0.0
+                for lo, hi in self._bars[x]["ys"]:
+                    total += hi - lo
+                self.y_domain.add_value(total)
+
+    def set_labels(self, show: bool):
+        self.show_labels = show
+
+    def domain_for_axis(self, position):
+        # reference: BarChart3D::addAxis swaps domains per orientation
+        # (barchart.h:272-318)
+        horizontal_axis = position in (
+            AxisDefinition.TOP, AxisDefinition.BOTTOM
+        )
+        if self.orientation == "vertical":
+            return self.x_domain if horizontal_axis else self.y_domain
+        return self.y_domain if horizontal_axis else self.x_domain
+
+    def _joined_bars(self):
+        bars = [
+            (x, self._bars[x]["ys"], self._bars[x]["label"])
+            for x in self._bar_order
+        ]
+        if not self.stacked:
+            return bars
+        # reference: BarChart3D::stackData (barchart.h:511-532)
+        stacked = []
+        for x, ys, label in bars:
+            cur = 0.0
+            out = []
+            for lo, hi in ys:
+                delta = hi - lo
+                out.append((cur, cur + delta))
+                cur += delta
+            stacked.append((x, out, label))
+        return stacked
+
+    def render(self, target: SVGTarget, viewport: Viewport):
+        if self.x_domain is None or self.y_domain is None:
+            raise RuntimeError_("BarChart#render called without any data")
+        self.x_domain.build()
+        self.y_domain.build()
+        data = self._joined_bars()
+        if self.orientation == "horizontal":
+            target.begin_group("bars horizontal")
+            self._render_horizontal(target, viewport, data)
+        else:
+            target.begin_group("bars vertical")
+            self._render_vertical(target, viewport, data)
+        target.finish_group()
+
+    def _render_vertical(self, target, viewport, data):
+        # reference: renderVerticalBars (barchart.h:451-509)
+        n_series = len(self.series)
+        for x, ys, bar_label in data:
+            x_lo, x_hi = self.x_domain.scale_range(x)
+            label_y = viewport.padding[0] + viewport.inner_height
+            label_x = viewport.padding[3] + (
+                x_lo + (x_hi - x_lo) * 0.5
+            ) * viewport.inner_width
+            for n in range(n_series):
+                y_min = self.y_domain.scale(ys[n][0])
+                y_max = self.y_domain.scale(ys[n][1])
+                dw = (x_hi - x_lo) * viewport.inner_width
+                dh = (y_max - y_min) * viewport.inner_height
+                dx = viewport.padding[3] + x_lo * viewport.inner_width
+                dy = viewport.padding[0] + (1.0 - y_max) * viewport.inner_height
+                dx += dw * self.K_BAR_PADDING * 0.5
+                dw *= 1.0 - self.K_BAR_PADDING
+                if not self.stacked:
+                    dw /= n_series
+                    dx += dw * n + dw * self.K_BAR_PADDING_INNER * 0.5
+                    dw *= 1.0 - self.K_BAR_PADDING_INNER
+                target.draw_rect(
+                    dx, dy, dw, dh,
+                    self.series[n].prop("color"),
+                    "bar", bar_label, self.series[n].name,
+                )
+                if dy < label_y:
+                    label_y = dy
+            if self.show_labels:
+                target.draw_text(
+                    bar_label, label_x, label_y - self.K_LABEL_PADDING,
+                    "middle", "text-after-edge", "label",
+                )
+
+    def _render_horizontal(self, target, viewport, data):
+        # reference: renderHorizontalBars (barchart.h:394-449)
+        n_series = len(self.series)
+        for x, ys, bar_label in data:
+            x_lo, x_hi = self.x_domain.scale_range(x)
+            label_x = viewport.padding[3]
+            label_y = viewport.padding[0] + (
+                (1.0 - x_hi) + (x_hi - x_lo) * 0.5
+            ) * viewport.inner_height
+            for n in range(n_series):
+                y_min = self.y_domain.scale(ys[n][0])
+                y_max = self.y_domain.scale(ys[n][1])
+                dw = (y_max - y_min) * viewport.inner_width
+                dh = (x_hi - x_lo) * viewport.inner_height
+                dx = viewport.padding[3] + y_min * viewport.inner_width
+                dy = viewport.padding[0] + (
+                    1.0 - x_lo
+                ) * viewport.inner_height - dh
+                dy += dh * self.K_BAR_PADDING * 0.5
+                dh *= 1.0 - self.K_BAR_PADDING
+                if not self.stacked:
+                    dh /= n_series
+                    dy += dh * n + dh * self.K_BAR_PADDING_INNER * 0.5
+                    dh *= 1.0 - self.K_BAR_PADDING_INNER
+                target.draw_rect(
+                    dx, dy, dw, dh,
+                    self.series[n].prop("color"),
+                    "bar", bar_label, self.series[n].name,
+                )
+                if dx + dw > label_x:
+                    label_x = dx + dw
+            if self.show_labels:
+                target.draw_text(
+                    bar_label, label_x + self.K_LABEL_PADDING, label_y,
+                    "start", "central", "label",
+                )
 
 
 class Canvas:
@@ -700,8 +1010,8 @@ class Canvas:
 _CHART_TYPES = {
     "T_LINECHART": LineChart,
     "T_POINTCHART": PointChart,
-    "T_AREACHART": LineChart,
-    "T_BARCHART": LineChart,
+    "T_AREACHART": AreaChart,
+    "T_BARCHART": BarChart,
 }
 
 
@@ -719,6 +1029,23 @@ def render_chart(node, txn) -> bytes:
         _add_series_from_relation(chart, query, rel)
 
     canvas.charts.append(chart)
+
+    # chart-level properties first (reference applies them in the chart
+    # builder, before axes: chart_expression.cc:71-99)
+    for prop in node.properties:
+        if prop.ntype != "T_PROPERTY" or prop.token is None:
+            continue
+        ttype = prop.token.ttype
+        if ttype == "T_ORIENTATION" and isinstance(chart, BarChart):
+            val = prop.children[0].token if prop.children else None
+            if val is not None:
+                chart.set_orientation(
+                    "horizontal" if val.ttype == "T_HORIZONTAL" else "vertical"
+                )
+        elif ttype == "T_STACKED" and isinstance(chart, BarChart):
+            chart.set_stacked(True)
+        elif ttype == "T_LABELS" and isinstance(chart, BarChart):
+            chart.set_labels(True)
 
     # apply DRAW properties (axes, titles) from the AST
     for prop in node.properties:
