@@ -37,6 +37,12 @@ def main(argv=None):
         default=None,
         help="require HMAC auth tokens signed with this secret",
     )
+    ap.add_argument(
+        "--partition_split_threshold_rows",
+        type=int,
+        default=2_000_000,  # reference: db/partition_writer.cc:64-65
+        help="auto-split partitions above this many local rows",
+    )
     args = ap.parse_args(argv)
 
     host, _, port = args.listen_http.partition(":")
@@ -109,6 +115,7 @@ def main(argv=None):
     repl_worker = None
     monitor = None
     leader = None
+    autosplit = None
     if args.config_dir and args.server_name:
         from eventql_tpu.config.config_directory import (
             SERVER_UP,
@@ -145,6 +152,15 @@ def main(argv=None):
             datadir=args.datadir,
         ).start()
 
+        from eventql_tpu.db.autosplit import AutoSplitWorker
+
+        autosplit = AutoSplitWorker(
+            server.table_service,
+            args.config_dir,
+            leader=leader,
+            threshold_rows=args.partition_split_threshold_rows,
+        ).start()
+
     print(
         f"eventql_tpu server listening on http://{host}:{server.port}"
         f" native://{nhost}:{native.port}"
@@ -165,6 +181,8 @@ def main(argv=None):
                 server_status=SERVER_DOWN,
             )
         )
+    if autosplit is not None:
+        autosplit.stop()
     if leader is not None:
         leader.stop()
     if monitor is not None:

@@ -71,6 +71,13 @@ class Leader:
         self.release()
 
     def _run(self):
+        try:
+            # contest leadership at boot (reference: the leader thread
+            # starts electing immediately, db/leader.cc:42-56), so
+            # leader-gated workers don't wait a full interval
+            self.try_acquire()
+        except Exception:
+            pass
         while not self._stop.wait(self.rebalance_interval):
             try:
                 if self.try_acquire():

@@ -265,9 +265,22 @@ class EventQLServer:
             },
         )
 
+    def _tables_provider(self):
+        """Table-management target: in a cluster the provider routes DDL
+        and inserts through partition metadata + replication (reference:
+        api_servlet's TableService is always the cluster-aware one,
+        db/table_service.cc); standalone falls back to the local store."""
+        provider = self.query_provider_factory()
+        if hasattr(provider, "create_table") and hasattr(
+            provider, "insert_json"
+        ):
+            return provider
+        return self.table_service
+
     def _handle_insert(self, h, payload):
         if not isinstance(payload, list):
             return self._text(h, 400, "expected JSON array")
+        svc = self._tables_provider()
         for row in payload:
             table = row.get("table")
             if not table:
@@ -276,9 +289,9 @@ class EventQLServer:
             if data is None:
                 raise SQLError("missing field: data")
             if isinstance(data, str):
-                self.table_service.insert_json(table, data)
+                svc.insert_json(table, data)
             else:
-                self.table_service.insert_json(table, json.dumps(data))
+                svc.insert_json(table, json.dumps(data))
             with self.stats.lock:
                 self.stats.num_inserts += 1
         self._json(h, 201, {})
@@ -308,18 +321,18 @@ class EventQLServer:
         node = CreateTableNode(
             table,
             columns,
-            payload.get("primary_key", []),
-            payload.get("partition_key"),
+            payload.get("primary_key") or schema.get("primary_key") or [],
+            payload.get("partition_key") or schema.get("partition_key"),
             [],
         )
-        self.table_service.create_table(node)
+        self._tables_provider().create_table(node)
         self._json(h, 201, {})
 
     def _handle_drop(self, h, payload):
         table = payload.get("table")
         if not table:
             raise SQLError("missing field: table")
-        self.table_service.drop_table(table)
+        self._tables_provider().drop_table(table)
         self._json(h, 201, {})
 
     def _handle_describe(self, h, params, payload):

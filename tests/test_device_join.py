@@ -84,3 +84,138 @@ def test_fingerprint_join_gid():
     lut = {int(k): int(b) for k, b in zip(dim_keys, dim_bucket)}
     ref = np.array([lut.get(int(k), -1) for k in fact], dtype=np.int32)
     np.testing.assert_array_equal(gid, ref)
+
+
+def _numpy_join_agg(fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K):
+    lut = {int(k): int(b) for k, b in zip(dim_keys, dim_bucket)}
+    counts = np.zeros(K, np.uint64)
+    sums = np.zeros(K, np.uint64)
+    for k, v, m in zip(fact_keys, fact_vals, fact_mask):
+        if not m or int(k) not in lut:
+            continue
+        b = lut[int(k)]
+        counts[b] += 1
+        sums[b] += np.uint64(v)
+    return counts, sums
+
+
+def test_sorted_merge_join_aggregate_parity():
+    from eventql_tpu.kernels.join import sorted_merge_join_aggregate
+
+    rng = np.random.default_rng(3)
+    n_dim, n_fact, K = 5000, 40000, 64
+    dim_keys = rng.permutation(
+        np.arange(n_dim, dtype=np.uint64) * 104729 + 17
+    )
+    dim_bucket = rng.integers(0, K, n_dim).astype(np.int32)
+    # ~70% of fact keys match a dim; the rest are misses
+    fact_keys = np.where(
+        rng.random(n_fact) < 0.7,
+        rng.integers(0, n_dim, n_fact).astype(np.uint64) * 104729 + 17,
+        rng.integers(0, 1 << 62, n_fact).astype(np.uint64),
+    )
+    fact_vals = rng.integers(0, 1000, n_fact).astype(np.uint64)
+    fact_mask = rng.random(n_fact) < 0.8
+
+    counts, sums = sorted_merge_join_aggregate(
+        jnp.asarray(fact_keys),
+        jnp.asarray(fact_vals),
+        jnp.asarray(fact_mask),
+        jnp.asarray(dim_keys),
+        jnp.asarray(dim_bucket),
+        K,
+        block=1024,
+        window=512,
+    )
+    exp_counts, exp_sums = _numpy_join_agg(
+        fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K
+    )
+    assert list(np.asarray(counts)) == list(exp_counts)
+    assert list(np.asarray(sums)) == list(exp_sums)
+
+
+def test_sorted_merge_join_overflow_fallback():
+    """Heavy skew: all facts hit one key so a block spans < window dims,
+    BUT a tiny window + huge dim span in one block forces the
+    searchsorted fallback — results must be identical."""
+    from eventql_tpu.kernels.join import sorted_merge_join_aggregate
+
+    rng = np.random.default_rng(4)
+    n_dim, n_fact, K = 4000, 8192, 8
+    dim_keys = np.arange(n_dim, dtype=np.uint64) * 3 + 1
+    dim_bucket = (np.arange(n_dim) % K).astype(np.int32)
+    # facts spread uniformly over ALL dims: one 4096-block spans ~2000
+    # dims > window=128 → overflow → lax.cond fallback path
+    fact_keys = rng.integers(0, n_dim, n_fact).astype(np.uint64) * 3 + 1
+    fact_vals = rng.integers(0, 100, n_fact).astype(np.uint64)
+    fact_mask = np.ones(n_fact, bool)
+
+    counts, sums = sorted_merge_join_aggregate(
+        jnp.asarray(fact_keys),
+        jnp.asarray(fact_vals),
+        jnp.asarray(fact_mask),
+        jnp.asarray(dim_keys),
+        jnp.asarray(dim_bucket),
+        K,
+        block=4096,
+        window=128,
+    )
+    exp_counts, exp_sums = _numpy_join_agg(
+        fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K
+    )
+    assert list(np.asarray(counts)) == list(exp_counts)
+    assert list(np.asarray(sums)) == list(exp_sums)
+
+
+def test_merge_join_gid_edges():
+    from eventql_tpu.kernels.join import merge_join_gid
+    from eventql_tpu.kernels.groupby import sortable_u64
+
+    # empty dim table
+    gid = merge_join_gid(
+        jnp.asarray(np.array([1, 2, 3], np.uint64)),
+        jnp.asarray(np.array([], np.uint64)),
+        jnp.asarray(np.array([], np.int32)),
+    )
+    assert list(np.asarray(gid)) == [-1, -1, -1]
+
+    # duplicate fact keys + extreme keys (0 and u64 max, which is also
+    # the fact padding sentinel)
+    dim_keys = np.array([0, 7, 0xFFFFFFFFFFFFFFFF], np.uint64)
+    dim_bucket = np.array([2, 5, 9], np.int32)
+    facts = np.sort(
+        np.array([0, 0, 7, 7, 8, 0xFFFFFFFFFFFFFFFF], np.uint64)
+    )
+    gid = merge_join_gid(
+        jnp.asarray(facts),
+        jnp.asarray(dim_keys),
+        jnp.asarray(dim_bucket),
+        block=4,
+        window=128,
+    )
+    assert list(np.asarray(gid)) == [2, 2, 5, 5, -1, 9]
+
+
+def test_fact_dim_join_aggregate_large_dim_routes_merge():
+    """> MAX_COMPARE_DIMS dims routes through the sort-merge path."""
+    rng = np.random.default_rng(5)
+    n_dim, n_fact, K = 3000, 20000, 32
+    dim_keys = rng.permutation(np.arange(n_dim, dtype=np.uint64) * 11 + 5)
+    dim_bucket = rng.integers(0, K, n_dim).astype(np.int32)
+    fact_keys = rng.integers(0, n_dim * 2, n_fact).astype(np.uint64) * 11 + 5
+    fact_vals = rng.integers(0, 50, n_fact).astype(np.uint64)
+    fact_mask = rng.random(n_fact) < 0.9
+
+    counts, sums = fact_dim_join_aggregate(
+        jnp.asarray(fact_keys),
+        jnp.asarray(fact_vals),
+        jnp.asarray(fact_mask),
+        jnp.asarray(dim_keys),
+        jnp.asarray(dim_bucket),
+        K,
+    )
+    exp_counts, exp_sums = _numpy_join_agg(
+        fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K
+    )
+    assert list(np.asarray(counts)) == list(exp_counts)
+    assert list(np.asarray(sums)) == list(exp_sums)
