@@ -105,3 +105,23 @@ def test_stats(server):
     status, out = _req(server, "/eventql/stats")
     assert status == 200
     assert out["num_queries"] >= 1
+
+
+def test_sql_json_sse_stream(server):
+    """SSE framing contract the node driver's inline parser relies on:
+    `event: result` + data lines, frame terminated by a blank line."""
+    url = (
+        f"http://127.0.0.1:{server.port}/api/v1/sql"
+        "?format=json_sse&query=select%201%20%2b%202%20as%20three;"
+    )
+    with urllib.request.urlopen(url) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        body = resp.read().decode()
+    frames = [f for f in body.split("\n\n") if f.strip()]
+    assert len(frames) == 1
+    lines = frames[0].split("\n")
+    assert lines[0] == "event: result"
+    data = "\n".join(l[len("data: "):] for l in lines[1:] if l.startswith("data: "))
+    out = json.loads(data)
+    assert out["results"][0]["rows"] == [["3"]]
