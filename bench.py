@@ -139,12 +139,110 @@ def bench_join():
     )
 
 
+def bench_sort():
+    """Full ORDER BY (no LIMIT): permutation sort of 100M u64 rows.
+    The reference's OrderBy std::sorts materialized rows on one CPU
+    thread (sql/statements/select/orderby.cc:58-168)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from eventql_tpu.kernels.sort import sortable_u64
+
+    n = int(os.environ.get("BENCH_ROWS", 100_000_000))
+    reps = int(os.environ.get("BENCH_REPS", 2))
+    rng = np.random.default_rng(13)
+    vals = jnp.asarray(rng.integers(0, 1 << 62, n, dtype=np.uint64))
+
+    @jax.jit
+    def pipe(vals):
+        def body(i, acc):
+            key = sortable_u64(vals + i.astype(jnp.uint64))
+            iota = jnp.arange(n, dtype=jnp.int32)
+            sk, perm = jax.lax.sort([key, iota], num_keys=1)
+            return acc + sk[0] + perm[-1].astype(jnp.uint64)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    per = _timeit(pipe, vals, reps=reps)
+    rows_per_sec = n / per
+    # one-pass roofline (unreachable for comparison sorts: log n passes)
+    sol = _hbm_bandwidth_bytes() / 12.0  # u64 key + i32 perm streams
+    print(
+        json.dumps(
+            {
+                "metric": "orderby_full_sort_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
+def bench_join_bigdim():
+    """Large-dimension fact-dim join + aggregate: the sort-merge
+    windowed join (dims beyond the VMEM compare kernel's reach)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from eventql_tpu.kernels.join import sorted_merge_join_aggregate
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    ndim = int(os.environ.get("BENCH_DIM", 1 << 18))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 2))
+    rng = np.random.default_rng(17)
+    dim_keys = jnp.asarray(
+        rng.permutation(np.arange(ndim, dtype=np.uint64) * 2654435761 + 3)
+    )
+    dim_bucket = jnp.asarray(rng.integers(0, n_keys, ndim).astype(np.int32))
+    fact_keys = jnp.asarray(
+        rng.integers(0, ndim, n).astype(np.uint64) * 2654435761 + 3
+    )
+    vals_h = rng.integers(0, 1000, n).astype(np.uint64)
+    fact_vals = jnp.asarray(vals_h)
+    fact_mask = jnp.asarray(rng.random(n) < 0.8)
+    value_bits = max(8, int(vals_h.max()).bit_length() + 1)
+
+    @jax.jit
+    def pipe(fk, fv, fm, dk, db):
+        def body(i, acc):
+            counts, sums = sorted_merge_join_aggregate(
+                fk + i.astype(jnp.uint64), fv, fm, dk, db, n_keys,
+                value_bits=value_bits,
+            )
+            return acc + counts.sum() + sums.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    per = _timeit(pipe, fact_keys, fact_vals, fact_mask, dim_keys,
+                  dim_bucket, reps=reps)
+    rows_per_sec = n / per
+    sol = _hbm_bandwidth_bytes() / 17.0  # key u64 + value u64 + mask in
+    print(
+        json.dumps(
+            {
+                "metric": "join_bigdim_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
     if cfg == "topk":
         return bench_topk()
     if cfg == "join":
         return bench_join()
+    if cfg == "sort":
+        return bench_sort()
+    if cfg == "join_bigdim":
+        return bench_join_bigdim()
 
     import jax
     import jax.numpy as jnp

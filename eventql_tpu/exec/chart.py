@@ -376,6 +376,41 @@ class AxisDefinition:
 _COLOR_PALETTE = ["color1", "color2", "color3", "color4", "color5", "color6"]
 
 
+class GridDefinition:
+    """reference: util/charts/griddefinition.h — placement + the domain
+    whose ticks position the gridlines."""
+
+    HORIZONTAL, VERTICAL = "horizontal", "vertical"
+
+    def __init__(self, placement: str, domain=None):
+        self.placement = placement
+        self.domain = domain
+
+    def ticks(self):
+        return self.domain.get_ticks() if self.domain else []
+
+
+class LegendDefinition:
+    """reference: util/charts/legenddefinition.h — entries are
+    (label, color, point_style) tuples."""
+
+    def __init__(
+        self,
+        vert_pos: str = "bottom",
+        horiz_pos: str = "left",
+        placement: str = "outside",
+        title: str = "",
+    ):
+        self.vert_pos = vert_pos
+        self.horiz_pos = horiz_pos
+        self.placement = placement
+        self.title = title
+        self.entries: List[Tuple[str, str, str]] = []
+
+    def add_entry(self, label: str, color: str, point_style: str = "circle"):
+        self.entries.append((label, color, point_style))
+
+
 class LineChart:
     """reference: util/charts/linechart.h (LineChart2D)"""
 
@@ -411,6 +446,14 @@ class LineChart:
         if position in (AxisDefinition.TOP, AxisDefinition.BOTTOM):
             return self.x_domain
         return self.y_domain
+
+    def grid_domain(self, placement):
+        # reference quirk kept: LineChart2D::addGrid maps VERTICAL
+        # gridlines to the y domain and HORIZONTAL to x
+        # (linechart.h:321-336; areachart.h and pointchart.h agree)
+        if placement == GridDefinition.VERTICAL:
+            return self.y_domain
+        return self.x_domain
 
     def render(self, target: SVGTarget, viewport: Viewport):
         self.x_domain.build()
@@ -651,6 +694,18 @@ class BarChart:
             return self.x_domain if horizontal_axis else self.y_domain
         return self.y_domain if horizontal_axis else self.x_domain
 
+    def grid_domain(self, placement):
+        # reference: BarChart3D::addGrid (barchart.h:322-346)
+        if placement == GridDefinition.VERTICAL:
+            return (
+                self.y_domain
+                if self.orientation == "vertical"
+                else self.x_domain
+            )
+        return (
+            self.x_domain if self.orientation == "vertical" else self.y_domain
+        )
+
     def _joined_bars(self):
         bars = [
             (x, self._bars[x]["ys"], self._bars[x]["label"])
@@ -760,6 +815,16 @@ class BarChart:
 class Canvas:
     """reference: util/charts/canvas.cc"""
 
+    # reference: canvas.h:45-56
+    K_CHAR_WIDTH = 6
+    K_LEGEND_LABEL_PADDING = 20
+    K_LEGEND_LINE_HEIGHT = 20
+    K_LEGEND_INSIDE_VERT_PADDING = 10
+    K_LEGEND_OUTSIDE_VERT_PADDING = 10
+    K_LEGEND_OUTSIDE_HORIZ_PADDING = 25
+    K_LEGEND_POINT_WIDTH = 8
+    K_LEGEND_POINT_SIZE = 3
+
     def __init__(self):
         self.width = 800
         self.height = 320
@@ -767,17 +832,235 @@ class Canvas:
         self.subtitle = ""
         self.axes: List[AxisDefinition] = []
         self.charts: List[LineChart] = []
+        self.grids: List[GridDefinition] = []
+        self.legends: List[LegendDefinition] = []
 
     def render(self) -> str:
+        # reference render order: title → outside legends → axes →
+        # grids → inside legends → charts (canvas.cc:56-66)
         target = SVGTarget()
         viewport = Viewport(self.width, self.height)
         target.begin_chart(self.width, self.height, "fm-chart")
         self._render_title(target, viewport)
+        self._render_outside_legends(target, viewport)
         self._render_axes(target, viewport)
+        self._render_grids(target, viewport)
+        self._render_inside_legends(target, viewport)
         for chart in self.charts:
             chart.render(target, viewport)
         target.finish_chart()
         return target.svg()
+
+    def _estimate_text_length(self, s: str) -> int:
+        return len(s) * self.K_CHAR_WIDTH  # canvas.h:134-136
+
+    def _render_grids(self, target, viewport):
+        # reference: Canvas::renderGrids (canvas.cc:708-745)
+        for grid in self.grids:
+            if grid.placement == GridDefinition.HORIZONTAL:
+                target.begin_group("grid horizontal")
+                for tick in grid.ticks():
+                    line_y = viewport.padding[0] + viewport.inner_height * (
+                        1.0 - tick
+                    )
+                    target.draw_line(
+                        viewport.padding[3],
+                        line_y,
+                        viewport.padding[3] + viewport.inner_width,
+                        line_y,
+                        "gridline",
+                    )
+                target.finish_group()
+            else:
+                target.begin_group("grid vertical")
+                for tick in grid.ticks():
+                    line_x = viewport.padding[3] + viewport.inner_width * tick
+                    target.draw_line(
+                        line_x,
+                        viewport.padding[0],
+                        line_x,
+                        viewport.padding[0] + viewport.inner_height,
+                        "gridline",
+                    )
+                target.finish_group()
+
+    def _render_outside_legends(self, target, viewport):
+        # reference: Canvas::renderOutsideLegends (canvas.cc:439-508)
+        for legend in self.legends:
+            if legend.placement != "outside":
+                continue
+            target.begin_group("legend")
+            bottom = legend.vert_pos == "bottom"
+            if legend.horiz_pos == "left":
+                self._render_left_legend(
+                    target, viewport, legend,
+                    self.K_LEGEND_OUTSIDE_HORIZ_PADDING, bottom, True,
+                )
+            else:
+                self._render_right_legend(
+                    target, viewport, legend,
+                    self.K_LEGEND_OUTSIDE_HORIZ_PADDING, bottom, True,
+                )
+            if bottom:
+                viewport.padding[2] += self.K_LEGEND_OUTSIDE_VERT_PADDING
+            else:
+                viewport.padding[0] += self.K_LEGEND_OUTSIDE_VERT_PADDING
+            target.finish_group()
+
+    def _render_inside_legends(self, target, viewport):
+        # reference: Canvas::renderInsideLegends (canvas.cc:510-551)
+        orig_padding = list(viewport.padding)
+        for legend in self.legends:
+            if legend.placement != "inside":
+                continue
+            target.begin_group("legend")
+            viewport.padding[0] += self.K_LEGEND_INSIDE_VERT_PADDING
+            viewport.padding[2] += self.K_LEGEND_INSIDE_VERT_PADDING
+            bottom = legend.vert_pos == "bottom"
+            if legend.horiz_pos == "left":
+                self._render_left_legend(
+                    target, viewport, legend,
+                    self.K_LEGEND_OUTSIDE_HORIZ_PADDING, bottom, False,
+                )
+            else:
+                self._render_right_legend(
+                    target, viewport, legend,
+                    self.K_LEGEND_OUTSIDE_HORIZ_PADDING, bottom, False,
+                )
+            target.finish_group()
+        viewport.padding = orig_padding
+
+    def _render_left_legend(
+        self, target, viewport, legend, horiz_padding, bottom, outside
+    ):
+        # reference: Canvas::renderLeftLegend (canvas.cc:630-706)
+        title = legend.title
+        if bottom:
+            height = (
+                viewport.padding[0] + viewport.inner_height
+                - self.K_LEGEND_LINE_HEIGHT * 0.5
+            )
+        else:
+            height = viewport.padding[0]
+        target.draw_text(
+            title,
+            viewport.padding[3] + viewport.inner_width - horiz_padding,
+            height,
+            "end",
+            "text-after-edge" if bottom else "text-before-edge",
+            "title",
+        )
+        lx = viewport.padding[3] + horiz_padding
+        lx_boundary = (
+            viewport.padding[3] + viewport.inner_width - horiz_padding
+            - self._estimate_text_length(title)
+            - self.K_LEGEND_LABEL_PADDING
+        )
+        for label, color, point_style in legend.entries:
+            this_len = (
+                self._estimate_text_length(label)
+                + self.K_LEGEND_LABEL_PADDING
+            )
+            if lx + this_len > lx_boundary:  # line wrap
+                lx = viewport.padding[3] + horiz_padding
+                lx_boundary = (
+                    viewport.padding[3] + viewport.inner_width - horiz_padding
+                )
+                height += (
+                    -self.K_LEGEND_LINE_HEIGHT
+                    if bottom
+                    else self.K_LEGEND_LINE_HEIGHT
+                )
+            ly = (
+                height - self.K_LEGEND_POINT_SIZE * 0.4
+                if bottom
+                else height + self.K_LEGEND_POINT_SIZE * 2.0
+            )
+            target.draw_point(
+                lx, ly, point_style, self.K_LEGEND_POINT_SIZE, color,
+                "point", "", "",
+            )
+            target.draw_text(
+                label, lx + self.K_LEGEND_POINT_WIDTH, ly, "start",
+                "central", "label",
+            )
+            lx += this_len
+        if bottom:
+            if outside:
+                height -= self.K_LEGEND_LINE_HEIGHT
+            viewport.padding[2] = (
+                viewport.inner_height + viewport.padding[0]
+                + viewport.padding[2] - height
+            )
+        else:
+            height += self.K_LEGEND_LINE_HEIGHT
+            viewport.padding[0] = height
+
+    def _render_right_legend(
+        self, target, viewport, legend, horiz_padding, bottom, outside
+    ):
+        # reference: Canvas::renderRightLegend (canvas.cc:553-628)
+        title = legend.title
+        if bottom:
+            height = (
+                viewport.padding[0] + viewport.inner_height
+                - self.K_LEGEND_LINE_HEIGHT * 0.5
+            )
+        else:
+            height = viewport.padding[0]
+        target.draw_text(
+            title,
+            viewport.padding[3] + horiz_padding,
+            height,
+            "start",
+            "text-after-edge" if bottom else "text-before-edge",
+            "title",
+        )
+        lx = viewport.padding[3] + viewport.inner_width - horiz_padding
+        lx_boundary = (
+            viewport.padding[3] + horiz_padding
+            + self._estimate_text_length(title)
+            + self.K_LEGEND_LABEL_PADDING
+        )
+        for label, color, point_style in legend.entries:
+            this_len = (
+                self._estimate_text_length(label)
+                + self.K_LEGEND_LABEL_PADDING
+            )
+            if lx - this_len < lx_boundary:  # line wrap
+                lx = (
+                    viewport.padding[3] + viewport.inner_width - horiz_padding
+                )
+                lx_boundary = viewport.padding[3] + horiz_padding
+                height += (
+                    -self.K_LEGEND_LINE_HEIGHT
+                    if bottom
+                    else self.K_LEGEND_LINE_HEIGHT
+                )
+            ly = (
+                height - self.K_LEGEND_POINT_SIZE * 0.4
+                if bottom
+                else height + self.K_LEGEND_POINT_SIZE * 2.0
+            )
+            target.draw_point(
+                lx, ly, point_style, self.K_LEGEND_POINT_SIZE, color,
+                "point", "", "",
+            )
+            target.draw_text(
+                label, lx - self.K_LEGEND_POINT_WIDTH, ly, "end",
+                "central", "label",
+            )
+            lx -= this_len
+        if bottom:
+            if outside:
+                height -= self.K_LEGEND_LINE_HEIGHT
+            viewport.padding[2] = (
+                viewport.inner_height + viewport.padding[0]
+                + viewport.padding[2] - height
+            )
+        else:
+            height += self.K_LEGEND_LINE_HEIGHT
+            viewport.padding[0] = height
 
     def _render_title(self, target, viewport):
         if self.title:
@@ -1065,6 +1348,49 @@ def render_chart(node, txn) -> bytes:
                     lit = child.children[0]
                     axis.title = lit.token.value if lit.token else ""
             canvas.axes.append(axis)
+        elif prop.ntype == "T_GRID":
+            # reference: ChartExpression::applyGrid → chart->addGrid
+            for child in prop.children:
+                if child.ntype == "T_PROPERTY" and child.token:
+                    placement = (
+                        GridDefinition.HORIZONTAL
+                        if child.token.ttype == "T_HORIZONTAL"
+                        else GridDefinition.VERTICAL
+                    )
+                    canvas.grids.append(
+                        GridDefinition(
+                            placement, chart.grid_domain(placement)
+                        )
+                    )
+        elif prop.ntype == "T_LEGEND":
+            # reference: ChartExpression::applyLegend
+            # (chart_expression.cc:349-416; defaults bottom/left/outside)
+            vert, horiz, placement, title = "bottom", "left", "outside", ""
+            for child in prop.children:
+                ttype = child.token.ttype if child.token else None
+                if ttype == "T_TOP":
+                    vert = "top"
+                elif ttype == "T_BOTTOM":
+                    vert = "bottom"
+                elif ttype == "T_LEFT":
+                    horiz = "left"
+                elif ttype == "T_RIGHT":
+                    horiz = "right"
+                elif ttype == "T_INSIDE":
+                    placement = "inside"
+                elif ttype == "T_OUTSIDE":
+                    placement = "outside"
+                elif ttype == "T_TITLE" and child.children:
+                    lit = child.children[0]
+                    title = lit.token.value if lit.token else ""
+            legend = LegendDefinition(vert, horiz, placement, title)
+            # Drawable::updateLegend: one entry per series
+            # (drawable.cc:57-72)
+            for s in chart.series:
+                legend.add_entry(
+                    s.name, s.properties.get("color", ""), "circle"
+                )
+            canvas.legends.append(legend)
         elif prop.ntype == "T_PROPERTY" and prop.token:
             if prop.token.ttype == "T_TITLE" and prop.children:
                 canvas.title = prop.children[0].token.value

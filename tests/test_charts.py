@@ -135,3 +135,37 @@ def test_barchart_negative_values_map_below_zero():
     # stacked extends the y domain by per-bar totals
     chart.set_stacked(True)
     assert chart.y_domain.max_value >= 5.0
+
+
+def test_grid_rendering():
+    svg = _render(
+        """
+        DRAW LINECHART GRID HORIZONTAL VERTICAL AXIS BOTTOM;
+        SELECT temperature AS x, temperature AS y FROM city_temperatures LIMIT 6;
+        """
+    )
+    assert "<g class='grid horizontal'>" in svg
+    assert "<g class='grid vertical'>" in svg
+    assert svg.count("class='gridline'") >= 6
+
+
+def test_legend_rendering():
+    svg = _render(
+        """
+        DRAW LINECHART LEGEND TOP RIGHT OUTSIDE TITLE "cities" AXIS BOTTOM;
+        SELECT city AS series, temperature AS x, temperature AS y
+          FROM city_temperatures;
+        """
+    )
+    assert "<g class='legend'>" in svg
+    assert ">cities</text>" in svg
+    # one legend label per series (4 cities in the fixture)
+    assert svg.count("class='label'") >= 4
+    assert "Tokyo" in svg
+
+
+def test_barchart_grid_follows_orientation():
+    # vertical orientation: GRID VERTICAL takes the y (continuous)
+    # domain (barchart.h:322-346) — six default ticks, not categories
+    svg = _render(BAR_QUERY.format(" WITH GRID VERTICAL"))
+    assert "<g class='grid vertical'>" in svg

@@ -219,3 +219,56 @@ def test_fact_dim_join_aggregate_large_dim_routes_merge():
     )
     assert list(np.asarray(counts)) == list(exp_counts)
     assert list(np.asarray(sums)) == list(exp_sums)
+
+
+def test_sorted_merge_join_value_bits_packing():
+    from eventql_tpu.kernels.join import sorted_merge_join_aggregate
+
+    rng = np.random.default_rng(6)
+    n_dim, n_fact, K = 5000, 30000, 16
+    dim_keys = rng.permutation(np.arange(n_dim, dtype=np.uint64) * 7 + 1)
+    dim_bucket = rng.integers(0, K, n_dim).astype(np.int32)
+    fact_keys = rng.integers(0, n_dim * 2, n_fact).astype(np.uint64) * 7 + 1
+    fact_vals = rng.integers(0, 1 << 20, n_fact).astype(np.uint64)
+    fact_mask = rng.random(n_fact) < 0.5
+
+    a = sorted_merge_join_aggregate(
+        jnp.asarray(fact_keys), jnp.asarray(fact_vals),
+        jnp.asarray(fact_mask), jnp.asarray(dim_keys),
+        jnp.asarray(dim_bucket), K, block=1024, window=512, value_bits=21,
+    )
+    b = sorted_merge_join_aggregate(
+        jnp.asarray(fact_keys), jnp.asarray(fact_vals),
+        jnp.asarray(fact_mask), jnp.asarray(dim_keys),
+        jnp.asarray(dim_bucket), K, block=1024, window=512, value_bits=64,
+    )
+    exp_counts, exp_sums = _numpy_join_agg(
+        fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K
+    )
+    for counts, sums in (a, b):
+        assert list(np.asarray(counts)) == list(exp_counts)
+        assert list(np.asarray(sums)) == list(exp_sums)
+
+
+def test_merge_join_mixed_blocks_per_block_fallback():
+    """Some blocks fit the window, others overflow: the per-block
+    lax.cond must produce exact results for both kinds."""
+    from eventql_tpu.kernels.join import merge_join_gid
+
+    rng = np.random.default_rng(7)
+    n_dim = 2000
+    dim_keys = np.arange(n_dim, dtype=np.uint64) * 5 + 2
+    dim_bucket = (np.arange(n_dim) % 7).astype(np.int32)
+    # first half of sorted facts: one hot key (narrow span); second
+    # half: uniform over all dims (span 2000 > window 256)
+    hot = np.full(512, 42 * 5 + 2, np.uint64)
+    uniform = np.sort(rng.integers(0, n_dim, 512).astype(np.uint64) * 5 + 2)
+    facts = np.concatenate([hot, uniform])
+    gid = merge_join_gid(
+        jnp.asarray(facts), jnp.asarray(dim_keys), jnp.asarray(dim_bucket),
+        block=512, window=256,
+    )
+    gid = np.asarray(gid)
+    lut = {int(k): int(b) for k, b in zip(dim_keys, dim_bucket)}
+    exp = np.array([lut.get(int(k), -1) for k in facts], np.int32)
+    assert list(gid) == list(exp)
