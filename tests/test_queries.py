@@ -440,3 +440,72 @@ def test_operator_trace():
     assert "SequentialScanNode" in ops
     report = txn.trace_report()
     assert "ms" in report and "rows" in report
+
+
+def _customers_orders_provider():
+    return CompositeTableProvider(
+        [
+            CSVTableProvider(
+                "customers",
+                reference_path("test", "sql_testdata", "testtbl2.csv"),
+            ),
+            CSVTableProvider(
+                "orders",
+                reference_path("test", "sql_testdata", "testtbl3.csv"),
+                column_separator=b"\t",
+            ),
+        ]
+    )
+
+
+def test_left_join():
+    # reference: Runtime_test.cc:1679-1741 (TestLeftJoin)
+    r = run(
+        "SELECT customers.customername, orders.orderid"
+        " FROM customers LEFT JOIN orders"
+        " ON customers.customerid=orders.customerid"
+        " ORDER BY customers.customername;",
+        _customers_orders_provider(),
+    )
+    assert r.num_columns == 2
+    assert r.num_rows == 213
+    assert r.get_row(0) == ["Alfreds Futterkiste", "NULL"]
+    assert r.get_row(1) == ["Ana Trujillo Emparedados y helados", "10308"]
+    assert r.get_row(212) == ["Wolski", "10374"]
+
+    r = run(
+        "SELECT customers.customername, orders.orderid"
+        " FROM customers LEFT JOIN orders"
+        " ON customers.customerid=orders.customerid"
+        " WHERE customers.country = 'UK'"
+        " ORDER BY customers.customername;",
+        _customers_orders_provider(),
+    )
+    assert r.num_rows == 13
+    assert r.get_row(0) == ["Around the Horn", "10355"]
+    assert r.get_row(1) == ["Around the Horn", "10383"]
+    assert r.get_row(12) == ["Seven Seas Imports", "10388"]
+
+
+def test_table_names_with_dots():
+    # reference: Runtime_test.cc:461-530 (TestTableNamesWithDots)
+    for quote in ("'", "`"):
+        r = run(
+            f"select count(1) from {quote}test.tbl{quote};",
+            CSTableScanProvider("test.tbl", TESTTBL_CST),
+        )
+        assert r.num_columns == 1
+        assert r.num_rows == 1
+        assert r.get_row(0) == ["213"]
+
+
+def test_select_invalid_column_error():
+    # reference: Runtime_test.cc:571-586 (TestSelectInvalidColumn)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        run(
+            "select fnord from testtable;",
+            CSTableScanProvider("testtable", TESTTBL_CST),
+        )
+    assert "column(s) not found: 'fnord'" in str(exc.value)
