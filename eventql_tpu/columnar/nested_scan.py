@@ -262,7 +262,15 @@ def execute_nested_scan(node: qn.SequentialScanNode, reader) -> Relation:
                     agg = select_aggs[i]
                     if agg is not None and select_rep_levels[i] >= cur_select_level:
                         agg.accumulate(cur_buf)
-                if record_end:
+                # FLAT emits once per record; DEEP emits one aggregated
+                # row per repeated-value step at any repetition level
+                # (reference: CSTableScan.cc:455-486 — FLAT falls
+                # through to DEEP's emit only when next_level == 0)
+                deep = (
+                    node.aggr_strategy
+                    == qn.SequentialScanNode.AGGREGATE_WITHIN_RECORD_DEEP
+                )
+                if record_end or deep:
                     row = []
                     for i, sl in enumerate(node.select_list):
                         agg = select_aggs[i]

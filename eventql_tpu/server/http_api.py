@@ -172,6 +172,8 @@ class EventQLServer:
                 return self._json(h, 200, {"valid": True, "namespaces": []})
             if path == "/eventql/stats":
                 return self._json(h, 200, self.stats.as_dict())
+            if path == "/eventql" or path.startswith("/eventql/"):
+                return self._handle_status_page(h, path)
             self._text(h, 404, "not found")
         except SQLError as e:
             with self.stats.lock:
@@ -198,6 +200,58 @@ class EventQLServer:
         h.send_header("Content-Length", str(len(body)))
         h.end_headers()
         h.wfile.write(body)
+
+    def _html(self, h, status, html):
+        body = html.encode()
+        h.send_response(status)
+        h.send_header("Content-Type", "text/html; charset=utf-8")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    def _handle_status_page(self, h, path):
+        """Human status dashboard (reference: status_servlet.cc:97-230 —
+        /eventql/ server overview, /eventql/db/<ns>/<table> drill-down)."""
+        import resource
+
+        parts = [p for p in path[len("/eventql"):].split("/") if p]
+        style = (
+            "<style>body{font-family:monospace;margin:2em}"
+            "h1{font-size:1.2em}a{margin-right:1em}</style>"
+        )
+        menu = "<div><a href='/eventql/'>Dashboard</a>" \
+               "<a href='/eventql/stats'>Stats</a></div>"
+
+        if len(parts) >= 2 and parts[0] == "db":
+            table = parts[2] if len(parts) >= 3 else None
+            lines = []
+            for t in self.table_service.list_tables():
+                if table and t.table_name != table:
+                    continue
+                cols = ", ".join(f"{c[0]} {c[1].name}" for c in t.columns)
+                lines.append(f"{t.table_name}: {cols}")
+            html = (
+                style + menu
+                + f"<h1>eventql_tpu db/{'/'.join(parts[1:])}</h1><pre>"
+                + "\n".join(lines or ["(no tables)"])
+                + "</pre>"
+            )
+            return self._html(h, 200, html)
+
+        maxrss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        fd_soft, fd_hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        s = self.stats.as_dict()
+        lines = [
+            "Version: eventql_tpu v0.1",
+            f"Memory Usage - Peak: {maxrss_mb:.1f} MB",
+            f"Max FDs: {fd_soft} (soft) / {fd_hard} (hard)",
+            f"Number of Tables: {len(self.table_service.list_tables())}",
+        ] + [f"{k}: {v}" for k, v in sorted(s.items())]
+        html = (
+            style + menu + "<h1>eventql_tpu v0.1</h1><pre>"
+            + "\n".join(lines) + "</pre>"
+        )
+        self._html(h, 200, html)
 
     # -- endpoints ------------------------------------------------------
     def _run_query(self, query: str):

@@ -125,3 +125,23 @@ def test_sql_json_sse_stream(server):
     data = "\n".join(l[len("data: "):] for l in lines[1:] if l.startswith("data: "))
     out = json.loads(data)
     assert out["results"][0]["rows"] == [["3"]]
+
+
+def test_status_dashboard(server):
+    """Human status pages (reference: status_servlet.cc)."""
+    _req(server, "/api/v1/tables/create", {
+        "table": "dash", "schema": {"columns": [{"name": "a", "type": "UINT64"}]},
+    })
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/eventql/"
+    ) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        body = resp.read().decode()
+    assert "eventql_tpu v0.1" in body
+    assert "Number of Tables: 1" in body
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/eventql/db/default/dash"
+    ) as resp:
+        body = resp.read().decode()
+    assert "dash: a UINT64" in body

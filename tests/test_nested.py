@@ -155,3 +155,44 @@ def test_wildcard_order_limit():
     r = run("select * from testtable order by time desc limit 10;")
     assert r.num_columns == 63
     assert r.num_rows == 10
+
+
+def test_deep_within_record_aggregation():
+    """AGGREGATE_WITHIN_RECORD_DEEP emits one aggregated row per
+    repeated-value step instead of one per record (reference:
+    CSTableScan.cc:455-486; unreachable from SQL — the planner only
+    sets FLAT at queryplanbuilder.cc:1388 — but part of the scan ABI)."""
+    from eventql_tpu.columnar.nested_scan import execute_nested_scan
+    from eventql_tpu.plan import nodes as qn
+
+    rt = Runtime()
+    provider = CSTableScanProvider("testtable", TESTTBL_CST)
+    txn = rt.new_transaction(provider)
+    plan = rt.build_query_plan(
+        txn,
+        "select sum(event.search_query.num_result_items) WITHIN RECORD"
+        " from testtable;",
+    )
+    # dig the scan node out of the built plan and flip its strategy
+    scan = plan.nodes[0]
+    while not isinstance(scan, qn.SequentialScanNode):
+        scan = (
+            getattr(scan, "input_table", None)
+            or getattr(scan, "table", None)
+            or scan.children()[0]
+        )
+    assert scan.aggr_strategy == qn.SequentialScanNode.AGGREGATE_WITHIN_RECORD_FLAT
+    scan.aggr_strategy = qn.SequentialScanNode.AGGREGATE_WITHIN_RECORD_DEEP
+
+    reader = provider.get_reader("testtable")
+    rel = execute_nested_scan(scan, reader)
+    # one row per fetch step: 704 search_query instances + 69 records
+    # with no events (cf. Runtime_test.cc:193-210's "704 of 773"), and
+    # the same grand total the FLAT/global aggregations produce
+    assert rel.num_rows == 773
+    total = 0
+    for i in range(rel.num_rows):
+        v = rel.columns[0].value_at(i)
+        if not v.is_null:
+            total += int(v.payload())
+    assert total == 24793
