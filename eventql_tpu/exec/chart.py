@@ -217,6 +217,8 @@ class ContinuousDomain:
         self.max_value = float("-inf")
         self.padding = (0.0, 0.0)
         self.built = False
+        self.is_inverted = False
+        self.is_logarithmic = False
 
     def add_value(self, v: float):
         v = float(v)
@@ -225,6 +227,22 @@ class ContinuousDomain:
 
     def set_padding(self, lo, hi):
         self.padding = (lo, hi)
+
+    def set_min(self, v):
+        # fixing a bound also drops its padding
+        # (reference: continuousdomain.h:173-181)
+        self.min_value = float(v)
+        self.padding = (0.0, self.padding[1])
+
+    def set_max(self, v):
+        self.max_value = float(v)
+        self.padding = (self.padding[0], 0.0)
+
+    def set_inverted(self, inverted: bool):
+        self.is_inverted = inverted
+
+    def set_logarithmic(self, logarithmic: bool):
+        self.is_logarithmic = logarithmic
 
     def build(self):
         if self.built:
@@ -240,13 +258,39 @@ class ContinuousDomain:
         hi = self.max_value + rng * self.padding[1]
         return lo, hi
 
+    def _max_log(self):
+        if self.min_value < 0:
+            raise RuntimeError_(
+                "negative value is outside of logarithmic domain"
+            )
+        if self.max_value >= 1.0:
+            return math.log10(
+                self.max_value + self.max_value * self.padding[1]
+            )
+        return 0.0
+
     def scale(self, v: float) -> float:
-        lo, hi = self._range_with_padding()
-        return (float(v) - lo) / (hi - lo)
+        # reference: continuousdomain.h:60-95
+        if self.is_logarithmic:
+            max_log = self._max_log()
+            value_log = (
+                math.log10(float(v)) if float(v) >= 1.0 else 0.0
+            )
+            scaled = value_log / max_log if max_log else 0.0
+        else:
+            lo, hi = self._range_with_padding()
+            scaled = (float(v) - lo) / (hi - lo)
+        return 1.0 - scaled if self.is_inverted else scaled
 
     def value_at(self, index: float) -> float:
+        # reference: continuousdomain.h:100-131
+        if self.is_logarithmic:
+            max_log = self._max_log()
+            idx = (1.0 - index) if self.is_inverted else index
+            return math.pow(10, idx * max_log)
         lo, hi = self._range_with_padding()
-        return lo + (hi - lo) * index
+        idx = (1.0 - index) if self.is_inverted else index
+        return lo + (hi - lo) * idx
 
     def label(self, v: float) -> str:
         return format_number_metric(v)
@@ -296,6 +340,7 @@ class DiscreteDomain:
     def __init__(self):
         self.categories: List = []
         self.built = False
+        self.is_inverted = False
 
     def add_value(self, v):
         if v not in self.categories:
@@ -311,18 +356,25 @@ class DiscreteDomain:
         except ValueError:
             raise RuntimeError_("can't scale value")
 
+    def set_inverted(self, inverted: bool):
+        self.is_inverted = inverted
+
     def scale(self, v) -> float:
         idx = self._rindex(v)
         if idx < 1:
             raise RuntimeError_("can't scale value")
-        return (idx - 0.5) / len(self.categories)
+        scaled = (idx - 0.5) / len(self.categories)
+        return 1.0 - scaled if getattr(self, "is_inverted", False) else scaled
 
     def scale_range(self, v):
         idx = self._rindex(v)
         if idx < 1:
             raise RuntimeError_("can't scale value")
         n = len(self.categories)
-        return ((idx - 1) / n, idx / n)
+        begin, end = (idx - 1) / n, idx / n
+        if getattr(self, "is_inverted", False):
+            return (1.0 - begin, 1.0 - end)
+        return (begin, end)
 
     def get_ticks(self):
         out = [0.0]
@@ -454,6 +506,16 @@ class LineChart:
         if placement == GridDefinition.VERTICAL:
             return self.y_domain
         return self.x_domain
+
+    def get_domain(self, dim: str):
+        # reference: LineChart2D::getDomain (linechart.h:339-350)
+        if dim == "x":
+            return self.x_domain
+        if dim == "y":
+            return self.y_domain
+        raise RuntimeError_(
+            f"{type(self).__name__} does not have a Z domain"
+        )
 
     def render(self, target: SVGTarget, viewport: Viewport):
         self.x_domain.build()
@@ -693,6 +755,11 @@ class BarChart:
         if self.orientation == "vertical":
             return self.x_domain if horizontal_axis else self.y_domain
         return self.y_domain if horizontal_axis else self.x_domain
+
+    def get_domain(self, dim: str):
+        # reference: BarChart3D::getDomain (barchart.h:564-576) —
+        # DIM_Y and DIM_Z both map to the y domain
+        return self.x_domain if dim == "x" else self.y_domain
 
     def grid_domain(self, placement):
         # reference: BarChart3D::addGrid (barchart.h:322-346)
@@ -1316,6 +1383,9 @@ def render_chart(node, txn) -> bytes:
     # chart-level properties first (reference applies them in the chart
     # builder, before axes: chart_expression.cc:71-99)
     for prop in node.properties:
+        if prop.ntype == "T_DOMAIN" and prop.token is not None:
+            _apply_domain_definition(chart, prop)
+            continue
         if prop.ntype != "T_PROPERTY" or prop.token is None:
             continue
         ttype = prop.token.ttype
@@ -1398,6 +1468,52 @@ def render_chart(node, txn) -> bytes:
                 canvas.subtitle = prop.children[0].token.value
 
     return canvas.render().encode("utf-8")
+
+
+def _eval_const_ast(ast):
+    """Evaluate a constant value-expression AST (reference:
+    Runtime::evaluateConstExpression, used by applyDomainDefinitions)."""
+    from eventql_tpu.plan.builder import QueryPlanBuilder, _empty_resolver
+    from eventql_tpu.plan.scalar_eval import evaluate_scalar
+    from eventql_tpu.plan.functions import DEFAULT_REGISTRY
+
+    builder = QueryPlanBuilder(DEFAULT_REGISTRY)
+    expr = builder.build_value_expression(ast, _empty_resolver)
+    return evaluate_scalar(expr)
+
+
+def _apply_domain_definition(chart, prop):
+    """XDOMAIN/YDOMAIN [min, max] [INVERT] [LOGARITHMIC] (reference:
+    ChartExpression::applyDomainDefinitions + DomainConfig,
+    chart_expression.cc:199-270, domainconfig.cc:36-113)."""
+    dim = {
+        "T_XDOMAIN": "x",
+        "T_YDOMAIN": "y",
+        "T_ZDOMAIN": "z",
+    }.get(prop.token.ttype)
+    if dim is None:
+        raise RuntimeError_("corrupt AST: DOMAIN has invalid token")
+    domain = chart.get_domain(dim)
+    for child in prop.children:
+        if child.ntype == "T_DOMAIN_SCALE" and len(child.children) == 2:
+            lo = _eval_const_ast(child.children[0]).payload()
+            hi = _eval_const_ast(child.children[1]).payload()
+            if not hasattr(domain, "set_min"):
+                raise RuntimeError_(
+                    f"TypeError: can't set min value for {dim} domain"
+                )
+            domain.set_min(float(lo))
+            domain.set_max(float(hi))
+        elif child.ntype == "T_PROPERTY" and child.token is not None:
+            if child.token.ttype == "T_INVERT":
+                domain.set_inverted(True)
+            elif child.token.ttype == "T_LOGARITHMIC":
+                if not hasattr(domain, "set_logarithmic"):
+                    raise RuntimeError_(
+                        "TypeError: can't set LOGARITHMIC for discrete"
+                        f" domain {dim}"
+                    )
+                domain.set_logarithmic(True)
 
 
 def _add_series_from_relation(chart, query, rel):

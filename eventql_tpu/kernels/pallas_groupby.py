@@ -135,12 +135,15 @@ def _agg_kernel(
         out_ref[1, :, :] = acc_hi[:, :]
 
 
-def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block):
+def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
+                 interpret=None):
     nb = gid_blocks.shape[0]
     rows_pad = -(-(k1 * r_act) // 32) * 32
     inputs = [gid_blocks, lo_blocks]
     if hi_blocks is not None:
         inputs.append(hi_blocks)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         functools.partial(
             _agg_kernel,
@@ -149,7 +152,7 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block):
             rows_pad=rows_pad,
             carry_every=CARRY_EVERY_I32,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -173,7 +176,8 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_buckets", "block", "value_bits")
+    jax.jit,
+    static_argnames=("num_buckets", "block", "value_bits", "interpret"),
 )
 def pallas_sum_count(
     mask: jax.Array,
@@ -182,6 +186,7 @@ def pallas_sum_count(
     num_buckets: int,
     block: int = DEFAULT_BLOCK,
     value_bits: int = 64,
+    interpret: bool = None,
 ):
     """Fused filter + GROUP BY sum(values), count(*) for bounded keys
     (0 <= gid < num_buckets).
@@ -223,7 +228,9 @@ def pallas_sum_count(
         return counts, outs[0]
 
     with jax.enable_x64(False):
-        out = _call_kernel(gid_p, lo_p, hi_p, k1, r_act, block)
+        out = _call_kernel(
+            gid_p, lo_p, hi_p, k1, r_act, block, interpret=interpret
+        )
 
     # un-carry: plane = hi * 2^12 + lo (both int32, exact in int64)
     acc = (

@@ -160,9 +160,92 @@ def distributed_pallas_sum_count(
         check_vma=False,
     )
     def step(mask_l, gid_l, vals_l):
-        counts, sums = pallas_sum_count(mask_l, gid_l, vals_l, num_buckets)
+        counts, sums = pallas_sum_count(
+            mask_l, gid_l, vals_l, num_buckets, interpret=_interp(mesh)
+        )
         counts = jax.lax.psum(counts, axis)
         sums = jax.lax.psum(sums, axis)
         return counts, sums
 
     return step(mask, gid, values)
+
+
+def _interp(mesh: Mesh) -> bool:
+    """Pallas interpret mode must follow the MESH devices, not the
+    process default backend: with the single real chip attached, a
+    virtual CPU mesh (tests, the driver's multi-chip dryrun) still
+    reports default_backend() == 'tpu'."""
+    return mesh.devices.flat[0].platform != "tpu"
+
+
+def distributed_join_aggregate(
+    mesh: Mesh,
+    fact_keys,
+    fact_values,
+    fact_mask,
+    dim_keys,
+    dim_bucket,
+    num_buckets: int,
+    axis: str = "shards",
+    probe: str = None,
+):
+    """Distributed fact-dim join + GROUP BY aggregate: the fact table
+    stays sharded on the mesh, the dimension table replicates to every
+    chip (broadcast join), each chip probes and partially aggregates
+    its shard, and the fixed-width accumulator tables merge with one
+    psum over ICI. The reference instead ships join subplans to every
+    partition server and re-joins row streams on the coordinator
+    (reference: sql/statements/select/hash_join.cc + the QUERY_REMOTE
+    row pull, transport/native/ops/query_remote.cc:40-140) — here only
+    O(num_buckets) accumulator words ever cross chips.
+
+    probe: "compare" uses the gather-free fingerprint-compare kernel
+    (dims must fit VMEM and have unique fingerprints — the caller
+    checks dim_fingerprints_unique); "search" uses binary search +
+    gather (always correct). Default: compare on TPU for small dims.
+    """
+    from eventql_tpu.kernels.join import (
+        MAX_COMPARE_DIMS,
+        build_side,
+        pallas_dim_join_gid,
+    )
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    nd = dim_keys.shape[0]
+    if probe is None:
+        probe = (
+            "compare"
+            if jax.default_backend() == "tpu" and nd <= MAX_COMPARE_DIMS
+            else "search"
+        )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(fk_l, fv_l, fm_l, dk, db):
+        if probe == "compare":
+            gid = pallas_dim_join_gid(fk_l, dk, db, interpret=_interp(mesh))
+            mask = fm_l & (gid >= 0)
+        else:
+            from eventql_tpu.kernels.groupby import sortable_u64
+
+            sdk, dperm = build_side(dk)
+            db_sorted = db.astype(jnp.int32)[dperm]
+            pk = sortable_u64(fk_l)
+            pos = jnp.clip(
+                jnp.searchsorted(sdk, pk, side="left"), 0, max(nd - 1, 0)
+            )
+            matched = sdk[pos] == pk
+            gid = jnp.where(matched, db_sorted[pos], 0).astype(jnp.int32)
+            mask = fm_l & matched
+        counts, sums = pallas_sum_count(
+            mask, jnp.maximum(gid, 0), fv_l, num_buckets,
+            interpret=_interp(mesh),
+        )
+        return jax.lax.psum(counts, axis), jax.lax.psum(sums, axis)
+
+    return step(fact_keys, fact_values, fact_mask, dim_keys, dim_bucket)

@@ -169,3 +169,55 @@ def test_barchart_grid_follows_orientation():
     # domain (barchart.h:322-346) — six default ticks, not categories
     svg = _render(BAR_QUERY.format(" WITH GRID VERTICAL"))
     assert "<g class='grid vertical'>" in svg
+
+
+def test_domain_definitions():
+    """XDOMAIN/YDOMAIN min/max + INVERT + LOGARITHMIC (reference:
+    applyDomainDefinitions + continuousdomain.h:60-131)."""
+    svg = _render(
+        """
+        DRAW LINECHART YDOMAIN 0, 100 AXIS LEFT;
+        SELECT temperature AS x, temperature AS y FROM city_temperatures;
+        """
+    )
+    # fixed max: the left axis top label is 100 (no padding past the max)
+    assert ">100.0</text>" in svg and ">0</text>" in svg
+
+    svg_inv = _render(
+        """
+        DRAW LINECHART YDOMAIN 0, 100 INVERT AXIS LEFT;
+        SELECT temperature AS x, temperature AS y FROM city_temperatures;
+        """
+    )
+    assert svg != svg_inv  # inversion flips point positions
+
+    svg_log = _render(
+        """
+        DRAW LINECHART YDOMAIN LOGARITHMIC AXIS LEFT;
+        SELECT temperature AS x, temperature + 50 AS y FROM city_temperatures;
+        """
+    )
+    assert "<g class='points'>" not in svg_log  # still a linechart
+    assert "<path" in svg_log
+
+
+def test_domain_min_max_expressions():
+    from eventql_tpu.exec.chart import ContinuousDomain
+
+    d = ContinuousDomain()
+    d.add_value(5.0)
+    d.add_value(42.0)
+    d.set_min(0)
+    d.set_max(100)
+    d.build()
+    assert d.scale(50) == 0.5
+    d.set_inverted(True)
+    assert d.scale(50) == 0.5
+    assert d.scale(25) == 0.75
+    # logarithmic: scale(10) with max 100 → log10(10)/log10(100) = 0.5
+    d2 = ContinuousDomain()
+    d2.add_value(1.0)
+    d2.add_value(100.0)
+    d2.set_logarithmic(True)
+    d2.build()
+    assert abs(d2.scale(10) - 0.5) < 1e-9
