@@ -31,6 +31,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import List, Optional, Tuple
 
 from eventql_tpu.core.errors import SQLError
@@ -58,10 +59,15 @@ OP_QUERY_REMOTE_RESULT = 0x0104
 F_ENDOFREQUEST = 0x1
 
 HELLO_SWITCHDB = 0x2
+# query flags (reference: eventql.h:114-117)
 QUERY_SWITCHDB = 0x1
+QUERY_MULTISTMT = 0x2
+QUERY_SENDPROGRESS = 0x4
+QUERY_NOSTATS = 0x8
 # extension: execute against this node's local tables only (no cluster
-# fan-out) — used for server-to-server DDL broadcast and schema lookups
-QUERY_LOCALONLY = 0x4
+# fan-out) — used for server-to-server DDL broadcast and schema
+# lookups; deliberately above the reference's flag range
+QUERY_LOCALONLY = 0x40
 QR_COMPLETE = 0x1
 QR_HASSTATS = 0x2
 QR_HASCOLNAMES = 0x4
@@ -277,12 +283,35 @@ class NativeTCPServer:
 
         send_lock = threading.Lock()
         done = threading.Event()
+        progress = {"done": 0, "total": 1, "t0": time.monotonic()}
+        want_progress = bool(qflags & QUERY_SENDPROGRESS)
 
         def heartbeats():
             while not done.wait(self.HEARTBEAT_INTERVAL):
                 try:
                     with send_lock:
-                        _send_frame(sock, OP_HEARTBEAT, 0, b"")
+                        if want_progress:
+                            # reference: QUERY_PROGRESS frames while the
+                            # query runs (ops/query.cc:91-126, frame
+                            # layout frames/query_progress.cc:63-70)
+                            permill = (
+                                1000 * progress["done"] // progress["total"]
+                            )
+                            elapsed_ms = int(
+                                (time.monotonic() - progress["t0"]) * 1000
+                            )
+                            body = bytearray()
+                            body += write_varint(0)  # rows modified
+                            body += write_varint(0)  # rows scanned
+                            body += write_varint(0)  # bytes scanned
+                            body += write_varint(permill)
+                            body += write_varint(elapsed_ms)
+                            body += write_varint(0)  # eta
+                            _send_frame(
+                                sock, OP_QUERY_PROGRESS, 0, bytes(body)
+                            )
+                        else:
+                            _send_frame(sock, OP_HEARTBEAT, 0, b"")
                 except OSError:
                     return
 
@@ -299,7 +328,11 @@ class NativeTCPServer:
             )
             txn = self.runtime.new_transaction(provider)
             plan = self.runtime.build_query_plan(txn, query.decode("utf-8"))
-            results = [plan.execute(i) for i in range(plan.num_queries)]
+            progress["total"] = max(1, plan.num_queries)
+            results = []
+            for i in range(plan.num_queries):
+                results.append(plan.execute(i))
+                progress["done"] = i + 1
         except SQLError as e:
             done.set()
             hb.join()
@@ -483,10 +516,13 @@ class NativeTCPClient:
         if opcode != OP_READY:
             raise SQLError(f"unexpected opcode in handshake: {opcode:#x}")
 
-    def query(self, query: str, local: bool = False):
+    def query(self, query: str, local: bool = False, on_progress=None):
+        qflags = QUERY_LOCALONLY if local else 0
+        if on_progress is not None:
+            qflags |= QUERY_SENDPROGRESS
         payload = (
             write_lenencstr(query.encode("utf-8"))
-            + write_varint(QUERY_LOCALONLY if local else 0)
+            + write_varint(qflags)
             + write_varint(0)
         )
         _send_frame(self.sock, OP_QUERY, 0, payload)
@@ -496,7 +532,26 @@ class NativeTCPClient:
             if opcode == OP_ERROR:
                 msg, _ = read_lenencstr(body, 0)
                 raise SQLError(msg.decode())
-            if opcode in (OP_HEARTBEAT, OP_QUERY_PROGRESS):
+            if opcode == OP_QUERY_PROGRESS:
+                if on_progress is not None:
+                    # frames/query_progress.cc:63-70
+                    pos = 0
+                    vals = []
+                    for _ in range(6):
+                        v, pos = read_varint(body, pos)
+                        vals.append(v)
+                    on_progress(
+                        {
+                            "rows_modified": vals[0],
+                            "rows_scanned": vals[1],
+                            "bytes_scanned": vals[2],
+                            "progress_permill": vals[3],
+                            "elapsed_ms": vals[4],
+                            "eta_ms": vals[5],
+                        }
+                    )
+                continue
+            if opcode == OP_HEARTBEAT:
                 continue
             if opcode != OP_QUERY_RESULT:
                 raise SQLError(f"unexpected opcode: {opcode:#x}")

@@ -94,3 +94,47 @@ def test_heartbeats_during_slow_query():
         c.close()
     finally:
         server.stop()
+
+
+def test_query_progress_frames():
+    """EVQL_QUERY_PROGRESS (0x4) makes the server stream QUERY_PROGRESS
+    frames during execution (reference: ops/query.cc:91-126, frame
+    layout frames/query_progress.cc:63-70)."""
+    svc = TableService()
+    server = NativeTCPServer(svc, port=0)
+    server.HEARTBEAT_INTERVAL = 0.02  # tighten the cadence for the test
+    server.start()
+    try:
+        c = NativeTCPClient("127.0.0.1", server.port)
+        seen = []
+
+        class SlowPlan:
+            num_queries = 1
+
+            def execute(self, i):
+                import time as _t
+
+                _t.sleep(0.2)
+                real = c2_runtime.build_query_plan(
+                    c2_txn, "select 42 as v;"
+                )
+                return real.execute(0)
+
+        from eventql_tpu.exec.runtime import Runtime
+
+        rt = Runtime()
+        c2_runtime = rt
+        c2_txn = rt.new_transaction(svc)
+        orig = server.runtime.build_query_plan
+        server.runtime.build_query_plan = lambda txn, q: SlowPlan()
+        try:
+            results = c.query("select 42 as v;", on_progress=seen.append)
+        finally:
+            server.runtime.build_query_plan = orig
+        assert results[0] == (["v"], [["42"]])
+        assert len(seen) >= 1
+        assert all(0 <= p["progress_permill"] <= 1000 for p in seen)
+        assert seen[-1]["elapsed_ms"] >= 0
+        c.close()
+    finally:
+        server.stop()
