@@ -219,37 +219,55 @@ def pallas_sum_count(
     r_act = 1 + nlimbs
     k1 = -(-num_buckets // K2)
 
-    if k1 * r_act > _MAX_ROWS:
-        from eventql_tpu.kernels.onehot_agg import onehot_grouped_aggregate
-
-        counts, outs = onehot_grouped_aggregate(
-            mask, gid, (values.astype(jnp.uint64),), ("sum",), num_buckets
+    def _decode(out, k1c):
+        # un-carry: plane = hi * 2^12 + lo (both int32, exact in int64)
+        acc = (
+            out[1].astype(jnp.int64) * jnp.int64(4096)
+            + out[0].astype(jnp.int64)
         )
-        return counts, outs[0]
+        acc = acc[: r_act * k1c].reshape(r_act, k1c, K2)
+        counts = acc[0].reshape(-1)
+        # recombine in uint64 wraparound arithmetic (results are mod
+        # 2^64; negative offset-encoded sums become two's complements)
+        acc_u = acc.astype(jnp.uint64)
+        total = jnp.zeros((k1c * K2,), jnp.uint64)
+        offset = 0
+        for i in range(nlimbs):
+            total = total + (acc_u[1 + i].reshape(-1) << jnp.uint64(8 * i))
+            offset = (offset + (128 << (8 * i))) & 0xFFFFFFFFFFFFFFFF
+        # un-offset the -128 limb encoding via the exact counts
+        total = total + jnp.uint64(offset) * acc_u[0].reshape(-1)
+        return counts.astype(jnp.uint64), total
 
-    with jax.enable_x64(False):
-        out = _call_kernel(
-            gid_p, lo_p, hi_p, k1, r_act, block, interpret=interpret
-        )
+    if k1 * r_act <= _MAX_ROWS:
+        with jax.enable_x64(False):
+            out = _call_kernel(
+                gid_p, lo_p, hi_p, k1, r_act, block, interpret=interpret
+            )
+        counts, total = _decode(out, k1)
+        return counts[:num_buckets], total[:num_buckets]
 
-    # un-carry: plane = hi * 2^12 + lo (both int32, exact in int64)
-    acc = (
-        out[1].astype(jnp.int64) * jnp.int64(4096) + out[0].astype(jnp.int64)
-    )
-    acc = acc[: r_act * k1].reshape(r_act, k1, K2)
-
-    counts = acc[0].reshape(-1)[:num_buckets]
-    # recombine in uint64 wraparound arithmetic (results are mod 2^64;
-    # negative offset-encoded sums become their two's complements)
-    acc_u = acc.astype(jnp.uint64)
-    total = jnp.zeros((k1 * K2,), jnp.uint64)
-    offset = 0
-    for i in range(nlimbs):
-        total = total + (acc_u[1 + i].reshape(-1) << jnp.uint64(8 * i))
-        offset = (offset + (128 << (8 * i))) & 0xFFFFFFFFFFFFFFFF
-    # un-offset the -128 limb encoding via the exact counts
-    total = total + jnp.uint64(offset) * acc_u[0].reshape(-1)
-    return counts.astype(jnp.uint64), total[:num_buckets]
+    # multi-pass for large key cardinality: chunk the bucket-group (k1)
+    # range; gids outside a chunk match no iota mask (negative or past
+    # the chunk's k1), so the only extra cost is re-reading the input
+    # streams once per chunk. At K=64K/16-bit values that's 4 passes —
+    # ~3 orders of magnitude faster than a K-wide XLA one-hot.
+    k1_max = max(1, _MAX_ROWS // r_act)
+    counts_parts = []
+    total_parts = []
+    for c0 in range(0, k1, k1_max):
+        k1c = min(k1_max, k1 - c0)
+        gid_c = gid_p - jnp.int32(c0 * K2)
+        with jax.enable_x64(False):
+            out = _call_kernel(
+                gid_c, lo_p, hi_p, k1c, r_act, block, interpret=interpret
+            )
+        c_part, t_part = _decode(out, k1c)
+        counts_parts.append(c_part)
+        total_parts.append(t_part)
+    counts = jnp.concatenate(counts_parts)[:num_buckets]
+    total = jnp.concatenate(total_parts)[:num_buckets]
+    return counts, total
 
 
 @functools.partial(

@@ -33,7 +33,8 @@ from eventql_tpu.plan import nodes as qn
 from eventql_tpu.plan.builder import TableProvider
 
 # reference: evqld.cc:245-246 fan-out limits
-MAX_CONCURRENT_SHARDS = 256
+MAX_CONCURRENT_SHARDS = 256  # reference: evqld.cc:245
+MAX_CONCURRENT_SHARDS_PER_HOST = 6  # reference: evqld.cc:246
 
 
 # -- partial serialization --------------------------------------------------
@@ -429,6 +430,23 @@ class ClusterTableProvider(TableProvider):
             target["keyrange"] = [meta.partition_key, begin, end]
             jobs.append((entry, _json.dumps(d)))
 
+        # per-host in-flight cap (reference: TCPAsyncClient's
+        # max_concurrent_tasks_per_host, client_tcp.h:109-231)
+        import threading as _threading
+
+        host_sems = {}
+        sems_lock = _threading.Lock()
+
+        def _host_sem(addr):
+            with sems_lock:
+                sem = host_sems.get(addr)
+                if sem is None:
+                    sem = _threading.Semaphore(
+                        MAX_CONCURRENT_SHARDS_PER_HOST
+                    )
+                    host_sems[addr] = sem
+                return sem
+
         def one(job):
             entry, payload = job
             last_err = None
@@ -437,7 +455,8 @@ class ClusterTableProvider(TableProvider):
                 if addr is None:
                     continue
                 try:
-                    return fetch(addr, payload)
+                    with _host_sem(addr):
+                        return fetch(addr, payload)
                 except (OSError, ConnectionError) as e:
                     last_err = e  # replica down: fail over to the next
             if self.failed_shard_policy == "tolerate":

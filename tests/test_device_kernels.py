@@ -154,3 +154,30 @@ def test_fast_topk_histogram_threshold():
     )
     idx2 = np.asarray(fast_topk_u64(jnp.asarray(skew), k))
     assert (np.sort(skew[idx2])[::-1] == np.sort(skew)[::-1][:k]).all()
+
+
+def test_pallas_sum_count_large_cardinality_multipass():
+    """K beyond the single-pass VMEM bound runs the chunked multi-pass
+    kernel (k1 ranges); exactness must hold across chunk boundaries."""
+    import numpy as np
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    rng = np.random.default_rng(8)
+    n, K = 60000, 40000  # k1 = 313 > 512 // r_act for 64-bit values
+    gid = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.integers(0, 1 << 48, n).astype(np.uint64)
+    mask = rng.random(n) < 0.7
+
+    counts, sums = pallas_sum_count(
+        jnp.asarray(mask), jnp.asarray(gid), jnp.asarray(vals), K
+    )
+    counts, sums = np.asarray(counts), np.asarray(sums)
+
+    exp_counts = np.zeros(K, np.uint64)
+    exp_sums = np.zeros(K, np.uint64)
+    for g, v, m in zip(gid, vals, mask):
+        if m:
+            exp_counts[g] += 1
+            exp_sums[g] += v
+    assert list(counts) == list(exp_counts)
+    assert list(sums) == list(exp_sums)
