@@ -145,3 +145,31 @@ def test_status_dashboard(server):
     ) as resp:
         body = resp.read().decode()
     assert "dash: a UINT64" in body
+
+
+def test_evql_driver_remote(server):
+    """EVQL.connect drives /api/v1/mapreduce/execute remotely
+    (prelude.js → mapreduce_servlet.cc surface)."""
+    from eventql_tpu.mapreduce.api import EVQL
+
+    _req(server, "/api/v1/tables/create", {
+        "table": "mre", "schema": {"columns": [
+            {"name": "k", "type": "STRING"}, {"name": "v", "type": "UINT64"}]},
+    })
+    _req(server, "/api/v1/tables/insert", [
+        {"table": "mre", "data": {"k": "x", "v": 1}},
+        {"table": "mre", "data": {"k": "x", "v": 2}},
+        {"table": "mre", "data": {"k": "y", "v": 5}},
+    ])
+    evql = EVQL.connect("127.0.0.1", server.port)
+    m = evql.map_table(table="mre", map_fn="""
+def map_fn(row):
+    return [(row["k"], row["v"])]
+""")
+    r = evql.reduce(sources=[m], reduce_fn="""
+def reduce_fn(key, values):
+    return [(key, sum(int(v) for v in values))]
+""")
+    out = evql.download_results([r])
+    got = dict(out[0])
+    assert got == {"x": "3", "y": "5"}

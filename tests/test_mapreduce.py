@@ -113,3 +113,61 @@ def test_lambda_functions(svc):
         }
     )
     assert out[0] == [("n", "6")]
+
+
+def test_evql_driver_api(svc):
+    """The prelude-style job-builder surface (reference:
+    mapreduce/prelude.js EVQL.mapTable/reduce/join/downloadResults)."""
+    from eventql_tpu.mapreduce.api import EVQL
+
+    evql = EVQL(MapReduceService(svc))
+    m = evql.map_table(table="events", map_fn=MAP_FN)
+    r = evql.reduce(sources=[m], reduce_fn=REDUCE_FN)
+    out = evql.download_results([r])
+    assert len(out) == 1
+    got = dict(out[0])
+    assert set(got) == {"a", "b", "c"}
+    assert int(got["a"]) == 10
+
+
+def test_evql_driver_join(svc):
+    """EVQL.join merges the values of a key into one dict
+    (prelude.js:238-268)."""
+    import json as _json
+
+    from eventql_tpu.mapreduce.api import EVQL
+
+    evql = EVQL(MapReduceService(svc))
+    m1 = evql.map_table(
+        table="events",
+        map_fn="""
+def map_a(row):
+    import json
+    return [(row["user"], json.dumps({"v": int(row["value"])}))]
+""",
+    )
+    m2 = evql.map_table(
+        table="events",
+        map_fn="""
+def map_b(row):
+    import json
+    return [(row["user"], json.dumps({"u": row["user"]}))]
+""",
+    )
+    j = evql.join(sources=[m1, m2])
+    out = evql.download_results([j])
+    got = {k: _json.loads(v) for k, v in out[0]}
+    assert set(got) == {"a", "b", "c"}
+    for k, v in got.items():
+        assert v["u"] == k and "v" in v
+
+
+def test_evql_driver_save_to_table(svc):
+    from eventql_tpu.mapreduce.api import EVQL
+
+    evql = EVQL(MapReduceService(svc))
+    m = evql.map_table(table="events", map_fn=MAP_FN)
+    r = evql.reduce(sources=[m], reduce_fn=REDUCE_FN)
+    evql.save_to_table("evql_api_out", [r])
+    rel = svc.get_table_data("evql_api_out")
+    assert rel.num_rows == 3
