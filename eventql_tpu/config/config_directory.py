@@ -155,6 +155,34 @@ class ConfigDirectory:
             return None
         return ns["tables"].get(table)
 
+    def commit_metadata_txn(
+        self,
+        db: str,
+        table: str,
+        input_txnid: str,
+        output_txnid: str,
+        seq: int,
+        derived_view: Optional[Dict] = None,
+    ) -> bool:
+        """Compare-and-swap the table's metadata head pointer: advance
+        to output_txnid iff the stored head still equals input_txnid
+        (reference: metadata_coordinator.cc:84-89 commits through the
+        coordination service's atomic table-config update; doc
+        partitioning.txt §5.1). Returns False when the CAS loses."""
+
+        def fn(doc):
+            ns = doc["namespaces"].setdefault(db, {"tables": {}})
+            cfg = ns["tables"].setdefault(table, {})
+            if cfg.get("metadata_txnid") != input_txnid:
+                return False
+            cfg["metadata_txnid"] = output_txnid
+            cfg["metadata_txnseq"] = int(seq)
+            if derived_view is not None:
+                cfg["metadata"] = derived_view
+            return True
+
+        return self._mutate(fn)
+
     # -- worker address book ---------------------------------------------
     def worker_addrs(self) -> List[tuple]:
         """(host, port) of all live servers — the coordinator's fan-out
