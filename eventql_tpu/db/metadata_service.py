@@ -117,6 +117,9 @@ class MetadataService:
     def get_file(self, db: str, table: str, txnid: str) -> MetadataFile:
         return self.store.get_file(db, table, txnid)
 
+    def drop_file(self, db: str, table: str, txnid: str):
+        self.store.drop_file(db, table, txnid)
+
     def perform_operation(self, op: MetadataOperation) -> Tuple[str, dict]:
         """Apply op to the stored input file, store the output file;
         returns (checksum, output file json)."""
@@ -228,7 +231,7 @@ class MetadataCoordinator:
                 # lost the race: clean up the aborted txn files
                 for sid in servers:
                     try:
-                        self._service_for(sid).store.drop_file(
+                        self._service_for(sid).drop_file(
                             db, table, op.output_txnid
                         )
                     except Exception:
