@@ -89,6 +89,20 @@ def main(argv=None):
 
         client_auth = LegacyClientAuth(args.auth_secret)
 
+    # metadata service: every cluster node can host METADATA file chains
+    # (reference: db/database.cc:283-315 wires Metadata{Store,Service})
+    metadata_service = None
+    if args.datadir or (args.config_dir and args.server_name):
+        import tempfile
+
+        from eventql_tpu.db.metadata_service import (
+            MetadataService,
+            MetadataStore,
+        )
+
+        meta_dir = args.datadir or tempfile.mkdtemp(prefix="evql_meta_")
+        metadata_service = MetadataService(MetadataStore(meta_dir))
+
     server = EventQLServer(
         table_service=table_service,
         host=host,
@@ -105,6 +119,7 @@ def main(argv=None):
         port=nport,
         query_provider_factory=query_provider_factory,
         client_auth=client_auth,
+        metadata_service=metadata_service,
     ).start()
 
     from eventql_tpu.server.listener import Listener

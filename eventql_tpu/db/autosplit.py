@@ -33,9 +33,14 @@ def run_once(
     cdir: ConfigDirectory,
     db: str = "default",
     threshold_rows: int = DEFAULT_SPLIT_THRESHOLD_ROWS,
+    remote_factory=None,
 ) -> List[str]:
     """One splitting pass over every partitioned table this server
     holds locally. Returns human-readable change lines."""
+    if remote_factory is None:
+        from eventql_tpu.db.metadata_transport import remote_factory_from_cdir
+
+        remote_factory = remote_factory_from_cdir(cdir)
     changes: List[str] = []
     doc = cdir._read()
     tables = doc.get("namespaces", {}).get(db, {}).get("tables", {})
@@ -74,8 +79,22 @@ def run_once(
             midpoint = _split_point(meta.keyspace, begin, in_range)
             if midpoint is None:
                 continue  # all rows share one key: nothing to split on
-            meta.split(entry.partition_id, midpoint)
-            dirty = True
+            if cfg.get("metadata_txnid") and remote_factory is not None:
+                # the table has a METADATA transaction chain: issue a
+                # CAS METAOP_SPLIT_PARTITION against the metadata
+                # servers (reference: partition_writer.cc:538-589). The
+                # replicas already hold the full keyrange, so the split
+                # finalizes immediately with the same placements.
+                _cas_split(
+                    cdir, remote_factory, db, table_name, cfg,
+                    entry.partition_id, midpoint, list(entry.servers),
+                )
+                # the head moved: later splits in this pass must CAS
+                # against the new txnid
+                cfg = cdir.get_table_config(db, table_name) or cfg
+            else:
+                meta.split(entry.partition_id, midpoint)
+                dirty = True
             changes.append(
                 f"{table_name}/{entry.partition_id}: split at"
                 f" '{midpoint}' ({len(in_range)} rows >"
@@ -86,6 +105,43 @@ def run_once(
                 db, table_name, {"metadata": meta.to_json()}
             )
     return changes
+
+
+def _cas_split(
+    cdir, remote_factory, db, table_name, cfg, partition_id, midpoint, servers
+):
+    import hashlib as _hashlib
+
+    from eventql_tpu.db.metadata_file import (
+        METAOP_SPLIT_PARTITION,
+        MetadataOperation,
+    )
+    from eventql_tpu.db.metadata_service import MetadataCoordinator
+
+    low_id = _hashlib.sha1(
+        f"{partition_id}\x00low\x00{midpoint}".encode()
+    ).hexdigest()[:20]
+    high_id = _hashlib.sha1(
+        f"{partition_id}\x00high\x00{midpoint}".encode()
+    ).hexdigest()[:20]
+    op = MetadataOperation(
+        db,
+        table_name,
+        METAOP_SPLIT_PARTITION,
+        {
+            "partition_id": partition_id,
+            "split_point": midpoint,
+            "split_partition_id_low": low_id,
+            "split_partition_id_high": high_id,
+            "split_servers_low": servers,
+            "split_servers_high": servers,
+            "finalize_immediately": True,
+        },
+        input_txnid=cfg["metadata_txnid"],
+    )
+    MetadataCoordinator(
+        cdir, remote_service_factory=remote_factory
+    ).perform_and_commit_operation(db, table_name, op)
 
 
 def _split_point(keyspace: str, begin, in_range_sorted):

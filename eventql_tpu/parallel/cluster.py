@@ -268,6 +268,28 @@ class ClusterTableProvider(TableProvider):
         cc = self.cdir.get_cluster_config() or {}
         return int(cc.get("replication_factor", 1))
 
+    def _metadata_coordinator(self):
+        """CAS coordinator over this provider's address book
+        (reference: db/metadata_coordinator.cc)."""
+        from eventql_tpu.db.metadata_service import MetadataCoordinator
+        from eventql_tpu.db.metadata_transport import MetadataServiceProxy
+
+        proxies: Dict[str, MetadataServiceProxy] = {}
+
+        def factory(server_id: str):
+            proxy = proxies.get(server_id)
+            if proxy is None:
+                addr = self._addr_of(server_id)
+                if addr is None:
+                    raise RuntimeError_(
+                        f"unknown metadata server: {server_id}"
+                    )
+                proxy = MetadataServiceProxy(addr[0], addr[1])
+                proxies[server_id] = proxy
+            return proxy
+
+        return MetadataCoordinator(self.cdir, remote_service_factory=factory)
+
     def _addr_of(self, server_id: str) -> Optional[Tuple[str, int]]:
         return self.server_map.get(server_id)
 
@@ -300,12 +322,29 @@ class ClusterTableProvider(TableProvider):
             )
             sids = sorted(self.server_map)
             nrepl = min(max(1, self._replication_factor()), len(sids))
-            meta = TableMetadata.initial(
+            # create the table's METADATA transaction chain on the
+            # metadata servers (majority store + head pointer commit,
+            # reference: db/metadata_coordinator.cc createFile +
+            # doc/internals/partitioning.txt §5.1); the derived
+            # partition-map view lands in the table config for routing.
+            # Nodes without a metadata service (embedded test workers)
+            # fall back to a direct registry write of the same view.
+            from eventql_tpu.db.metadata_file import MetadataFile
+
+            mfile = MetadataFile.initial(
                 keyspace, pk, node.table_name, sids[:nrepl]
             )
-            self.cdir.update_table_config(
-                "default", node.table_name, {"metadata": meta.to_json()}
-            )
+            try:
+                self._metadata_coordinator().create_file(
+                    "default", node.table_name, mfile, sids[:nrepl]
+                )
+            except RuntimeError_:
+                meta = TableMetadata.initial(
+                    keyspace, pk, node.table_name, sids[:nrepl]
+                )
+                self.cdir.update_table_config(
+                    "default", node.table_name, {"metadata": meta.to_json()}
+                )
 
     def drop_table(self, table_name: str):
         for addr in self.workers:

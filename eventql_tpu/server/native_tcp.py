@@ -55,6 +55,23 @@ OP_QUERY_PARTIALAGGR = 0x0101
 OP_QUERY_PARTIALAGGR_RESULT = 0x0102
 OP_QUERY_REMOTE = 0x0103
 OP_QUERY_REMOTE_RESULT = 0x0104
+# metadata ops (reference: eventql.h:89-100, transport/native/ops/meta_*.cc);
+# payloads here are lenencstr JSON documents (our plan/row payload
+# encodings diverge from the reference the same way)
+OP_META_PERFORMOP = 0x0200
+OP_META_PERFORMOP_RESULT = 0x0201
+OP_META_CREATEFILE = 0x0202
+OP_META_GETFILE = 0x0203
+OP_META_GETFILE_RESULT = 0x0204
+OP_META_DISCOVER = 0x0205
+OP_META_DISCOVER_RESULT = 0x0206
+OP_META_LISTPARTITIONS = 0x0207
+OP_META_LISTPARTITIONS_RESULT = 0x0208
+OP_META_FINDPARTITION = 0x0209
+OP_META_FINDPARTITION_RESULT = 0x020A
+# extension (no reference opcode): drop an aborted CAS txn file; the
+# reference leaves orphans for GC, we clean them up eagerly
+OP_META_DROPFILE = 0x02F0
 
 F_ENDOFREQUEST = 0x1
 
@@ -147,6 +164,7 @@ class NativeTCPServer:
     def __init__(
         self, table_service, host="127.0.0.1", port=9176,
         query_provider_factory=None, client_auth=None,
+        metadata_service=None,
     ):
         from eventql_tpu.exec.runtime import Runtime
         from eventql_tpu.server.auth import TrustClientAuth
@@ -155,6 +173,7 @@ class NativeTCPServer:
         self.query_provider_factory = (
             query_provider_factory or (lambda: self.table_service)
         )
+        self.metadata_service = metadata_service
         self.client_auth = client_auth or TrustClientAuth()
         self.runtime = Runtime()
         self.host = host
@@ -262,6 +281,10 @@ class NativeTCPServer:
                 self._handle_partialaggr(sock, payload)
             elif opcode == OP_QUERY_REMOTE:
                 self._handle_query_remote(sock, payload)
+            elif OP_META_PERFORMOP <= opcode <= OP_META_FINDPARTITION or (
+                opcode == OP_META_DROPFILE
+            ):
+                self._handle_meta(sock, opcode, payload)
             else:
                 _send_frame(
                     sock,
@@ -477,6 +500,125 @@ class NativeTCPServer:
             return
         _send_frame(sock, OP_ACK, F_ENDOFREQUEST, b"")
 
+    def _handle_meta(self, sock, opcode, payload):
+        """Serve METADATA-file operations for tables whose metadata
+        chain lives on this server (reference:
+        transport/native/ops/meta_performop.cc, meta_createfile.cc,
+        meta_getfile.cc, meta_discover.cc, meta_listpartitions.cc,
+        meta_findpartition.cc). Request/response bodies are JSON."""
+        import json
+
+        from eventql_tpu.core.errors import RuntimeError_
+
+        svc = self.metadata_service
+        try:
+            if svc is None:
+                raise RuntimeError_("no metadata service on this server")
+            req_raw, _pos = read_lenencstr(payload, 0)
+            req = json.loads(req_raw.decode("utf-8"))
+            if opcode == OP_META_CREATEFILE:
+                from eventql_tpu.db.metadata_file import MetadataFile
+
+                svc.create_file(
+                    req["db"], req["table"], MetadataFile.from_json(req["file"])
+                )
+                _send_frame(sock, OP_ACK, F_ENDOFREQUEST, b"")
+                return
+            if opcode == OP_META_GETFILE:
+                f = svc.get_file(req["db"], req["table"], req["txnid"])
+                body = json.dumps({"file": f.to_json()}).encode("utf-8")
+                _send_frame(
+                    sock, OP_META_GETFILE_RESULT, F_ENDOFREQUEST,
+                    write_lenencstr(body),
+                )
+                return
+            if opcode == OP_META_PERFORMOP:
+                from eventql_tpu.db.metadata_file import MetadataOperation
+
+                checksum, out = svc.perform_operation(
+                    MetadataOperation.from_json(req["op"])
+                )
+                body = json.dumps(
+                    {"checksum": checksum, "file": out}
+                ).encode("utf-8")
+                _send_frame(
+                    sock, OP_META_PERFORMOP_RESULT, F_ENDOFREQUEST,
+                    write_lenencstr(body),
+                )
+                return
+            if opcode == OP_META_DISCOVER:
+                resp = svc.discover(
+                    req["db"], req["table"],
+                    int(req.get("min_txnseq", 0)), req["request"],
+                )
+                body = json.dumps(resp.to_json()).encode("utf-8")
+                _send_frame(
+                    sock, OP_META_DISCOVER_RESULT, F_ENDOFREQUEST,
+                    write_lenencstr(body),
+                )
+                return
+            if opcode == OP_META_LISTPARTITIONS:
+                f = svc.store.latest_file(req["db"], req["table"])
+                if f is None:
+                    raise RuntimeError_("metadata file not available")
+                idxs = f.range_indices(
+                    req.get("begin", ""), req.get("end", "")
+                )
+                body = json.dumps(
+                    {
+                        "txnid": f.txnid,
+                        "partitions": [
+                            {
+                                "partition_id": f.entries[i].partition_id,
+                                "keyrange_begin": f.entries[i].begin,
+                                "keyrange_end": f.entry_end(i),
+                                "servers": [
+                                    p.server_id for p in f.entries[i].servers
+                                ],
+                            }
+                            for i in idxs
+                        ],
+                    }
+                ).encode("utf-8")
+                _send_frame(
+                    sock, OP_META_LISTPARTITIONS_RESULT, F_ENDOFREQUEST,
+                    write_lenencstr(body),
+                )
+                return
+            if opcode == OP_META_FINDPARTITION:
+                f = svc.store.latest_file(req["db"], req["table"])
+                if f is None:
+                    raise RuntimeError_("metadata file not available")
+                i = f.lookup_index(req["key"])
+                body = json.dumps(
+                    {
+                        "txnid": f.txnid,
+                        "partition_id": f.entries[i].partition_id,
+                        "keyrange_begin": f.entries[i].begin,
+                        "keyrange_end": f.entry_end(i),
+                        "servers": [
+                            p.server_id for p in f.entries[i].servers
+                        ],
+                    }
+                ).encode("utf-8")
+                _send_frame(
+                    sock, OP_META_FINDPARTITION_RESULT, F_ENDOFREQUEST,
+                    write_lenencstr(body),
+                )
+                return
+            if opcode == OP_META_DROPFILE:
+                svc.drop_file(req["db"], req["table"], req["txnid"])
+                _send_frame(sock, OP_ACK, F_ENDOFREQUEST, b"")
+                return
+            raise RuntimeError_("invalid opcode")
+        except Exception as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(str(e).encode("utf-8")),
+            )
+
 
 # -- client -----------------------------------------------------------------
 
@@ -627,6 +769,26 @@ class NativeTCPClient:
         if opcode != OP_QUERY_REMOTE_RESULT:
             raise SQLError(f"unexpected opcode: {opcode:#x}")
         return payload
+
+    def meta_request(self, opcode: int, request: dict):
+        """One METADATA-service RPC; returns the decoded JSON response
+        (None for ACK-only replies). Raises SQLError on ERROR frames."""
+        import json
+
+        _send_frame(
+            self.sock,
+            opcode,
+            0,
+            write_lenencstr(json.dumps(request).encode("utf-8")),
+        )
+        rop, _f, payload = _recv_frame(self.sock)
+        if rop == OP_ERROR:
+            msg, _ = read_lenencstr(payload, 0)
+            raise SQLError(msg.decode())
+        if rop == OP_ACK:
+            return None
+        body, _ = read_lenencstr(payload, 0)
+        return json.loads(body.decode("utf-8"))
 
     def ping(self):
         _send_frame(self.sock, OP_PING, 0, b"")
