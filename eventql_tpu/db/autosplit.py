@@ -117,6 +117,23 @@ def _cas_split(
         MetadataOperation,
     )
     from eventql_tpu.db.metadata_service import MetadataCoordinator
+    from eventql_tpu.db.server_allocator import allocate
+
+    # place each child on the least-loaded servers (reference:
+    # partition_writer.cc:553-560 allocates split targets via
+    # ServerAllocator). When the chosen targets already serve the
+    # parent the split needs no data movement and finalizes in the
+    # same transaction; otherwise the partition enters the splitting
+    # state and the replication workers run the LOAD → FINALIZE_SPLIT
+    # lifecycle (doc/internals/partitioning.txt §4.3).
+    try:
+        low_servers = allocate(cdir, len(servers), db)
+        high_servers = allocate(cdir, len(servers), db)
+    except Exception:
+        low_servers = high_servers = list(servers)
+    finalize_now = set(low_servers) <= set(servers) and set(
+        high_servers
+    ) <= set(servers)
 
     low_id = _hashlib.sha1(
         f"{partition_id}\x00low\x00{midpoint}".encode()
@@ -133,9 +150,9 @@ def _cas_split(
             "split_point": midpoint,
             "split_partition_id_low": low_id,
             "split_partition_id_high": high_id,
-            "split_servers_low": servers,
-            "split_servers_high": servers,
-            "finalize_immediately": True,
+            "split_servers_low": low_servers,
+            "split_servers_high": high_servers,
+            "finalize_immediately": finalize_now,
         },
         input_txnid=cfg["metadata_txnid"],
     )

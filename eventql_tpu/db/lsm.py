@@ -176,6 +176,15 @@ class LSMTable(MemoryTable):
         self._relation_cache = None
         self._reader_cache = None
 
+    def truncate(self):
+        """Unload: clear the arena and trash every segment (files move
+        to .trash for the GC sweep, like dereferenced segments)."""
+        super().truncate()
+        for seg in self._segments:
+            _trash_file(self.dir, seg)
+        self._segments = []
+        self._segment_readers = {}
+
     def compact(self):
         """Fold all segments into one major segment with upsert
         resolution applied (reference: LSMPartitionWriter::compact +

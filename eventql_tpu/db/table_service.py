@@ -94,6 +94,14 @@ class MemoryTable:
         self._relation_cache = None
         self._reader_cache = None
 
+    def truncate(self):
+        """Drop every row but keep the schema (partition unload:
+        reference analog PartitionMap::dropLocalPartition)."""
+        self.rows = []
+        self.objs = []
+        self._relation_cache = None
+        self._reader_cache = None
+
     def add_column(self, coldef: ColumnDefinition):
         for flat in _flatten_columns([coldef]):
             if any(c[0] == flat[0] for c in self.columns):
@@ -196,6 +204,16 @@ class TableService(TableProvider):
         if table_name not in self.tables:
             raise RuntimeError_(f"table not found: '{table_name}'")
         del self.tables[table_name]
+
+    def truncate_table(self, table_name: str) -> None:
+        """Unload a table's local rows, keeping the schema (reference
+        analog: partition UNLOAD, db/partition_map.cc dropLocalPartition
+        — our partitions are keyrange views over one local store, so an
+        unload drops the whole store once no range is served here)."""
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        table.truncate()
 
     def create_database(self, name: str) -> None:
         self.databases[name] = None

@@ -240,13 +240,18 @@ def test_majority_tolerates_one_dead_metadata_server(meta_cluster):
     p.close()
 
 
-def test_autosplit_goes_through_cas_chain(meta_cluster):
+def test_autosplit_and_full_split_lifecycle(meta_cluster):
+    """needsSplit → METAOP_SPLIT_PARTITION (splitting state) → split
+    targets LOAD the child keyranges → a serving replica finalizes via
+    METAOP_FINALIZE_SPLIT → the displaced replica UNLOADs its rows
+    (reference: partition_writer.cc:538-589 + partitioning.txt §4.3)."""
     cfg, cdir, servers = meta_cluster
     p, rt = _create_table(cfg)
     for i in range(30):
         p.insert_json("ev", json.dumps({"t": i, "v": 1}))
 
     from eventql_tpu.db import autosplit
+    from eventql_tpu.db.replication import ReplicationWorker
 
     changes = autosplit.run_once(
         servers[0].table_service,
@@ -256,21 +261,56 @@ def test_autosplit_goes_through_cas_chain(meta_cluster):
     )
     assert changes, "expected at least one split"
     tcfg = cdir.get_table_config("default", "ev")
-    assert tcfg["metadata_txnseq"] >= 2
-    assert len(tcfg["metadata"]["partitions"]) >= 2
+    assert tcfg["metadata_txnseq"] == 2
 
-    # the split is a real chain transaction: the head file on the
-    # metadata servers matches the committed head pointer
     proxy = MetadataServiceProxy("127.0.0.1", servers[0].port)
     head = proxy.get_file("default", "ev", tcfg["metadata_txnid"])
-    assert head.seq == tcfg["metadata_txnseq"]
+    assert head.seq == 2
+    # the least-loaded server (node3, no placements) is a split target,
+    # so the partition is splitting, not finalized
+    assert head.entries[0].splitting
+    low_sids = {pl.server_id for pl in head.entries[0].split_servers_low}
+    assert "node3" in low_sids
+    # routing still shows the parent until the split finalizes
+    assert len(tcfg["metadata"]["partitions"]) == 1
+
+    workers = [
+        ReplicationWorker(s.table_service, cfg, f"node{i + 1}")
+        for i, s in enumerate(servers)
+    ]
+
+    # LOAD: node3 pulls both child keyranges from the serving replicas
+    actions3 = workers[2].lifecycle_once()
+    assert any("loaded" in a for a in actions3), actions3
+    assert servers[2].table_service.get_table_data("ev").num_rows == 30
+
+    # FINALIZE: a serving replica sees every target caught up
+    actions1 = workers[0].lifecycle_once()
+    assert any("split finalized" in a for a in actions1), actions1
+    tcfg2 = cdir.get_table_config("default", "ev")
+    assert tcfg2["metadata_txnseq"] == 3
+    assert len(tcfg2["metadata"]["partitions"]) == 2
+    head2 = proxy.get_file("default", "ev", tcfg2["metadata_txnid"])
+    assert not any(e.splitting for e in head2.entries)
     proxy.close()
 
-    # queries still count every row exactly once after the split
+    # queries still count every row exactly once through the new map
     p2 = cluster_provider_from_config(cfg)
     txn = rt.new_transaction(p2)
     assert rt.build_query_plan(
         txn, "select count(1) from ev;"
     ).execute(0).rows == [["30"]]
     p2.close()
+
+    # UNLOAD: any displaced replica drops its local rows
+    placed = set()
+    for e in head2.entries:
+        placed |= {pl.server_id for pl in e.servers}
+    for i, s in enumerate(servers):
+        sid = f"node{i + 1}"
+        if sid in placed:
+            continue
+        acts = workers[i].lifecycle_once()
+        assert any("unloaded" in a for a in acts), (sid, acts)
+        assert s.table_service.get_table_data("ev").num_rows == 0
     p.close()
