@@ -131,6 +131,7 @@ def main(argv=None):
     monitor = None
     leader = None
     autosplit = None
+    meta_repl = None
     if args.config_dir and args.server_name:
         from eventql_tpu.config.config_directory import (
             SERVER_UP,
@@ -156,6 +157,13 @@ def main(argv=None):
         from eventql_tpu.db.leader import Leader
 
         leader = Leader(args.config_dir, args.server_name).start()
+
+        if metadata_service is not None:
+            from eventql_tpu.db.metadata_replication import MetadataReplication
+
+            meta_repl = MetadataReplication(
+                metadata_service, args.config_dir, args.server_name
+            ).start()
 
         from eventql_tpu.db.monitor import Monitor
 
@@ -198,6 +206,8 @@ def main(argv=None):
         )
     if autosplit is not None:
         autosplit.stop()
+    if meta_repl is not None:
+        meta_repl.stop()
     if leader is not None:
         leader.stop()
     if monitor is not None:

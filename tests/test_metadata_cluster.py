@@ -240,6 +240,37 @@ def test_majority_tolerates_one_dead_metadata_server(meta_cluster):
     p.close()
 
 
+def test_metadata_replication_catches_up_lagging_server(meta_cluster):
+    """A metadata server that missed a CAS transaction fetches the head
+    file from a peer (reference: db/metadata_replication.cc)."""
+    cfg, cdir, servers = meta_cluster
+    p, _rt = _create_table(cfg)
+    tcfg = cdir.get_table_config("default", "ev")
+
+    from eventql_tpu.db.metadata_replication import MetadataReplication
+
+    # simulate node2 having missed the creation: drop its copy
+    servers[1].metadata_service.drop_file(
+        "default", "ev", tcfg["metadata_txnid"]
+    )
+    assert not servers[1].metadata_service.store.has_file(
+        "default", "ev", tcfg["metadata_txnid"]
+    )
+
+    mr = MetadataReplication(servers[1].metadata_service, cfg, "node2")
+    actions = mr.replicate_once()
+    assert any("fetched metadata txn" in a for a in actions), actions
+    f = servers[1].metadata_service.get_file(
+        "default", "ev", tcfg["metadata_txnid"]
+    )
+    assert f.seq == tcfg["metadata_txnseq"]
+
+    # a server not in the metadata-server set does nothing
+    mr3 = MetadataReplication(servers[2].metadata_service, cfg, "node3")
+    assert mr3.replicate_once() == []
+    p.close()
+
+
 def test_autosplit_and_full_split_lifecycle(meta_cluster):
     """needsSplit → METAOP_SPLIT_PARTITION (splitting state) → split
     targets LOAD the child keyranges → a serving replica finalizes via
