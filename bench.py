@@ -233,6 +233,100 @@ def bench_join_bigdim():
     )
 
 
+def bench_scaling():
+    """Distributed GROUP BY weak scaling over the process tier: W
+    worker processes each own BENCH_ROWS_PER_WORKER rows; the
+    coordinator ships partial-aggregate plans (QUERY_PARTIALAGGR) and
+    merges the partials — the reference's scatter/gather flow
+    (server/sql/scheduler.cc + groupby.cc GroupByMerge). Weak-scaling
+    efficiency = T(1 worker) / T(W workers); vs_baseline is that
+    efficiency against the BASELINE.json ≥0.8 target. This measures
+    the DCN/process tier on one host; the ICI tier is a compiled
+    all-gather (parallel/distributed.py) benched separately on-chip."""
+    import subprocess
+    import sys
+
+    w = int(os.environ.get("BENCH_WORKERS", 2))
+    rows = int(os.environ.get("BENCH_ROWS_PER_WORKER", 4_000_000))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+
+    from eventql_tpu.exec.runtime import Runtime
+    from eventql_tpu.parallel.cluster import ClusterTableProvider
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+
+    def spawn(n):
+        procs, addrs = [], []
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        for i in range(n):
+            p = subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(repo_root, "scripts", "bench_worker.py"),
+                    str(1000 + i), str(rows), str(n_keys),
+                ],
+                stdout=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+            procs.append(p)
+        for p in procs:
+            port = int(p.stdout.readline())
+            addrs.append(("127.0.0.1", port))
+        return procs, addrs
+
+    def measure(n):
+        procs, addrs = spawn(n)
+        try:
+            provider = ClusterTableProvider(addrs)
+            rt = Runtime()
+            q = "select dim, sum(v), count(1) from ev group by dim;"
+
+            def once():
+                txn = rt.new_transaction(provider)
+                res = rt.build_query_plan(txn, q).execute(0)
+                assert res.num_rows == n_keys
+                return res
+
+            once()  # warm connections
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                once()
+                ts.append(time.perf_counter() - t0)
+            provider.close()
+            return min(ts)
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.wait()
+
+    t1 = measure(1)
+    tw = measure(w)
+    # weak scaling: ideal is tw == t1; clamp out scheduler noise on
+    # small boxes (workers and coordinator share the host's cores, so
+    # this is a lower bound on multi-host scaling where each worker
+    # owns its machine)
+    efficiency = min(1.0, t1 / tw)
+    rows_per_sec = w * rows / tw
+    print(
+        json.dumps(
+            {
+                "metric": f"distributed_groupby_weak_scaling_{w}_workers",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(efficiency / 0.8, 4),
+                "weak_scaling_efficiency": round(efficiency, 4),
+                "t_1_worker_s": round(t1, 4),
+                f"t_{w}_workers_s": round(tw, 4),
+                "host_cpus": os.cpu_count(),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
     if cfg == "topk":
@@ -243,6 +337,8 @@ def main():
         return bench_sort()
     if cfg == "join_bigdim":
         return bench_join_bigdim()
+    if cfg == "scaling":
+        return bench_scaling()
 
     import jax
     import jax.numpy as jnp
