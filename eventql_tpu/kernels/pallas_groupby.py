@@ -59,6 +59,20 @@ _MAGIC_F = 8388608.0  # 2^23
 _MAX_ROWS = 512
 
 
+def _pick_k2(num_buckets: int, nlimbs: int) -> int:
+    """One-hot width minimizing per-row VPU passes: ~2·k2 for the
+    (k2, B) one-hot build vs ~2·r_act·k1 for the mask/limb planes
+    (k1 = ceil(K / k2)); optimum near sqrt(r_act · K)."""
+    r_act = 1 + nlimbs
+    best, best_cost = K2, None
+    for cand in (32, 64, 128):
+        k1 = -(-num_buckets // cand)
+        cost = 2 * cand + 2 * r_act * k1
+        if best_cost is None or cost < best_cost:
+            best, best_cost = cand, cost
+    return best
+
+
 def _i32_to_f32(v):
     """Exact int→float for 0 <= v < 2^23 without a convert op
     (mosaic's i32→f32 rule recurses): OR the value into the mantissa of
@@ -68,7 +82,7 @@ def _i32_to_f32(v):
 
 
 def _agg_kernel(
-    gid_ref, lo_ref, *rest, k1, r_act, rows_pad, carry_every
+    gid_ref, lo_ref, *rest, k1, k2, k2_shift, r_act, rows_pad, carry_every
 ):
     # rest = (hi_ref?, out_ref, acc_lo, acc_hi); hi_ref only exists for
     # >32-bit values — narrow values skip the second word's HBM stream
@@ -90,10 +104,13 @@ def _agg_kernel(
     hi = hi_ref[0, :, :] if hi_ref is not None else None
     B = gid.shape[1]
 
-    # all k1 bucket-group masks in one full-sublane compare
-    ghi = gid >> 7
+    # all k1 bucket-group masks in one full-sublane compare. Masking
+    # stays int32 (Mosaic v5e has no int8 muli, and i1 masks from i32
+    # compares can't relayout to int8 select operands); the single
+    # astype on the concatenated tall converts to int8 for the MXU.
+    ghi = gid >> k2_shift
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (k1, B), 0)
-    gmask_all = jnp.where(ghi == iota_j, 1, 0)  # (k1, B)
+    gmask_all = jnp.where(ghi == iota_j, 1, 0)  # (k1, B) int32 0/1
 
     # planes, r-major: [count (k1 rows)] [limb0 (k1 rows)] [limb1 ...]
     nlimbs = r_act - 1
@@ -110,9 +127,9 @@ def _agg_kernel(
         )
     tall = tall.astype(jnp.int8)
 
-    # one-hot of the low 7 bits only: (128, B) int8 0/1
-    glo = gid & (K2 - 1)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K2, B), 0)
+    # one-hot of the low k2_shift bits only: (k2, B) int8 0/1
+    glo = gid & (k2 - 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k2, B), 0)
     onehot = jnp.where(glo == iota_k, 1, 0).astype(jnp.int8)
 
     acc_lo[:, :] += jax.lax.dot_general(
@@ -136,7 +153,7 @@ def _agg_kernel(
 
 
 def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
-                 interpret=None):
+                 interpret=None, k2=K2):
     nb = gid_blocks.shape[0]
     rows_pad = -(-(k1 * r_act) // 32) * 32
     inputs = [gid_blocks, lo_blocks]
@@ -148,6 +165,8 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
         functools.partial(
             _agg_kernel,
             k1=k1,
+            k2=k2,
+            k2_shift=k2.bit_length() - 1,
             r_act=r_act,
             rows_pad=rows_pad,
             carry_every=CARRY_EVERY_I32,
@@ -159,17 +178,17 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
             for _ in inputs
         ],
         out_specs=pl.BlockSpec(
-            (2, rows_pad, K2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (2, rows_pad, k2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((2, rows_pad, K2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((2, rows_pad, k2), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((rows_pad, K2), jnp.int32),
-            pltpu.VMEM((rows_pad, K2), jnp.int32),
+            pltpu.VMEM((rows_pad, k2), jnp.int32),
+            pltpu.VMEM((rows_pad, k2), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * block * rows_pad * K2,
+            flops=2 * nb * block * rows_pad * k2,
             bytes_accessed=nb * block * len(inputs) * 4
-            + 2 * rows_pad * K2 * 4,
+            + 2 * rows_pad * k2 * 4,
             transcendentals=0,
         ),
     )(*inputs)
@@ -177,7 +196,7 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_buckets", "block", "value_bits", "interpret"),
+    static_argnames=("num_buckets", "block", "value_bits", "interpret", "k2"),
 )
 def pallas_sum_count(
     mask: jax.Array,
@@ -187,12 +206,16 @@ def pallas_sum_count(
     block: int = DEFAULT_BLOCK,
     value_bits: int = 64,
     interpret: bool = None,
+    k2: int = None,
 ):
     """Fused filter + GROUP BY sum(values), count(*) for bounded keys
     (0 <= gid < num_buckets).
 
     value_bits: static bound on the value width (a column-statistics
     hint from the planner; 8..64). Fewer limb planes → less MXU work.
+    k2: one-hot width (power of two; default picked per num_buckets —
+    the (k2, B) one-hot build dominates VPU time, but smaller k2 grows
+    the k1 = K/k2 mask planes; the sweet spot balances them).
 
     Returns (counts u64[K], sums u64[K]); exact.
     """
@@ -201,6 +224,8 @@ def pallas_sum_count(
     pad = nb * block - n
 
     nlimbs = -(-max(1, min(value_bits, 64)) // 8)
+    if k2 is None:
+        k2 = _pick_k2(num_buckets, nlimbs)
 
     vals = values.astype(jnp.uint64)
     # bitcast u64 → (n, 2) u32 words: no emulated 64-bit shifts
@@ -217,7 +242,7 @@ def pallas_sum_count(
         hi_p = jnp.pad(hi, (0, pad)).reshape(nb, 1, block)
 
     r_act = 1 + nlimbs
-    k1 = -(-num_buckets // K2)
+    k1 = -(-num_buckets // k2)
 
     def _decode(out, k1c):
         # un-carry: plane = hi * 2^12 + lo (both int32, exact in int64)
@@ -225,12 +250,12 @@ def pallas_sum_count(
             out[1].astype(jnp.int64) * jnp.int64(4096)
             + out[0].astype(jnp.int64)
         )
-        acc = acc[: r_act * k1c].reshape(r_act, k1c, K2)
+        acc = acc[: r_act * k1c].reshape(r_act, k1c, k2)
         counts = acc[0].reshape(-1)
         # recombine in uint64 wraparound arithmetic (results are mod
         # 2^64; negative offset-encoded sums become two's complements)
         acc_u = acc.astype(jnp.uint64)
-        total = jnp.zeros((k1c * K2,), jnp.uint64)
+        total = jnp.zeros((k1c * k2,), jnp.uint64)
         offset = 0
         for i in range(nlimbs):
             total = total + (acc_u[1 + i].reshape(-1) << jnp.uint64(8 * i))
@@ -242,7 +267,8 @@ def pallas_sum_count(
     if k1 * r_act <= _MAX_ROWS:
         with jax.enable_x64(False):
             out = _call_kernel(
-                gid_p, lo_p, hi_p, k1, r_act, block, interpret=interpret
+                gid_p, lo_p, hi_p, k1, r_act, block, interpret=interpret,
+                k2=k2,
             )
         counts, total = _decode(out, k1)
         return counts[:num_buckets], total[:num_buckets]
@@ -257,10 +283,11 @@ def pallas_sum_count(
     total_parts = []
     for c0 in range(0, k1, k1_max):
         k1c = min(k1_max, k1 - c0)
-        gid_c = gid_p - jnp.int32(c0 * K2)
+        gid_c = gid_p - jnp.int32(c0 * k2)
         with jax.enable_x64(False):
             out = _call_kernel(
-                gid_c, lo_p, hi_p, k1c, r_act, block, interpret=interpret
+                gid_c, lo_p, hi_p, k1c, r_act, block, interpret=interpret,
+                k2=k2,
             )
         c_part, t_part = _decode(out, k1c)
         counts_parts.append(c_part)
