@@ -26,9 +26,12 @@ import jax.numpy as jnp
 
 from eventql_tpu.kernels.groupby import sortable_u64
 
-# the fingerprint-compare join kernel holds an (n_dims, B) match matrix
-# in VMEM; beyond this many dims the searchsorted path takes over
-MAX_COMPARE_DIMS = 2048
+# the fingerprint-compare join kernel compares each fact block against
+# ALL dims in 2048-dim VMEM chunks (O(D) per row); per-row cost grows
+# linearly with D, crossing the sort-merge join's throughput around 8K
+# dims (measured v5e — PERF.md), where that path takes over
+MAX_COMPARE_DIMS = 8192
+_COMPARE_CHUNK = 2048
 _JOIN_BLOCK = 4096
 
 
@@ -136,22 +139,28 @@ def _fingerprint(lo, hi):
     )
 
 
-def _join_kernel(flo_ref, fhi_ref, dfp_ref, planes_ref, gid_ref):
+def _join_kernel(flo_ref, fhi_ref, dfp_ref, planes_ref, gid_ref, *, chunk):
     flo = flo_ref[0, :, :]  # (1, B) i32
     fhi = fhi_ref[0, :, :]
-    dfp = dfp_ref[:, :]  # (D, 1) i32 dim fingerprints
-    planes = planes_ref[:, :]  # (P, D) int8, offset-encoded
     B = flo.shape[1]
+    D = dfp_ref.shape[0]
 
     h = _fingerprint(flo, fhi)  # (1, B)
-    eq = jnp.where(dfp == h, 1, 0).astype(jnp.int8)  # (D, B)
 
-    m = jax.lax.dot_general(
-        planes,
-        eq,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (P, B)
+    # chunk the (D, B) compare so the eq matrix stays VMEM-bounded for
+    # D > 2048; the payload matmul accumulates across chunks (a match
+    # hits exactly one chunk, the rest contribute zero)
+    m = None
+    for c0 in range(0, D, chunk):
+        dfp_c = dfp_ref[c0 : c0 + chunk, :]  # (chunk, 1) fingerprints
+        eq = jnp.where(dfp_c == h, 1, 0).astype(jnp.int8)  # (chunk, B)
+        part = jax.lax.dot_general(
+            planes_ref[:, c0 : c0 + chunk],  # (P, chunk) int8
+            eq,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (P, B)
+        m = part if m is None else m + part
 
     cnt = m[0:1, :]  # matches per row (0 or 1: dim fps unique)
     off = 128 * cnt  # un-offset the int8 encoding
@@ -238,7 +247,9 @@ def pallas_dim_join_gid(
         interpret = jax.default_backend() != "tpu"
     with jax.enable_x64(False):
         gid = pl.pallas_call(
-            _join_kernel,
+            functools.partial(
+                _join_kernel, chunk=min(D, _COMPARE_CHUNK)
+            ),
             interpret=interpret,
             grid=(nb,),
             in_specs=[

@@ -86,6 +86,33 @@ def test_fingerprint_join_gid():
     np.testing.assert_array_equal(gid, ref)
 
 
+def test_fingerprint_join_gid_chunked():
+    """D > 2048 runs the chunked compare (one VMEM chunk per 2048 dims,
+    payload matmul accumulated across chunks) — exact incl. misses and
+    matches in every chunk."""
+    import numpy as np
+
+    from eventql_tpu.kernels.join import (
+        dim_fingerprints_unique,
+        pallas_dim_join_gid,
+    )
+
+    rng = np.random.default_rng(29)
+    nd, n = 5003, 20000  # 3 chunks, last one ragged
+    dim_keys = rng.permutation(np.arange(nd, dtype=np.uint64) * 104729 + 11)
+    assert dim_fingerprints_unique(dim_keys)
+    dim_bucket = rng.integers(0, 512, nd).astype(np.int32)
+    fact = rng.integers(0, nd * 2, n).astype(np.uint64) * 104729 + 11
+    gid = np.asarray(
+        pallas_dim_join_gid(
+            jnp.asarray(fact), jnp.asarray(dim_keys), jnp.asarray(dim_bucket)
+        )
+    )
+    lut = {int(k): int(b) for k, b in zip(dim_keys, dim_bucket)}
+    ref = np.array([lut.get(int(k), -1) for k in fact], dtype=np.int32)
+    np.testing.assert_array_equal(gid, ref)
+
+
 def _numpy_join_agg(fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K):
     lut = {int(k): int(b) for k, b in zip(dim_keys, dim_bucket)}
     counts = np.zeros(K, np.uint64)
