@@ -327,8 +327,67 @@ def bench_scaling():
     )
 
 
+def bench_latency():
+    """Minimal SQL query latency — the reference's only published
+    number is a ~0.1 ms marketing claim (README.md:44-45, no method
+    given). Measures `select 1;` two ways: embedded (parse + plan +
+    execute in-process, the evqlbench analog) and over the native
+    binary protocol on loopback (handshake amortized, one QUERY frame
+    + result per round trip — the evqlslap analog). Reports the
+    loopback p50; vs_baseline compares against the 0.1 ms claim
+    (>1.0 = faster than the claim)."""
+    from eventql_tpu.db.table_service import TableService
+    from eventql_tpu.exec.runtime import Runtime
+    from eventql_tpu.server.native_tcp import (
+        NativeTCPClient,
+        NativeTCPServer,
+    )
+
+    reps = int(os.environ.get("BENCH_REPS", 300))
+
+    rt = Runtime()
+    txn = rt.new_transaction()
+    rt.build_query_plan(txn, "select 1;").execute(0)  # warm imports
+    emb = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rt.build_query_plan(txn, "select 1;").execute(0)
+        emb.append(time.perf_counter() - t0)
+    emb.sort()
+
+    srv = NativeTCPServer(TableService(), port=0).start()
+    try:
+        c = NativeTCPClient("127.0.0.1", srv.port)
+        c.query("select 1;")  # warm
+        net = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            c.query("select 1;")
+            net.append(time.perf_counter() - t0)
+        c.close()
+    finally:
+        srv.stop()
+    net.sort()
+
+    p50 = net[len(net) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "minimal_sql_query_latency_p50",
+                "value": round(p50 * 1e3, 4),
+                "unit": "ms",
+                "vs_baseline": round(0.1e-3 / p50, 4),
+                "embedded_p50_ms": round(emb[len(emb) // 2] * 1e3, 4),
+                "native_tcp_p99_ms": round(net[int(len(net) * 0.99)] * 1e3, 4),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
+    if cfg == "latency":
+        return bench_latency()
     if cfg == "topk":
         return bench_topk()
     if cfg == "join":

@@ -96,9 +96,24 @@ class QueryPlan:
         node = self.nodes[idx]
         if isinstance(node, qn.ExplainNode):
             raise RuntimeError_("EXPLAIN is not implemented yet")
-        rel = execute_node(node, self.txn)
+        rel = self._execute_traced(node)
         result_columns = node.get_result_columns()
         return ResultList.from_relation(result_columns, rel)
+
+    def _execute_traced(self, node):
+        # XLA/Pallas profiler hook (survey §5 — the reference has no
+        # profiler): EVENTQL_XLA_TRACE=<dir> captures a per-query
+        # device trace viewable in TensorBoard/Perfetto, alongside the
+        # host-side per-operator tracer (Transaction.trace)
+        import os as _os
+
+        trace_dir = _os.environ.get("EVENTQL_XLA_TRACE")
+        if trace_dir:
+            import jax
+
+            with jax.profiler.trace(trace_dir):
+                return execute_node(node, self.txn)
+        return execute_node(node, self.txn)
 
 
 class Runtime:

@@ -217,6 +217,9 @@ class NativeTCPServer:
     # -- connection loop ------------------------------------------------
     def _handle_connection(self, sock):
         sock.settimeout(self.IDLE_TIMEOUT)
+        # request-response protocol: Nagle + delayed ACK would stall
+        # any frame spanning two writes
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         # handshake: expect HELLO, answer READY
         opcode, flags, payload = _recv_frame(sock)
         if opcode != OP_HELLO:
@@ -632,6 +635,7 @@ class NativeTCPClient:
         auth_token: str = "", user: str = "", password: str = "",
     ):
         self.sock = socket.create_connection((host, port))
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         auth_pairs = []
         if auth_token:
             auth_pairs += ["auth_token", auth_token]

@@ -355,6 +355,39 @@ def test_natural_join_three_tables():
     ]
 
 
+def test_natural_join_subqueries():
+    # Runtime_test.cc:2084-2121 (TestNaturalJoin, aliased subquery case)
+    r = run(
+        "SELECT * FROM (SELECT * FROM departments) t1"
+        " NATURAL JOIN (SELECT deptid, start_time, end_time"
+        " FROM openinghours) t2"
+        " NATURAL JOIN (SELECT * FROM users) t3 ORDER BY name;",
+        _dept_provider(),
+    )
+    assert r.columns == [
+        "deptid",
+        "name",
+        "start_time",
+        "end_time",
+        "username",
+    ]
+    assert r.rows == [
+        ["1", "eng", "13:00", "22:00", "laura"],
+        ["1", "eng", "13:00", "22:00", "paul"],
+        ["2", "sales", "10:00", "19:00", "hans"],
+    ]
+
+
+def test_cross_join_limit_cursor():
+    # Runtime_test.cc:2200-2233 (TestResultCursor): ON-less JOIN is a
+    # cross join; the cursor pulls exactly LIMIT rows
+    r = run(
+        "SELECT * FROM departments JOIN users ORDER BY name LIMIT 5;",
+        _dept_provider(),
+    )
+    assert r.num_rows == 5
+
+
 def test_right_join():
     r = run(
         "SELECT orders.orderid, employees.firstname FROM orders"
