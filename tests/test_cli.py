@@ -122,3 +122,59 @@ def test_console_batch_and_file(tmp_path):
     assert r.returncode == 0, r.stderr
     lines = [l for l in outf.read_text().splitlines() if l]
     assert lines[-3:] == ["t\tv", "1\t10", "2\t32"]
+
+
+def test_evqlbench_local_sql():
+    """evqlbench local-sql smoke (reference: cli/benchmarks/local_sql.cc
+    — repeated embedded query, rows/s report)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "eventql_tpu.cli.evqlbench",
+            "local-sql",
+            "-n",
+            "2",
+            "--rows",
+            "10000",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "rows/s" in r.stdout or "rows/s" in r.stderr
+
+
+def test_evqlslap_query_mode(server_proc):
+    """evqlslap smoke (reference: evqlslap.cc — threaded load gen with
+    rolling RPS/latency stats against a live server)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "eventql_tpu.cli.evqlslap",
+            "-p",
+            "19175",
+            "-t",
+            "2",
+            "-d",
+            "1.5",
+            "-q",
+            "select 1;",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    out = r.stdout + r.stderr
+    assert "rps" in out.lower() or "requests" in out.lower(), out
