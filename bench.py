@@ -384,10 +384,97 @@ def bench_latency():
     )
 
 
+def bench_insert():
+    """Write-path throughput: batched inserts over the native binary
+    protocol into a durable LSM table (arena -> cstable v0.2 segment
+    flush), the evqlslap-insert / benchmark_insert.cc analog. The
+    reference publishes no insert numbers; vs_baseline compares
+    against the reference's partition design point of 2M rows
+    (partition_writer.cc:64-65) ingested in <=60 s (~33 Krows/s) —
+    the rate at which one partition fills within one compaction
+    interval."""
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
+
+    rows = int(os.environ.get("BENCH_ROWS", 200_000))
+    batch = int(os.environ.get("BENCH_BATCH", 2000))
+
+    from eventql_tpu.server.native_tcp import NativeTCPClient
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    datadir = tempfile.mkdtemp(prefix="evql_insert_bench")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "eventql_tpu.cli.evqld",
+            "--listen_http",
+            "127.0.0.1:19180",
+            "--datadir",
+            datadir,
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        env=env,
+        cwd=repo_root,
+    )
+    try:
+        deadline = time.time() + 30
+        c = None
+        while time.time() < deadline:
+            try:
+                c = NativeTCPClient("127.0.0.1", 19180)
+                break
+            except OSError:
+                time.sleep(0.2)
+        assert c is not None, "server did not come up"
+        c.query(
+            "CREATE TABLE ev (id uint64, ts uint64, v uint64,"
+            " PRIMARY KEY (id));"
+        )
+        rng = np.random.default_rng(7)
+        ids = rng.permutation(rows).astype(np.uint64)
+        t0 = time.perf_counter()
+        for off in range(0, rows, batch):
+            recs = [
+                json.dumps(
+                    {"id": int(i), "ts": int(i) * 1000, "v": int(i) % 997}
+                )
+                for i in ids[off : off + batch]
+            ]
+            c.insert_json("ev", recs)
+        elapsed = time.perf_counter() - t0
+        (cols, rws), = c.query("select count(1) from ev;")
+        assert rws[0][0] == str(rows), rws
+        c.close()
+    finally:
+        proc.terminate()
+        proc.wait()
+        shutil.rmtree(datadir, ignore_errors=True)
+
+    rows_per_sec = rows / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "insert_rows_per_sec_native_protocol",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / (2_000_000 / 60.0), 4),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
     if cfg == "latency":
         return bench_latency()
+    if cfg == "insert":
+        return bench_insert()
     if cfg == "topk":
         return bench_topk()
     if cfg == "join":
