@@ -75,6 +75,7 @@ class MemoryTable:
         self.objs: List[dict] = []
         self._relation_cache: Optional[Relation] = None
         self._reader_cache = None
+        self._insert_meta = None
 
     @property
     def has_repeated(self) -> bool:
@@ -110,6 +111,7 @@ class MemoryTable:
         self.column_defs.append(coldef)
         self._relation_cache = None
         self._reader_cache = None
+        self._insert_meta = None
 
     def drop_column(self, name: str):
         if name in self.primary_key:
@@ -121,6 +123,29 @@ class MemoryTable:
         self.column_defs = [d for d in self.column_defs if d.column_name != name]
         self._relation_cache = None
         self._reader_cache = None
+        self._insert_meta = None
+
+    def insert_meta(self):
+        """Schema lookups for the insert hot path, cached per schema
+        version: (flat schema dict, names under a REPEATED root,
+        proper prefixes of dotted columns = record names)."""
+        meta = getattr(self, "_insert_meta", None)
+        if meta is None:
+            schema = {c[0]: c[1] for c in self.columns}
+            rroots = _repeated_roots(self.column_defs)
+            prefixes = set()
+            for k in schema:
+                parts = k.split(".")
+                for i in range(1, len(parts)):
+                    prefixes.add(".".join(parts[:i]))
+            under_rep = {
+                n
+                for n in (set(schema) | prefixes | set(rroots))
+                if any(n == rr or n.startswith(rr + ".") for rr in rroots)
+            }
+            meta = (schema, under_rep, prefixes)
+            self._insert_meta = meta
+        return meta
 
     # -- reads ----------------------------------------------------------
     def get_reader(self):
@@ -239,7 +264,7 @@ class TableService(TableProvider):
             raise RuntimeError_(
                 "number of columns and values must match in INSERT"
             )
-        schema = {c[0]: c[1] for c in table.columns}
+        schema = table.insert_meta()[0]
         row = {}
         for cname, val in zip(columns, values):
             if cname not in schema:
@@ -258,27 +283,17 @@ class TableService(TableProvider):
         table = self.tables.get(table_name)
         if table is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
-        schema = {c[0]: c[1] for c in table.columns}
-        repeated_roots = _repeated_roots(table.column_defs)
-        record_prefixes = {
-            k.rsplit(".", 1)[0] for k in schema if "." in k
-        }
+        schema, under_rep, record_prefixes = table.insert_meta()
 
         def walk2(o, prefix=""):
             for k, v in o.items():
                 name = prefix + k
-                under_repeated = any(
-                    name == rr or name.startswith(rr + ".")
-                    for rr in repeated_roots
-                )
                 if name in schema:
-                    if under_repeated:
+                    if name in under_rep:
                         continue  # handled by the shredder
                     flat[name] = v
-                elif name in record_prefixes or any(
-                    c.startswith(name + ".") for c in schema
-                ):
-                    if under_repeated:
+                elif name in record_prefixes:
+                    if name in under_rep:
                         continue
                     if not isinstance(v, dict):
                         raise RuntimeError_(
