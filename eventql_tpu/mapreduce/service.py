@@ -37,6 +37,36 @@ from eventql_tpu.core.types import SType, SValue
 DEFAULT_MAX_CONCURRENT_TASKS = 64
 
 
+def _is_js_source(source: str) -> bool:
+    s = source.lstrip()
+    return s.startswith("function") and "{" in s
+
+
+def _compile_task_fn(spec: dict, key: str, kind: str):
+    """Compile a task's user function. JavaScript sources (the
+    reference's UDF language — SpiderMonkey in
+    mapreduce/runtime/javascript/) run on the in-repo ES5 interpreter
+    with the task's shipped globals/params closure; Python sources run
+    natively."""
+    source = spec[key]
+    if spec.get("lang") == "js" or _is_js_source(source):
+        from eventql_tpu.mapreduce.js_runtime import (
+            js_map_adapter,
+            js_reduce_adapter,
+        )
+
+        adapter = js_map_adapter if kind == "map" else js_reduce_adapter
+        return adapter(source, spec.get("globals", ""), _params_json(spec))
+    return _compile_fn(source, kind)
+
+
+def _params_json(spec: dict) -> str:
+    p = spec.get("params", "")
+    if isinstance(p, str):
+        return p
+    return json.dumps(p) if p else ""
+
+
 def _compile_fn(source: str, name_hint: str):
     """Compile a user function from source: either a bare lambda
     expression or a module defining one or more functions (the last
@@ -120,9 +150,13 @@ class MapReduceService:
         op = spec.get("op")
 
         if op == "map_table":
-            table = spec["table"]
-            map_fn = _compile_fn(spec["map_fn"], "map")
-            shards = self._table_shards(table)
+            table = spec.get("table") or spec["table_name"]
+            map_fn = _compile_task_fn(spec, "map_fn", "map")
+            shards = self._table_shards(
+                table,
+                spec.get("keyrange_begin"),
+                spec.get("keyrange_limit"),
+            )
             # bounded shard concurrency
             # (reference: mapreduce_scheduler.cc:49-115)
             with concurrent.futures.ThreadPoolExecutor(
@@ -133,7 +167,7 @@ class MapReduceService:
                 )
             out = [p for part in parts for p in part]
         elif op == "reduce":
-            reduce_fn = _compile_fn(spec["reduce_fn"], "reduce")
+            reduce_fn = _compile_task_fn(spec, "reduce_fn", "reduce")
             pairs: List[Tuple[str, str]] = []
             for src in spec.get("sources", []):
                 pairs.extend(self._run_job(src, jobs, cache))
@@ -162,11 +196,27 @@ class MapReduceService:
             out = []
             for src in spec.get("sources", []):
                 out.extend(self._run_job(src, jobs, cache))
+            serialize_src = spec.get("serialize_fn") or ""
+            if serialize_src:
+                # reference: callSerializeFunction(key, value) per tuple
+                # (javascript_context.cc:439+)
+                from eventql_tpu.mapreduce.js_runtime import TaskContext
+
+                ser = TaskContext(
+                    serialize_src, spec.get("globals", ""),
+                    _params_json(spec))
+                # serialized results are raw output strings (empty ones
+                # dropped, return_results.cc:102-108); key "" marks raw
+                out = [
+                    ("", s)
+                    for s in (ser.call_serialize(k, v) for k, v in out)
+                    if s
+                ]
         elif op == "save_to_table":
             out = []
             for src in spec.get("sources", []):
                 out.extend(self._run_job(src, jobs, cache))
-            self._save_to_table(spec["table"], out)
+            self._save_to_table(spec.get("table") or spec["table_name"], out)
         else:
             raise RuntimeError_(f"unknown mapreduce op: '{op}'")
 
@@ -195,11 +245,47 @@ class MapReduceService:
         r = SSTableReader(path)
         return [(k.decode(), v.decode()) for k, v in r.cursor()]
 
+    # -- JS job programs ---------------------------------------------------
+    def execute_script(self, program: str):
+        """Run a JavaScript MapReduce job program (the reference's
+        MapReduceService::executeScript path: the script declares tasks
+        through the EVQL/Z1 api and triggers them via evql_executemr;
+        results stream back to the caller)."""
+        from eventql_tpu.mapreduce.js_runtime import (
+            JobContext,
+            normalize_task_spec,
+        )
+
+        results: List[Tuple[str, str]] = []
+        logs: List[str] = []
+
+        def execute_tasks(task_list, root_id):
+            jobs = {
+                t["id"]: normalize_task_spec(t) for t in task_list
+            }
+            cache: Dict[str, List[Tuple[str, str]]] = {}
+            results.extend(self._run_job(root_id, jobs, cache))
+
+        ctx = JobContext(
+            execute_tasks=execute_tasks,
+            write_output=lambda s: results.append(("", s)),
+            log_fn=logs.append,
+        )
+        ctx.run(program)
+        return results, logs
+
     # -- helpers --------------------------------------------------------
-    def _table_shards(self, table_name: str):
+    def _table_shards(self, table_name: str, keyrange_begin=None,
+                      keyrange_limit=None):
         shards_fn = getattr(self.table_service, "shards", None)
         if shards_fn is not None:
             try:
+                if keyrange_begin is not None or keyrange_limit is not None:
+                    try:
+                        return shards_fn(
+                            table_name, keyrange_begin, keyrange_limit)
+                    except TypeError:
+                        pass
                 return shards_fn(table_name)
             except Exception:
                 pass

@@ -90,6 +90,7 @@ class EventQLServer:
             def do_POST(self):
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
+                self.raw_body = body
                 try:
                     payload = json.loads(body) if body else {}
                 except json.JSONDecodeError:
@@ -114,7 +115,13 @@ class EventQLServer:
     def handle_socket(self, conn, addr):
         """Serve one already-accepted connection (used by the unified
         protocol-sniffing Listener, server/listener.py)."""
-        self._httpd.RequestHandlerClass(conn, addr, self._httpd)
+        try:
+            self._httpd.RequestHandlerClass(conn, addr, self._httpd)
+        finally:
+            # we bypass socketserver's process_request, so its
+            # shutdown_request never runs; close the socket here or the
+            # client never sees EOF (and the fd leaks)
+            self._httpd.shutdown_request(conn)
 
     def stop(self):
         if self._httpd:
@@ -303,21 +310,60 @@ class EventQLServer:
 
     def _handle_mapreduce(self, h, payload):
         # reference: transport/http/mapreduce_servlet.cc — job submit,
-        # results streamed back (SSE there; JSON here + SSE via format)
+        # results streamed back. Two body shapes: a JSON task spec
+        # (our driver API) → JSON response, or a JavaScript job program
+        # (the reference's executeMapReduceScript, :340-460) → SSE
+        # stream with job_started/result/log/job_finished events.
         from eventql_tpu.mapreduce.service import MapReduceService
 
         mr = MapReduceService(self.table_service)
-        outputs = mr.execute(payload)
-        self._json(
-            h,
-            200,
-            {
-                "results": [
-                    [{"key": k, "value": v} for k, v in out]
-                    for out in outputs
-                ]
-            },
-        )
+        if isinstance(payload, dict) and payload.get("jobs"):
+            outputs = mr.execute(payload)
+            return self._json(
+                h,
+                200,
+                {
+                    "results": [
+                        [{"key": k, "value": v} for k, v in out]
+                        for out in outputs
+                    ]
+                },
+            )
+
+        program = getattr(h, "raw_body", b"").decode("utf-8", "replace")
+        if not program.strip():
+            return self._json(h, 400, {"error": "empty mapreduce program"})
+
+        from urllib.parse import quote
+
+        h.send_response(200)
+        h.send_header("Content-Type", "text/event-stream")
+        h.send_header("Cache-Control", "no-cache")
+        h.end_headers()
+
+        def sse(event: str, data: str):
+            h.wfile.write(f"event: {event}\ndata: {data}\n\n".encode())
+            h.wfile.flush()  # stream events as they happen
+
+        sse("job_started", "{}")
+        try:
+            results, logs = mr.execute_script(program)
+        except Exception as e:
+            sse("error", quote(str(e)))
+            return
+        for line in logs:
+            sse("log", quote(line))
+        for k, v in results:
+            if k == "":
+                # raw output (serialize_fn / writeToOutput)
+                sse("result", quote(v))
+            else:
+                sse("result",
+                    quote(json.dumps({"key": k, "value": v})))
+        sse("job_finished",
+            json.dumps({"status": "success",
+                        "num_tasks_total": len(results),
+                        "num_tasks_completed": len(results)}))
 
     def _tables_provider(self):
         """Table-management target: in a cluster the provider routes DDL

@@ -173,3 +173,56 @@ def reduce_fn(key, values):
     out = evql.download_results([r])
     got = dict(out[0])
     assert got == {"x": "3", "y": "5"}
+
+
+def test_mapreduce_js_program_sse(server):
+    """POSTing a JavaScript job program to /api/v1/mapreduce/execute
+    streams SSE events (reference: mapreduce_servlet.cc:340-460 —
+    job_started / result / log / job_finished; results url-encoded)."""
+    from urllib.parse import unquote
+
+    _req(server, "/api/v1/tables/create", {
+        "table": "mrjs", "schema": {"columns": [
+            {"name": "k", "type": "STRING"}, {"name": "v", "type": "UINT64"}]},
+    })
+    _req(server, "/api/v1/tables/insert", [
+        {"table": "mrjs", "data": {"k": "x", "v": 1}},
+        {"table": "mrjs", "data": {"k": "x", "v": 2}},
+        {"table": "mrjs", "data": {"k": "y", "v": 5}},
+    ])
+    program = """
+    EVQL.log("mapping mrjs");
+    var m = EVQL.mapTable({
+      table: "mrjs",
+      map_fn: function(row) { return [[row.k, parseInt(row.v, 10)]]; },
+    });
+    var r = EVQL.reduce({
+      sources: [m], shards: 1,
+      reduce_fn: function(key, values) {
+        var s = 0;
+        while (values.hasNext()) { s += parseInt(values.next(), 10); }
+        return [[key, s]];
+      },
+    });
+    EVQL.downloadResults([r]);
+    """
+    url = f"http://127.0.0.1:{server.port}/api/v1/mapreduce/execute"
+    req = urllib.request.Request(url, data=program.encode())
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        body = resp.read().decode()
+
+    events = []
+    cur_event = None
+    for line in body.split("\n"):
+        if line.startswith("event: "):
+            cur_event = line[len("event: "):]
+        elif line.startswith("data: "):
+            events.append((cur_event, line[len("data: "):]))
+    kinds = [e for e, _ in events]
+    assert kinds[0] == "job_started"
+    assert kinds[-1] == "job_finished"
+    assert ("log", "mapping%20mrjs") in events
+    results = [json.loads(unquote(d)) for e, d in events if e == "result"]
+    got = {r["key"]: json.loads(r["value"]) for r in results}
+    assert got == {"x": 3, "y": 5}

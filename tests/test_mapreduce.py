@@ -171,3 +171,146 @@ def test_evql_driver_save_to_table(svc):
     evql.save_to_table("evql_api_out", [r])
     rel = svc.get_table_data("evql_api_out")
     assert rel.num_rows == 3
+
+
+JS_PROGRAM = """
+var scale = 1;
+EVQL.broadcast("scale");  // non-function globals need explicit broadcast
+
+function count_map(row) {
+  return [[row.user, parseInt(row.value, 10) * scale]];
+}
+
+var mapped = EVQL.mapTable({
+  table: "events",
+  map_fn: count_map,
+});
+
+var reduced = EVQL.reduce({
+  sources: [mapped],
+  shards: 2,
+  reduce_fn: function(key, values) {
+    var sum = 0;
+    while (values.hasNext()) {
+      sum += parseInt(values.next(), 10);
+    }
+    return [[key, sum]];
+  },
+});
+
+EVQL.downloadResults([reduced]);
+"""
+
+
+def test_js_program_end_to_end(svc):
+    """A reference-shaped JavaScript job program runs unmodified
+    (reference: MapReduceService::executeScript + prelude.js API)."""
+    mr = MapReduceService(svc)
+    results, logs = mr.execute_script(JS_PROGRAM)
+    got = {k: int(v) for k, v in results}
+    assert got == {"a": 10, "b": 7, "c": 4}
+
+
+def test_js_program_broadcast_globals(svc):
+    """Global functions/vars auto-broadcast into worker contexts
+    (prelude.js autoBroadcast + EVQL.broadcast)."""
+    mr = MapReduceService(svc)
+    program = """
+    var factor = 100;
+    EVQL.broadcast("factor");
+    function weight(v) { return v * factor; }
+    var m = EVQL.mapTable({
+      table: "events",
+      map_fn: function(row) {
+        return [[row.user, weight(parseInt(row.value, 10))]];
+      },
+    });
+    EVQL.downloadResults([m]);
+    """
+    results, _ = mr.execute_script(program)
+    got = {}
+    for k, v in results:
+        got[k] = got.get(k, 0) + int(v)
+    assert got == {"a": 1000, "b": 700, "c": 400}
+
+
+def test_js_program_serialize_fn(svc):
+    """downloadResults(sources, serialize_fn) post-processes tuples
+    (return_results.cc:83-108: non-empty results only, raw strings)."""
+    mr = MapReduceService(svc)
+    program = """
+    var m = EVQL.mapTable({
+      table: "events",
+      map_fn: function(row) { return [[row.user, 1]]; },
+    });
+    EVQL.downloadResults([m], function(key, value) {
+      if (key == "c") return "";
+      return key + "=" + value;
+    });
+    """
+    results, _ = mr.execute_script(program)
+    assert all(k == "" for k, _ in results)
+    vals = sorted(v for _, v in results)
+    assert vals == ["a=1", "a=1", "a=1", "b=1", "b=1"]
+
+
+def test_js_program_join(svc):
+    """EVQL.join with a post-map fn (prelude join semantics: values
+    JSON-merged per key, then map_fn applied via params)."""
+    mr = MapReduceService(svc)
+    program = """
+    var m1 = EVQL.mapTable({
+      table: "events",
+      map_fn: function(row) {
+        return [[row.user, {v: parseInt(row.value, 10)}]];
+      },
+    });
+    var m2 = EVQL.mapTable({
+      table: "events",
+      map_fn: function(row) {
+        return [[row.user, {u: row.user}]];
+      },
+    });
+    var j = EVQL.join({
+      sources: [m1, m2],
+      shards: 1,
+      map_fn: function(joined) {
+        return [[joined.u, joined.v]];
+      },
+    });
+    EVQL.downloadResults([j]);
+    """
+    results, _ = mr.execute_script(program)
+    got = dict(results)
+    assert set(got) == {"a", "b", "c"}
+
+
+def test_js_program_save_to_table(svc):
+    mr = MapReduceService(svc)
+    program = """
+    var m = EVQL.mapTable({
+      table: "events",
+      map_fn: function(row) { return [[row.user, row.value]]; },
+    });
+    EVQL.saveToTable({table: "js_mr_out", sources: [m]});
+    """
+    mr.execute_script(program)
+    rel = svc.get_table_data("js_mr_out")
+    assert rel.num_rows > 0
+
+
+def test_js_program_logging(svc):
+    mr = MapReduceService(svc)
+    program = """
+    EVQL.log("starting", 42);
+    console.log("via console");
+    var m = EVQL.mapTable({
+      table: "events",
+      map_fn: function(row) { return []; },
+    });
+    EVQL.downloadResults([m]);
+    """
+    results, logs = mr.execute_script(program)
+    assert results == []
+    assert "starting, 42" in logs
+    assert "via console" in logs
