@@ -27,7 +27,19 @@ def main(argv=None):
     )
     ap.add_argument("--standalone", action="store_true", default=True)
     ap.add_argument("--datadir", default=None, help="persist tables to this directory")
-    ap.add_argument("--config_dir", default=None, help="cluster registry file")
+    ap.add_argument(
+        "--config_dir",
+        default=None,
+        help="cluster registry: a file path (standalone backend) or "
+        "zk://host:port/cluster (ZooKeeper backend)",
+    )
+    ap.add_argument(
+        "--zookeeper_addr",
+        default=None,
+        help="host:port[/cluster] of the coordination service "
+        "(shorthand for --config_dir zk://...; reference config key "
+        "cluster.zookeeper_hosts)",
+    )
     ap.add_argument("--server_name", default=None, help="this node's cluster id")
     ap.add_argument(
         "--statsd_addr", default=None, help="push stats to this statsd host:port"
@@ -44,6 +56,12 @@ def main(argv=None):
         help="auto-split partitions above this many local rows",
     )
     args = ap.parse_args(argv)
+
+    if args.zookeeper_addr and not args.config_dir:
+        zk = args.zookeeper_addr
+        if "/" not in zk:
+            zk += "/default"
+        args.config_dir = f"zk://{zk}"
 
     host, _, port = args.listen_http.partition(":")
     host = host or "127.0.0.1"

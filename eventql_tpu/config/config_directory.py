@@ -45,7 +45,22 @@ class ConfigDirectory:
         {"cluster": {"name": ..., "created": ...},
          "servers": {server_id: {...ServerConfig...}},
          "namespaces": {db_name: {"tables": {table: {...props...}}}}}
+
+    Constructing with a ``zk://host:port/cluster`` path returns the
+    ZooKeeper backend instead (reference:
+    config/config_directory.cc:34-68 picks the backend from
+    cluster.coordinator; zookeeper vs standalone).
     """
+
+    def __new__(cls, path: str):
+        if cls is ConfigDirectory and isinstance(path, str) \
+                and path.startswith("zk://"):
+            from eventql_tpu.config.config_directory_zookeeper import (
+                ZookeeperConfigDirectory,
+            )
+
+            return ZookeeperConfigDirectory(path)
+        return super().__new__(cls)
 
     def __init__(self, path: str):
         self.path = path

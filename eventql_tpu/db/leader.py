@@ -29,15 +29,24 @@ class Leader:
         self.server_name = server_name
         self.rebalance_interval = rebalance_interval
         self._lockf = None
+        self._zk_leader = False
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     @property
     def is_leader(self) -> bool:
-        return self._lockf is not None
+        return self._lockf is not None or self._zk_leader
 
     def try_acquire(self) -> bool:
         """Non-blocking leadership attempt (idempotent)."""
+        if self.config_dir_path.startswith("zk://"):
+            # ZooKeeper backend: create-race on the ephemeral /leader
+            # node (reference: config_directory_zookeeper.cc:991-1012)
+            from eventql_tpu.config.config_directory import ConfigDirectory
+
+            self._zk_leader = ConfigDirectory(
+                self.config_dir_path).try_acquire_leader(self.server_name)
+            return self._zk_leader
         if self._lockf is not None:
             return True
         path = self.config_dir_path + ".leader"
@@ -54,6 +63,16 @@ class Leader:
         return True
 
     def release(self):
+        if self.config_dir_path.startswith("zk://"):
+            from eventql_tpu.config.config_directory import ConfigDirectory
+
+            if self._zk_leader:
+                self._zk_leader = False
+                try:
+                    ConfigDirectory(self.config_dir_path).release_leader()
+                except Exception:
+                    pass
+            return
         if self._lockf is not None:
             fcntl.flock(self._lockf, fcntl.LOCK_UN)
             self._lockf.close()
