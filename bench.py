@@ -469,10 +469,57 @@ def bench_insert():
     )
 
 
+def bench_groupby_count():
+    """count(*)-only GROUP BY: the no-value-planes fast path (drops the
+    value HBM stream and all limb planes; 1.5x sum+count measured
+    apples-to-apples — scripts/probe_count_only.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    from eventql_tpu.kernels.pallas_groupby import pallas_count
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 8))
+
+    rng = np.random.default_rng(42)
+    gid = jnp.asarray(rng.integers(0, n_keys, n).astype(np.int32))
+    values = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+    threshold = jnp.uint64(800)
+
+    @jax.jit
+    def pipeline_many(gid, values, threshold):
+        def body(i, acc):
+            mask = values + i.astype(jnp.uint64) < threshold
+            counts = pallas_count(mask, gid, n_keys)
+            return acc + counts.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    per_run = _timeit(pipeline_many, gid, values, threshold, reps=reps)
+    rows_per_sec = n / per_run
+    # minimum movement: gid u32 + value u64 (the filter input) ≈ 12 B/row
+    sol = _hbm_bandwidth_bytes() / 12.0
+    print(
+        json.dumps(
+            {
+                "metric": "groupby_count_only_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
     if cfg == "latency":
         return bench_latency()
+    if cfg == "groupby_count":
+        return bench_groupby_count()
     if cfg == "insert":
         return bench_insert()
     if cfg == "topk":

@@ -82,15 +82,16 @@ def _i32_to_f32(v):
 
 
 def _agg_kernel(
-    gid_ref, lo_ref, *rest, k1, k2, k2_shift, r_act, rows_pad, carry_every
+    gid_ref, *rest, k1, k2, k2_shift, r_act, rows_pad, carry_every
 ):
-    # rest = (hi_ref?, out_ref, acc_lo, acc_hi); hi_ref only exists for
-    # >32-bit values — narrow values skip the second word's HBM stream
-    if len(rest) == 4:
-        hi_ref, out_ref, acc_lo, acc_hi = rest
-    else:
-        hi_ref = None
-        out_ref, acc_lo, acc_hi = rest
+    # rest = (lo_ref?, hi_ref?, out_ref, acc_lo, acc_hi): lo_ref only
+    # exists when values are aggregated (count-only queries skip the
+    # value stream entirely), hi_ref only for >32-bit values
+    refs = list(rest)
+    nlimbs = r_act - 1
+    lo_ref = refs.pop(0) if nlimbs > 0 else None
+    hi_ref = refs.pop(0) if nlimbs > 4 else None
+    out_ref, acc_lo, acc_hi = refs
     i = pl.program_id(0)
     nb = pl.num_programs(0)
 
@@ -100,7 +101,7 @@ def _agg_kernel(
         acc_hi[:, :] = jnp.zeros_like(acc_hi)
 
     gid = gid_ref[0, :, :]  # (1, B) int32, -1 = filtered out
-    lo = lo_ref[0, :, :]  # (1, B) int32 (low u32 word)
+    lo = lo_ref[0, :, :] if lo_ref is not None else None
     hi = hi_ref[0, :, :] if hi_ref is not None else None
     B = gid.shape[1]
 
@@ -113,7 +114,6 @@ def _agg_kernel(
     gmask_all = jnp.where(ghi == iota_j, 1, 0)  # (k1, B) int32 0/1
 
     # planes, r-major: [count (k1 rows)] [limb0 (k1 rows)] [limb1 ...]
-    nlimbs = r_act - 1
     planes = [gmask_all]
     for j in range(nlimbs):
         word = lo if j < 4 else hi
@@ -156,7 +156,9 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
                  interpret=None, k2=K2):
     nb = gid_blocks.shape[0]
     rows_pad = -(-(k1 * r_act) // 32) * 32
-    inputs = [gid_blocks, lo_blocks]
+    inputs = [gid_blocks]
+    if lo_blocks is not None:
+        inputs.append(lo_blocks)
     if hi_blocks is not None:
         inputs.append(hi_blocks)
     if interpret is None:
@@ -299,6 +301,63 @@ def pallas_sum_count(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("num_buckets", "block", "interpret", "k2"),
+)
+def pallas_count(
+    mask: jax.Array,
+    gid: jax.Array,
+    num_buckets: int,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = None,
+    k2: int = None,
+):
+    """Fused filter + GROUP BY count(*) — the count-only fast path:
+    no value limbs means the tall operand is just the (k1, B) mask
+    planes (r_act = 1) and the value words never stream from HBM.
+
+    Returns counts u64[K]; exact."""
+    n = gid.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if k2 is None:
+        k2 = _pick_k2(num_buckets, 0)
+
+    gidm = jnp.where(mask, gid.astype(jnp.int32), -1)
+    gid_p = jnp.pad(gidm, (0, pad), constant_values=-1).reshape(nb, 1, block)
+
+    r_act = 1
+    k1 = -(-num_buckets // k2)
+
+    def _decode(out, k1c):
+        acc = (
+            out[1].astype(jnp.int64) * jnp.int64(4096)
+            + out[0].astype(jnp.int64)
+        )
+        return acc[:k1c].reshape(-1).astype(jnp.uint64)
+
+    if k1 <= _MAX_ROWS:
+        with jax.enable_x64(False):
+            out = _call_kernel(
+                gid_p, None, None, k1, r_act, block, interpret=interpret,
+                k2=k2,
+            )
+        return _decode(out, k1)[:num_buckets]
+
+    parts = []
+    for c0 in range(0, k1, _MAX_ROWS):
+        k1c = min(_MAX_ROWS, k1 - c0)
+        gid_c = gid_p - jnp.int32(c0 * k2)
+        with jax.enable_x64(False):
+            out = _call_kernel(
+                gid_c, None, None, k1c, r_act, block, interpret=interpret,
+                k2=k2,
+            )
+        parts.append(_decode(out, k1c))
+    return jnp.concatenate(parts)[:num_buckets]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("num_buckets", "block", "agg_kinds", "value_bits"),
 )
 def pallas_grouped_aggregate(
@@ -319,7 +378,9 @@ def pallas_grouped_aggregate(
             if kind == "sum":
                 sum_vals = vals
         if sum_vals is None:
-            sum_vals = jnp.zeros_like(gid, dtype=jnp.uint64)
+            # count-only: skip the value planes and the value stream
+            counts = pallas_count(mask, gid, num_buckets, block)
+            return counts, tuple(counts for _ in agg_kinds)
         counts, sums = pallas_sum_count(
             mask, gid, sum_vals, num_buckets, block, value_bits=value_bits
         )

@@ -181,3 +181,54 @@ def test_pallas_sum_count_large_cardinality_multipass():
             exp_sums[g] += v
     assert list(counts) == list(exp_counts)
     assert list(sums) == list(exp_sums)
+
+
+def test_pallas_count_only():
+    """count(*)-only fast path (no value planes, no value stream)."""
+    import numpy as np
+    from eventql_tpu.kernels.pallas_groupby import pallas_count
+
+    rng = np.random.default_rng(11)
+    n, K = 50000, 1024
+    gid = rng.integers(0, K, n).astype(np.int32)
+    mask = rng.random(n) < 0.6
+
+    counts = np.asarray(
+        pallas_count(jnp.asarray(mask), jnp.asarray(gid), K)
+    )
+    exp = np.zeros(K, np.uint64)
+    for g, m in zip(gid, mask):
+        if m:
+            exp[g] += 1
+    assert list(counts) == list(exp)
+
+
+def test_pallas_count_only_multipass():
+    import numpy as np
+    from eventql_tpu.kernels.pallas_groupby import pallas_count
+
+    rng = np.random.default_rng(12)
+    n, K = 40000, 40000  # k1 > _MAX_ROWS at k2=32 → chunked passes
+    gid = rng.integers(0, K, n).astype(np.int32)
+    mask = np.ones(n, bool)
+    counts = np.asarray(
+        pallas_count(jnp.asarray(mask), jnp.asarray(gid), K)
+    )
+    exp = np.bincount(gid, minlength=K).astype(np.uint64)
+    assert (counts == exp).all()
+
+
+def test_grouped_aggregate_count_only_routes_fast_path():
+    import numpy as np
+    from eventql_tpu.kernels.pallas_groupby import pallas_grouped_aggregate
+
+    rng = np.random.default_rng(13)
+    n, K = 30000, 256
+    gid = rng.integers(0, K, n).astype(np.int32)
+    mask = rng.random(n) < 0.5
+    counts, outs = pallas_grouped_aggregate(
+        jnp.asarray(mask), jnp.asarray(gid), (), ("count",), K
+    )
+    exp = np.bincount(gid[mask], minlength=K).astype(np.uint64)
+    assert (np.asarray(counts) == exp).all()
+    assert (np.asarray(outs[0]) == exp).all()
