@@ -12,6 +12,7 @@ fan-out provider, so several evqld processes form a query cluster
 from __future__ import annotations
 
 import argparse
+import os
 import signal
 import sys
 import time
@@ -121,12 +122,17 @@ def main(argv=None):
         meta_dir = args.datadir or tempfile.mkdtemp(prefix="evql_meta_")
         metadata_service = MetadataService(MetadataStore(meta_dir))
 
+    mr_cachedir = None
+    if args.datadir:
+        mr_cachedir = os.path.join(args.datadir, "cache")
+
     server = EventQLServer(
         table_service=table_service,
         host=host,
         port=port,
         query_provider_factory=query_provider_factory,
         client_auth=client_auth,
+        mr_cachedir=mr_cachedir,
     )
     # the primary port sniffs the first byte and serves BOTH protocols
     # (reference: server/listener.cc); a native-only port also listens
@@ -161,7 +167,7 @@ def main(argv=None):
         cdir.update_server_config(
             ServerConfig(
                 server_id=args.server_name,
-                server_addr=f"{nhost}:{native.port}",
+                server_addr=f"{host}:{listener.port}",
                 server_status=SERVER_UP,
             )
         )
@@ -189,7 +195,7 @@ def main(argv=None):
             server.table_service,
             args.config_dir,
             args.server_name,
-            f"{nhost}:{native.port}",
+            f"{host}:{listener.port}",
             datadir=args.datadir,
         ).start()
 
@@ -218,7 +224,7 @@ def main(argv=None):
         cdir.update_server_config(
             ServerConfig(
                 server_id=args.server_name,
-                server_addr=f"{nhost}:{native.port}",
+                server_addr=f"{host}:{listener.port}",
                 server_status=SERVER_DOWN,
             )
         )

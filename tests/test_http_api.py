@@ -226,3 +226,29 @@ def test_mapreduce_js_program_sse(server):
     results = [json.loads(unquote(d)) for e, d in events if e == "result"]
     got = {r["key"]: json.loads(r["value"]) for r in results}
     assert got == {"x": 3, "y": 5}
+
+
+def test_add_and_remove_field(server):
+    """POST /api/v1/tables/add_field + remove_field
+    (reference: api_servlet.cc:513-660)."""
+    _req(server, "/api/v1/tables/create", {
+        "table": "alt", "schema": {"columns": [
+            {"name": "k", "type": "STRING"}]},
+    })
+    status, _ = _req(server, "/api/v1/tables/add_field", {
+        "table": "alt", "field_name": "extra", "field_type": "UINT64"})
+    assert status == 201
+    status, out = _req(server, "/api/v1/tables/describe?table=alt", {})
+    cols = [c["column_name"] for c in out["table"]["columns"]]
+    assert "extra" in cols
+
+    status, _ = _req(server, "/api/v1/tables/remove_field", {
+        "table": "alt", "field_name": "extra"})
+    assert status == 201
+    status, out = _req(server, "/api/v1/tables/describe?table=alt", {})
+    cols = [c["column_name"] for c in out["table"]["columns"]]
+    assert "extra" not in cols
+
+    status, out = _req(server, "/api/v1/tables/add_field", {
+        "table": "alt", "field_name": "x"})
+    assert status == 500 and "field_type" in out["error"]
