@@ -514,12 +514,65 @@ def bench_groupby_count():
     )
 
 
+def bench_groupby_vs_reference():
+    """Race the TPU hash-aggregate against a faithful C++
+    re-implementation of the reference's GroupBy inner loop (per-row
+    SHA1 group key + hash-map accumulate — the reference's own design,
+    groupby.cc:69-219) on the same data shape. vs_baseline here is the
+    ratio TPU rows/s : reference-analog rows/s — the direct
+    beats-the-reference number (the reference publishes no figures of
+    its own, BASELINE.md)."""
+    import subprocess
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+
+    binary = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "native", "build", "ref_groupby_bench",
+    )
+    if not os.path.exists(binary):
+        subprocess.run(
+            ["make", "-C", os.path.join(os.path.dirname(binary), ".."),
+             "build/ref_groupby_bench"],
+            check=True, capture_output=True,
+        )
+    ref = json.loads(
+        subprocess.run(
+            [binary, str(n), str(n_keys), "3"],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    )
+    ref_rows_per_sec = ref["rows_per_sec"]
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench_groupby()
+    tpu = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    print(
+        json.dumps(
+            {
+                "metric": "groupby_speedup_vs_reference_engine",
+                "value": round(tpu["value"] / ref_rows_per_sec, 1),
+                "unit": "x (1 TPU chip vs 1 reference-model core)",
+                "vs_baseline": round(tpu["value"] / ref_rows_per_sec, 1),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
     if cfg == "latency":
         return bench_latency()
     if cfg == "groupby_count":
         return bench_groupby_count()
+    if cfg == "groupby_vs_reference":
+        return bench_groupby_vs_reference()
     if cfg == "insert":
         return bench_insert()
     if cfg == "topk":
@@ -532,7 +585,10 @@ def main():
         return bench_join_bigdim()
     if cfg == "scaling":
         return bench_scaling()
+    return bench_groupby()
 
+
+def bench_groupby():
     import jax
     import jax.numpy as jnp
 

@@ -178,6 +178,121 @@ def _interp(mesh: Mesh) -> bool:
     return mesh.devices.flat[0].platform != "tpu"
 
 
+def _probe_gid(fk_l, dk, db, probe: str, interp: bool):
+    """Per fact row: joined dim's bucket id or -1 (one dim chunk)."""
+    from eventql_tpu.kernels.join import build_side, pallas_dim_join_gid
+
+    if probe == "compare":
+        return pallas_dim_join_gid(fk_l, dk, db, interpret=interp)
+    from eventql_tpu.kernels.groupby import sortable_u64
+
+    nd = dk.shape[0]
+    sdk, dperm = build_side(dk)
+    db_sorted = db.astype(jnp.int32)[dperm]
+    pk = sortable_u64(fk_l)
+    pos = jnp.clip(jnp.searchsorted(sdk, pk, side="left"), 0, max(nd - 1, 0))
+    matched = sdk[pos] == pk
+    return jnp.where(matched, db_sorted[pos], -1).astype(jnp.int32)
+
+
+def distributed_multi_join_aggregate(
+    mesh: Mesh,
+    fact_k1,
+    fact_k2,
+    fact_values,
+    fact_mask,
+    dim1_keys,
+    dim1_bucket,
+    dim2_keys,
+    dim2_flag,
+    num_buckets: int,
+    axis: str = "shards",
+    probe: str = None,
+):
+    """Multi-join + multi-aggregate over the mesh with the dim1 shuffle
+    overlapped with compute (BASELINE.json config 5):
+
+        SELECT d1.bucket, sum(f.v), count(1)
+        FROM facts f JOIN dim1 d1 ON f.k1 = d1.k
+                     JOIN dim2 d2 ON f.k2 = d2.k
+        WHERE f.mask AND d2.flag = 1 GROUP BY d1.bucket
+
+    Facts AND dim1 are sharded on the mesh (dim1 too large to
+    broadcast); dim2 is replicated. Each chip probes its fact shard
+    against the resident dim1 shard while `lax.ppermute` rotates the
+    next dim1 shard around the ICI ring — the permute of step i+1 has
+    no data dependence on step i's probe, so XLA's latency-hiding
+    scheduler runs the collective behind the compute (the TPU analog of
+    the reference's pipelined remote cursors, ops/query_remote.cc —
+    there the coordinator overlaps row-stream RPCs with merging).
+    Accumulator tables merge with one psum; only O(num_buckets) words
+    cross chips after the ring.
+
+    Cross-shard correctness of the rotating probe: each per-shard
+    compare verifies the full 64-bit key (kernels/join.py), and dim
+    keys are globally unique, so exactly one ring step can match a
+    fact row; partial gids combine with max(-1, ...).
+    """
+    from eventql_tpu.kernels.join import MAX_COMPARE_DIMS
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    nshards = int(mesh.devices.size)
+    nd_shard = dim1_keys.shape[0] // nshards
+    if probe is None:
+        probe = (
+            "compare"
+            if jax.default_backend() == "tpu"
+            and nd_shard <= MAX_COMPARE_DIMS
+            and dim2_keys.shape[0] <= MAX_COMPARE_DIMS
+            else "search"
+        )
+    ring = [(i, (i + 1) % nshards) for i in range(nshards)]
+    interp = _interp(mesh)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis),  # facts
+            P(axis), P(axis),                    # dim1 (sharded)
+            P(), P(),                            # dim2 (replicated)
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(fk1, fk2, fv, fm, d1k, d1b, d2k, d2f):
+        # join 2 (replicated): WHERE d2.flag = 1
+        gid2 = _probe_gid(fk2, d2k, d2f, probe, interp)
+        active = gid2 == 1
+
+        # join 1: ring-rotate dim1 shards, probe local facts each step
+        def body(_i, carry):
+            gid, dk_cur, db_cur = carry
+            # issue the permute FIRST: it has no dependence on the
+            # probe below, so the collective overlaps the compute
+            dk_nxt = jax.lax.ppermute(dk_cur, axis, ring)
+            db_nxt = jax.lax.ppermute(db_cur, axis, ring)
+            g = _probe_gid(fk1, dk_cur, db_cur, probe, interp)
+            return jnp.maximum(gid, g), dk_nxt, db_nxt
+
+        gid0 = jnp.full(fk1.shape, -1, jnp.int32)
+        gid, _, _ = jax.lax.fori_loop(
+            0, nshards, body, (gid0, d1k, d1b)
+        )
+
+        mask = fm & active & (gid >= 0)
+        gid = jnp.maximum(gid, 0)
+        counts, sums = pallas_sum_count(
+            mask, gid, fv, num_buckets, interpret=interp
+        )
+        return jax.lax.psum(counts, axis), jax.lax.psum(sums, axis)
+
+    return step(
+        fact_k1, fact_k2, fact_values, fact_mask,
+        dim1_keys, dim1_bucket, dim2_keys, dim2_flag,
+    )
+
+
 def distributed_join_aggregate(
     mesh: Mesh,
     fact_keys,

@@ -80,3 +80,89 @@ def test_distributed_join_aggregate_compare_probe():
         fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K
     )
     assert out["search"] == (list(exp_counts), list(exp_sums))
+
+
+def _expected_multi(
+    fk1, fk2, fv, fm, d1_keys, d1_bucket, d2_keys, d2_flag, K
+):
+    lut1 = {int(k): int(b) for k, b in zip(d1_keys, d1_bucket)}
+    lut2 = {int(k): int(f) for k, f in zip(d2_keys, d2_flag)}
+    counts = np.zeros(K, np.uint64)
+    sums = np.zeros(K, np.uint64)
+    for k1, k2, v, m in zip(fk1, fk2, fv, fm):
+        if not m or int(k1) not in lut1 or lut2.get(int(k2)) != 1:
+            continue
+        b = lut1[int(k1)]
+        counts[b] += 1
+        sums[b] += np.uint64(v)
+    return counts, sums
+
+
+def test_distributed_multi_join_aggregate_ring():
+    """Multi-join + multi-agg with dim1 SHARDED and ring-rotated over
+    the mesh (shuffle overlapped with compute — BASELINE.json config 5):
+    facts join dim1 (group bucket) and dim2 (flag filter)."""
+    from eventql_tpu.parallel.distributed import (
+        distributed_multi_join_aggregate,
+    )
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    n, n_dim1, n_dim2, K = 8 * 2048, 8 * 40, 96, 12
+    rng = np.random.default_rng(4)
+    d1_keys = rng.permutation(np.arange(n_dim1, dtype=np.uint64) * 13 + 7)
+    d1_bucket = rng.integers(0, K, n_dim1).astype(np.int32)
+    d2_keys = rng.permutation(np.arange(n_dim2, dtype=np.uint64) * 5 + 3)
+    d2_flag = rng.integers(0, 2, n_dim2).astype(np.int32)
+    fk1 = rng.integers(0, n_dim1 * 2, n).astype(np.uint64) * 13 + 7
+    fk2 = rng.integers(0, n_dim2, n).astype(np.uint64) * 5 + 3
+    fv = rng.integers(0, 1000, n).astype(np.uint64)
+    fm = rng.random(n) < 0.8
+
+    fk1_d, fk2_d, fv_d, fm_d, d1k_d, d1b_d = shard_table(
+        mesh, [fk1, fk2, fv, fm, d1_keys, d1_bucket]
+    )
+    counts, sums = distributed_multi_join_aggregate(
+        mesh, fk1_d, fk2_d, fv_d, fm_d, d1k_d, d1b_d,
+        jnp.asarray(d2_keys), jnp.asarray(d2_flag), K,
+    )
+    exp_counts, exp_sums = _expected_multi(
+        fk1, fk2, fv, fm, d1_keys, d1_bucket, d2_keys, d2_flag, K
+    )
+    assert list(np.asarray(counts)) == list(exp_counts)
+    assert list(np.asarray(sums)) == list(exp_sums)
+
+
+def test_distributed_multi_join_compare_probe_ring():
+    """Ring multi-join with the gather-free compare probe (interpret
+    mode on the CPU mesh) agrees with the search probe."""
+    from eventql_tpu.parallel.distributed import (
+        distributed_multi_join_aggregate,
+    )
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    n, n_dim1, n_dim2, K = 8 * 512, 8 * 16, 32, 6
+    rng = np.random.default_rng(5)
+    d1_keys = rng.permutation(np.arange(n_dim1, dtype=np.uint64) * 9 + 1)
+    d1_bucket = rng.integers(0, K, n_dim1).astype(np.int32)
+    d2_keys = rng.permutation(np.arange(n_dim2, dtype=np.uint64) * 3 + 2)
+    d2_flag = rng.integers(0, 2, n_dim2).astype(np.int32)
+    fk1 = rng.integers(0, n_dim1 * 2, n).astype(np.uint64) * 9 + 1
+    fk2 = rng.integers(0, n_dim2, n).astype(np.uint64) * 3 + 2
+    fv = rng.integers(0, 100, n).astype(np.uint64)
+    fm = np.ones(n, bool)
+
+    sharded = shard_table(mesh, [fk1, fk2, fv, fm, d1_keys, d1_bucket])
+    out = {}
+    for probe in ("search", "compare"):
+        counts, sums = distributed_multi_join_aggregate(
+            mesh, *sharded,
+            jnp.asarray(d2_keys), jnp.asarray(d2_flag), K, probe=probe,
+        )
+        out[probe] = (list(np.asarray(counts)), list(np.asarray(sums)))
+    assert out["search"] == out["compare"]
+    exp = _expected_multi(
+        fk1, fk2, fv, fm, d1_keys, d1_bucket, d2_keys, d2_flag, K
+    )
+    assert out["search"] == (list(exp[0]), list(exp[1]))
