@@ -44,6 +44,48 @@ def _timeit(fn, *args, reps=1):
     return max(min(ts) - roundtrip, 1e-9) / reps
 
 
+def bench_scan():
+    """Columnar scan + predicate filter (the FastCSTableScan analog:
+    CSTableScan.cc:757-858 decodes batches and runs
+    evaluatePredicateVector). Device-resident columns, two-term
+    predicate, count of matches — memory-bound, so vs_baseline is the
+    fraction of the HBM roofline the scan actually achieves."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 26))
+    reps = int(os.environ.get("BENCH_REPS", 8))
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+    b = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+
+    @jax.jit
+    def pipe(a, b):
+        def body(i, acc):
+            ii = i.astype(jnp.uint64)
+            # WHERE a + i < 800 AND b >= 100 (evaluatePredicateVector)
+            mask = ((a + ii) < jnp.uint64(800)) & (b >= jnp.uint64(100))
+            return acc + mask.sum(dtype=jnp.int64)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.int64(0))
+
+    per = _timeit(pipe, a, b, reps=reps)
+    rows_per_sec = n / per
+    sol = _hbm_bandwidth_bytes() / 16.0  # two u64 column streams
+    print(
+        json.dumps(
+            {
+                "metric": "scan_filter_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
 def bench_topk():
     """BASELINE config 2: ORDER BY ... LIMIT top-k over 100M rows."""
     import jax
@@ -565,6 +607,87 @@ def bench_groupby_vs_reference():
     )
 
 
+def _run_ref_ops(mode, *args):
+    import subprocess
+
+    binary = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "native", "build", "ref_ops_bench",
+    )
+    if not os.path.exists(binary):
+        subprocess.run(
+            ["make", "-C", os.path.join(os.path.dirname(binary), ".."),
+             "build/ref_ops_bench"],
+            check=True, capture_output=True,
+        )
+    return json.loads(
+        subprocess.run(
+            [binary, mode] + [str(a) for a in args],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    )
+
+
+def _capture_bench(fn):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fn()
+    return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+
+def bench_topk_vs_reference():
+    """Race ORDER BY ... LIMIT against the reference's model: full
+    std::sort of materialized boxed-value rows, then trim (the
+    reference has no top-k shortcut — orderby.cc:58-168 + limit.cc).
+    vs_baseline = TPU rows/s : reference-analog rows/s."""
+    n = int(os.environ.get("BENCH_ROWS", 100_000_000))
+    k = int(os.environ.get("BENCH_K", 100))
+    ref = _run_ref_ops("orderby", n, k, 1)
+    tpu = _capture_bench(bench_topk)
+    ratio = tpu["value"] / ref["rows_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "orderby_limit_speedup_vs_reference_engine",
+                "value": round(ratio, 1),
+                "unit": "x (1 TPU chip vs 1 reference-model core)",
+                "vs_baseline": round(ratio, 1),
+            }
+        )
+    )
+
+
+def bench_join_vs_reference():
+    """Race the fact-dim join + aggregate against the reference's
+    model: murmur3-32 multimap build + per-row probe with candidate
+    re-check + accumulate (hash_join.cc). Our side uses the measured
+    probe and hash-aggregate rates combined harmonically (the fused
+    pipeline: 1/(1/probe + 1/agg)) — both measured this session.
+    vs_baseline = fused TPU rows/s : reference-analog rows/s."""
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    ndim = int(os.environ.get("BENCH_DIM", 1024))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    ref = _run_ref_ops("join", n, ndim, n_keys, 3)
+    probe = _capture_bench(bench_join)["value"]
+    agg = _capture_bench(bench_groupby)["value"]
+    fused = 1.0 / (1.0 / probe + 1.0 / agg)
+    ratio = fused / ref["rows_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "join_aggregate_speedup_vs_reference_engine",
+                "value": round(ratio, 1),
+                "unit": "x (1 TPU chip vs 1 reference-model core)",
+                "vs_baseline": round(ratio, 1),
+                "fused_rows_per_sec": round(fused, 1),
+            }
+        )
+    )
+
+
 def main():
     cfg = os.environ.get("BENCH_CONFIG", "groupby")
     if cfg == "latency":
@@ -573,8 +696,14 @@ def main():
         return bench_groupby_count()
     if cfg == "groupby_vs_reference":
         return bench_groupby_vs_reference()
+    if cfg == "topk_vs_reference":
+        return bench_topk_vs_reference()
+    if cfg == "join_vs_reference":
+        return bench_join_vs_reference()
     if cfg == "insert":
         return bench_insert()
+    if cfg == "scan":
+        return bench_scan()
     if cfg == "topk":
         return bench_topk()
     if cfg == "join":
