@@ -72,6 +72,26 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_uint32),
     ]
+    lib.evql_json_shred.restype = ctypes.c_void_p
+    lib.evql_json_shred.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.evql_shred_status.restype = ctypes.c_int
+    lib.evql_shred_status.argtypes = [ctypes.c_void_p]
+    lib.evql_shred_nrows.restype = ctypes.c_uint64
+    lib.evql_shred_nrows.argtypes = [ctypes.c_void_p]
+    lib.evql_shred_error.restype = ctypes.c_char_p
+    lib.evql_shred_error.argtypes = [ctypes.c_void_p]
+    for getter in ("num", "valid", "stroff", "strbytes"):
+        fn = getattr(lib, f"evql_shred_{getter}")
+        fn.restype = ctypes.c_void_p
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.evql_shred_free.restype = None
+    lib.evql_shred_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -126,3 +146,87 @@ def lenenc_strings(buf: bytes, count: int):
     if rc < 0:
         return None
     return offsets, lengths
+
+
+class ShredError(Exception):
+    """A row-level insert error from the native shredder, carrying the
+    count of rows shredded before the failing row (Python's per-row
+    insert applies rows before the error) and Python's exact message."""
+
+    def __init__(self, message: str, rows_before_error: int, partial=None):
+        super().__init__(message)
+        self.rows_before_error = rows_before_error
+        # (nrows, cols) of the successfully shredded prefix
+        self.partial = partial
+
+
+def json_shred(json_bytes: bytes, names, stypes):
+    """Shred a JSON array of flat records into typed columns.
+
+    Returns (nrows, cols) where cols[i] is
+      (values_u64, valid_u8)            for numeric/bool columns, or
+      (offsets_u32, bytes, valid_u8)    for string columns,
+    or None when the native library is unavailable or the batch needs
+    the Python path (nested values, big ints, exotic float syntax).
+    Raises ShredError for genuine row errors (unknown column,
+    non-convertible value) with Python's message.
+    """
+    lib = _try_load()
+    if lib is None:
+        return None
+    ncols = len(names)
+    name_arr = (ctypes.c_char_p * ncols)(
+        *[n.encode("utf-8") for n in names]
+    )
+    type_arr = (ctypes.c_uint32 * ncols)(*[int(t) for t in stypes])
+    h = lib.evql_json_shred(
+        json_bytes, len(json_bytes), ncols, name_arr, type_arr
+    )
+    if not h:
+        return None
+    try:
+        status = lib.evql_shred_status(h)
+        if status in (2, 3):  # FALLBACK / BAD_INPUT → Python decides
+            return None
+        nrows = lib.evql_shred_nrows(h)
+        cols = []
+        for i, st in enumerate(stypes):
+            nv = int(nrows)
+            valid = np.ctypeslib.as_array(
+                ctypes.cast(
+                    lib.evql_shred_valid(h, i), ctypes.POINTER(ctypes.c_uint8)
+                ),
+                shape=(nv,),
+            ).copy() if nv else np.zeros(0, np.uint8)
+            if int(st) == 5:  # STRING
+                off = np.ctypeslib.as_array(
+                    ctypes.cast(
+                        lib.evql_shred_stroff(h, i),
+                        ctypes.POINTER(ctypes.c_uint32),
+                    ),
+                    shape=(nv + 1,),
+                ).copy()
+                nbytes = int(off[-1]) if nv else 0
+                if nbytes:
+                    raw = ctypes.string_at(lib.evql_shred_strbytes(h, i), nbytes)
+                else:
+                    raw = b""
+                cols.append((off, raw, valid))
+            else:
+                vals = np.ctypeslib.as_array(
+                    ctypes.cast(
+                        lib.evql_shred_num(h, i),
+                        ctypes.POINTER(ctypes.c_uint64),
+                    ),
+                    shape=(nv,),
+                ).copy() if nv else np.zeros(0, np.uint64)
+                cols.append((vals, valid))
+        if status == 1:  # ROW_ERROR
+            raise ShredError(
+                lib.evql_shred_error(h).decode("utf-8", "replace"),
+                int(nrows),
+                partial=(int(nrows), cols),
+            )
+        return int(nrows), cols
+    finally:
+        lib.evql_shred_free(h)

@@ -146,14 +146,19 @@ class LSMTable(MemoryTable):
     # -- writes ---------------------------------------------------------
     def insert_row(self, row: Dict[str, SValue], obj=None):
         super().insert_row(row, obj=obj)
-        if len(self.rows) >= self.arena_flush_rows:
+        if self.arena_rows() >= self.arena_flush_rows:
+            self.commit()
+
+    def insert_batch(self, rel):
+        super().insert_batch(rel)
+        if self.arena_rows() >= self.arena_flush_rows:
             self.commit()
 
     def commit(self):
         """Flush the arena to an immutable segment
         (reference: LSMPartitionWriter::commit, partition_writer.cc:
         269-348 — arena → cstable, then arena cleared)."""
-        if not self.rows:
+        if not self.arena_rows():
             return
         seq = len(self._segments)
         seg_name = f"segment-{seq:06d}.cst"
@@ -173,6 +178,7 @@ class LSMTable(MemoryTable):
         self._segments.append(seg_name)
         self.rows = []
         self.objs = []
+        self._batches = []
         self._relation_cache = None
         self._reader_cache = None
 
@@ -213,7 +219,7 @@ class LSMTable(MemoryTable):
             return self._relation_cache
 
         parts: List[Relation] = []
-        if self.rows:
+        if self.arena_rows():
             parts.append(MemoryTable.to_relation(self))
         for seg in reversed(self._segments):
             parts.append(self._read_segment(seg))
@@ -305,6 +311,17 @@ class LSMTable(MemoryTable):
         if not self.primary_key:
             return None
         out = []
+        for rel in self._batches:
+            pk_cols = [
+                rel.columns[rel.names.index(k)] for k in self.primary_key
+            ]
+            for i in range(rel.num_rows):
+                out.append(
+                    tuple(
+                        c.value_at(i).payload() if c.valid[i] else None
+                        for c in pk_cols
+                    )
+                )
         for row in self.rows:
             out.append(
                 tuple(

@@ -73,6 +73,12 @@ class MemoryTable:
         self.rows: List[Dict[str, SValue]] = []
         # raw record objects (for Dremel shredding of repeated fields)
         self.objs: List[dict] = []
+        # columnar arena batches (flat tables only): whole Relations
+        # appended by the native batch-insert path — the TPU-native
+        # arena representation (the reference's analog is the
+        # column-shredded ShreddedRecordList batches its insert path
+        # groups records into, db/table_service.cc:883-897)
+        self._batches: List[Relation] = []
         self._relation_cache: Optional[Relation] = None
         self._reader_cache = None
         self._insert_meta = None
@@ -95,11 +101,35 @@ class MemoryTable:
         self._relation_cache = None
         self._reader_cache = None
 
+    def arena_rows(self) -> int:
+        """Unflushed row count: dict rows + columnar batches."""
+        return len(self.rows) + sum(b.num_rows for b in self._batches)
+
+    def insert_batch(self, rel: Relation):
+        """Append a columnar batch (flat tables only). Pending dict
+        rows are folded into a batch first so scan order stays exactly
+        insertion order."""
+        if self.has_repeated:
+            raise RuntimeError_(
+                "batch insert requires a flat schema: "
+                f"'{self.name}' has repeated columns"
+            )
+        if list(rel.names) != [c[0] for c in self.columns]:
+            raise RuntimeError_("batch column mismatch")
+        if self.rows:
+            self._batches.append(self._rows_relation())
+            self.rows = []
+            self.objs = []
+        self._batches.append(rel)
+        self._relation_cache = None
+        self._reader_cache = None
+
     def truncate(self):
         """Drop every row but keep the schema (partition unload:
         reference analog PartitionMap::dropLocalPartition)."""
         self.rows = []
         self.objs = []
+        self._batches = []
         self._relation_cache = None
         self._reader_cache = None
 
@@ -159,9 +189,8 @@ class MemoryTable:
             self._reader_cache = ShreddedTableReader(self.column_defs, self.objs)
         return self._reader_cache
 
-    def to_relation(self) -> Relation:
-        if self._relation_cache is not None:
-            return self._relation_cache
+    def _rows_relation(self) -> Relation:
+        """Columnarize the dict-row arena part."""
         n = len(self.rows)
         names, cols = [], []
         for cname, ctype, rep in self.columns:
@@ -183,8 +212,17 @@ class MemoryTable:
                         data[i] = v.payload()
                         valid[i] = True
                 cols.append(Column(ctype, data, valid))
-        self._relation_cache = Relation(names, cols, n)
-        return self._relation_cache
+        return Relation(names, cols, n)
+
+    def to_relation(self) -> Relation:
+        if self._relation_cache is not None:
+            return self._relation_cache
+        parts = list(self._batches)
+        if self.rows or not parts:
+            parts.append(self._rows_relation())
+        rel = parts[0] if len(parts) == 1 else _concat_arena(parts)
+        self._relation_cache = rel
+        return rel
 
 
 class TableService(TableProvider):
@@ -279,6 +317,66 @@ class TableService(TableProvider):
             raise RuntimeError_(f"invalid JSON: {e}")
         if not isinstance(obj, dict):
             raise RuntimeError_("JSON insert requires an object")
+        self._insert_obj(table_name, obj)
+
+    def insert_json_batch(self, table_name: str, records_json: bytes) -> int:
+        """Insert a JSON ARRAY of records in one native pass (the
+        reference's insert path is C++ end to end: JSON parse +
+        column shredding into ShreddedRecordList batches,
+        db/table_service.cc:883-897). Falls back to the per-record
+        Python path for nested schemas or values only Python converts;
+        on a row error, rows before it stay inserted (matching the
+        per-record loop's semantics) and the same error raises.
+        Returns the number of rows inserted."""
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        if isinstance(records_json, str):
+            records_json = records_json.encode("utf-8")
+        schema, _under_rep, record_prefixes = table.insert_meta()
+
+        native_ok = (
+            not table.has_repeated
+            and not record_prefixes
+            and not any(t == SType.INT64 for t in schema.values())
+        )
+        if native_ok:
+            from eventql_tpu.columnar import native
+
+            names = [c[0] for c in table.columns]
+            stypes = [c[1] for c in table.columns]
+            try:
+                out = native.json_shred(records_json, names, stypes)
+            except native.ShredError as e:
+                nrows, cols = e.partial
+                if nrows:
+                    table.insert_batch(
+                        _shred_to_relation(names, stypes, cols, nrows)
+                    )
+                raise RuntimeError_(str(e))
+            if out is not None:
+                nrows, cols = out
+                if nrows:
+                    table.insert_batch(
+                        _shred_to_relation(names, stypes, cols, nrows)
+                    )
+                return nrows
+
+        # Python path (nested schemas / values the native shredder
+        # defers on)
+        try:
+            objs = json.loads(records_json)
+        except json.JSONDecodeError as e:
+            raise RuntimeError_(f"invalid JSON: {e}")
+        if not isinstance(objs, list):
+            raise RuntimeError_("JSON batch insert requires an array")
+        for obj in objs:
+            if not isinstance(obj, dict):
+                raise RuntimeError_("JSON insert requires an object")
+            self._insert_obj(table_name, obj)
+        return len(objs)
+
+    def _insert_obj(self, table_name: str, obj: dict):
         flat = {}
         table = self.tables.get(table_name)
         if table is None:
@@ -330,6 +428,38 @@ class TableService(TableProvider):
         if table is None:
             return None
         return table.get_reader()
+
+
+def _concat_arena(parts: List[Relation]) -> Relation:
+    from eventql_tpu.parallel.partitioned import _concat_columns
+
+    names = list(parts[0].names)
+    cols = [
+        _concat_columns([p.columns[i] for p in parts])
+        for i in range(len(names))
+    ]
+    return Relation(names, cols, sum(p.num_rows for p in parts))
+
+
+def _shred_to_relation(names, stypes, shred_cols, nrows: int) -> Relation:
+    """Build a Relation from the native shredder's column buffers."""
+    cols = []
+    for stype, buf in zip(stypes, shred_cols):
+        if stype == SType.STRING:
+            off, raw, valid = buf
+            vals = [
+                bytes(raw[off[i]:off[i + 1]]) if valid[i] else None
+                for i in range(nrows)
+            ]
+            cols.append(Column.from_strings(vals))
+        else:
+            vals_u64, valid = buf
+            if stype == SType.BOOL:
+                data = vals_u64 != 0
+            else:
+                data = vals_u64.view(dtype_for(stype))
+            cols.append(Column(stype, data, valid.astype(bool)))
+    return Relation(list(names), cols, nrows)
 
 
 def _undot(flat: Dict[str, object]) -> dict:

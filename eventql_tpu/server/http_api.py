@@ -578,19 +578,44 @@ class EventQLServer:
         if not isinstance(payload, list):
             return self._text(h, 400, "expected JSON array")
         svc = self._tables_provider()
-        for row in payload:
+        # consecutive same-table runs shred in one native batch pass
+        # when inserts land on the local store (cluster providers route
+        # per record by partition key)
+        batchable = svc is self.table_service and hasattr(
+            svc, "insert_json_batch"
+        )
+        i = 0
+        while i < len(payload):
+            row = payload[i]
             table = row.get("table")
             if not table:
                 raise SQLError("missing field: table")
             data = row.get("data")
             if data is None:
                 raise SQLError("missing field: data")
+            if batchable and not isinstance(data, str):
+                run = [data]
+                j = i + 1
+                while j < len(payload):
+                    nxt = payload[j]
+                    if nxt.get("table") != table or isinstance(
+                        nxt.get("data"), str
+                    ) or nxt.get("data") is None:
+                        break
+                    run.append(nxt["data"])
+                    j += 1
+                svc.insert_json_batch(table, json.dumps(run))
+                with self.stats.lock:
+                    self.stats.num_inserts += len(run)
+                i = j
+                continue
             if isinstance(data, str):
                 svc.insert_json(table, data)
             else:
                 svc.insert_json(table, json.dumps(data))
             with self.stats.lock:
                 self.stats.num_inserts += 1
+            i += 1
         self._json(h, 201, {})
 
     def _handle_list(self, h):

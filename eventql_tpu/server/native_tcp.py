@@ -488,11 +488,24 @@ class NativeTCPServer:
                 if hasattr(provider, "insert_json"):
                     target = provider
             evqld_stats().num_inserts.incr(count)
+            records = []
             for _ in range(count):
                 rec, pos = read_lenencstr(payload, pos)
-                target.insert_json(
-                    table.decode("utf-8"), rec.decode("utf-8")
+                records.append(rec)
+            if target is self.table_service and hasattr(
+                target, "insert_json_batch"
+            ):
+                # local store: one native shredding pass over the whole
+                # frame (the records are raw JSON objects — join them
+                # into one array without re-parsing)
+                target.insert_json_batch(
+                    table.decode("utf-8"), b"[" + b",".join(records) + b"]"
                 )
+            else:
+                for rec in records:
+                    target.insert_json(
+                        table.decode("utf-8"), rec.decode("utf-8")
+                    )
         except SQLError as e:
             _send_frame(
                 sock,
