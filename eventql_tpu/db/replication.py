@@ -53,6 +53,10 @@ class ReplicationWorker:
             except Exception:
                 pass  # transient cluster errors; retry next sweep
             try:
+                self.push_once()
+            except Exception:
+                pass
+            try:
                 self.lifecycle_once()
             except Exception:
                 pass
@@ -114,6 +118,106 @@ class ReplicationWorker:
                     finally:
                         client.close()
         return repaired
+
+    def push_once(self) -> int:
+        """Push-based anti-entropy: offer locally-held records a peer
+        replica is missing via EVQL_OP_REPL_INSERT (the reference's
+        ReplicationWorker is push-only — per-target segment offers with
+        acked-server tracking, db/partition_replication.cc:154-455; we
+        compute the per-peer diff from the peer's primary-key set and
+        ship the missing rows as a ShreddedRecordList). Returns the
+        number of records pushed."""
+        from eventql_tpu.config.config_directory import (
+            SERVER_UP,
+            ConfigDirectory,
+        )
+        from eventql_tpu.db.metadata import TableMetadata
+        from eventql_tpu.db.shredded_record_list import from_relation
+        from eventql_tpu.server.native_tcp import NativeTCPClient
+
+        cdir = ConfigDirectory(self.config_dir_path)
+        addr_of = {}
+        for s in cdir.list_servers():
+            if s.server_status == SERVER_UP and s.server_addr:
+                host, _, port = s.server_addr.rpartition(":")
+                addr_of[s.server_id] = (host or "127.0.0.1", int(port))
+
+        pushed = 0
+        for info in self.table_service.list_tables() or []:
+            table_name = info.table_name
+            t = getattr(self.table_service, "tables", {}).get(table_name)
+            if t is not None and getattr(t, "has_repeated", False):
+                continue
+            cfg = cdir.get_table_config("default", table_name)
+            if not cfg or "metadata" not in cfg:
+                continue
+            meta = TableMetadata.from_json(cfg["metadata"])
+            pk = meta.partition_key
+
+            for entry in meta.entries:
+                if self.server_name not in entry.servers:
+                    continue
+                begin, end = meta.keyrange(entry.partition_id)
+                local_rel = self._local_relation_in_range(
+                    table_name, pk, begin, end, meta.keyspace
+                )
+                if local_rel is None or not local_rel.num_rows:
+                    continue
+                pk_idx = local_rel.names.index(pk)
+                for sid in entry.servers:
+                    if sid == self.server_name or sid not in addr_of:
+                        continue
+                    try:
+                        client = NativeTCPClient(*addr_of[sid])
+                    except (OSError, ConnectionError):
+                        continue
+                    try:
+                        peer = self._remote_relation(
+                            client, table_name, info, pk, begin, end
+                        )
+                        peer_keys = set()
+                        pcol = peer.columns[peer.names.index(pk)]
+                        for i in range(peer.num_rows):
+                            v = pcol.value_at(i)
+                            if not v.is_null:
+                                peer_keys.add(self._norm(v.payload()))
+                        missing = [
+                            r
+                            for r in range(local_rel.num_rows)
+                            if not local_rel.columns[pk_idx].value_at(r).is_null
+                            and self._norm(
+                                local_rel.columns[pk_idx].value_at(r).payload()
+                            )
+                            not in peer_keys
+                        ]
+                        if not missing:
+                            continue
+                        import numpy as _np
+
+                        subset = local_rel.gather(
+                            _np.array(missing, dtype=_np.int64)
+                        )
+                        records = from_relation(subset, pk_names=[pk])
+                        client.repl_insert(
+                            table_name, entry.partition_id, records
+                        )
+                        pushed += len(missing)
+                    except (OSError, SQLError, ConnectionError):
+                        pass
+                    finally:
+                        client.close()
+        return pushed
+
+    def _local_relation_in_range(self, table_name, pk, begin, end, keyspace):
+        from eventql_tpu.exec.operators import _apply_keyrange
+
+        try:
+            rel = self.table_service.get_table_data(table_name)
+        except SQLError:
+            return None
+        if begin == "" and end == "":
+            return rel
+        return _apply_keyrange(rel, (pk, begin, end))
 
     def _local_pk_set(self, table_name, pk, begin, end, keyspace=None):
         rel = self.table_service.get_table_data(table_name)

@@ -51,6 +51,7 @@ OP_QUERY_PROGRESS = 0x000A
 OP_QUERY_NEXT = 0x000B
 OP_ACK = 0x000F
 OP_INSERT = 0x0010
+OP_REPL_INSERT = 0x0110
 OP_QUERY_PARTIALAGGR = 0x0101
 OP_QUERY_PARTIALAGGR_RESULT = 0x0102
 OP_QUERY_REMOTE = 0x0103
@@ -280,6 +281,8 @@ class NativeTCPServer:
                 self._handle_query(sock, payload)
             elif opcode == OP_INSERT:
                 self._handle_insert(sock, payload)
+            elif opcode == OP_REPL_INSERT:
+                self._handle_repl_insert(sock, payload)
             elif opcode == OP_QUERY_PARTIALAGGR:
                 self._handle_partialaggr(sock, payload)
             elif opcode == OP_QUERY_REMOTE:
@@ -512,6 +515,41 @@ class NativeTCPServer:
                 OP_ERROR,
                 F_ENDOFREQUEST,
                 write_lenencstr(e.message.encode("utf-8")),
+            )
+            return
+        _send_frame(sock, OP_ACK, F_ENDOFREQUEST, b"")
+
+    def _handle_repl_insert(self, sock, payload):
+        """Replication push: a peer replica offers records for a
+        partition this server owns (reference:
+        transport/native/ops/repl_insert.cc — internal-only op, body is
+        a ShreddedRecordList; rows insert LOCALLY, never re-routed)."""
+        from eventql_tpu.db.shredded_record_list import (
+            ShreddedRecordList,
+            to_row_dicts,
+        )
+
+        pos = 0
+        _rflags, pos = read_varint(payload, pos)
+        _database, pos = read_lenencstr(payload, pos)
+        table, pos = read_lenencstr(payload, pos)
+        _partition_id, pos = read_lenencstr(payload, pos)
+        body, pos = read_lenencstr(payload, pos)
+        try:
+            records = ShreddedRecordList.decode(body)
+            rows = to_row_dicts(records)
+            import json as _json
+
+            self.table_service.insert_json_batch(
+                table.decode("utf-8"),
+                _json.dumps(rows).encode(),
+            )
+        except (SQLError, ValueError) as e:
+            _send_frame(
+                sock,
+                OP_ERROR,
+                F_ENDOFREQUEST,
+                write_lenencstr(str(e).encode("utf-8")),
             )
             return
         _send_frame(sock, OP_ACK, F_ENDOFREQUEST, b"")
@@ -749,6 +787,25 @@ class NativeTCPClient:
         for r in records:
             body += write_lenencstr(r.encode("utf-8"))
         _send_frame(self.sock, OP_INSERT, 0, bytes(body))
+        opcode, _f, payload = _recv_frame(self.sock)
+        if opcode == OP_ERROR:
+            msg, _ = read_lenencstr(payload, 0)
+            raise SQLError(msg.decode())
+        if opcode != OP_ACK:
+            raise SQLError(f"unexpected opcode: {opcode:#x}")
+
+    def repl_insert(self, table: str, partition_id: str, records,
+                    database: str = ""):
+        """Push a ShreddedRecordList to a replica
+        (reference: EVQL_OP_REPL_INSERT, frames/repl_insert.cc:63-85
+        — varint flags, lenenc database/table/partition, lenenc body)."""
+        body = bytearray()
+        body += write_varint(0)
+        body += write_lenencstr(database.encode("utf-8"))
+        body += write_lenencstr(table.encode("utf-8"))
+        body += write_lenencstr(partition_id.encode("utf-8"))
+        body += write_lenencstr(records.encode())
+        _send_frame(self.sock, OP_REPL_INSERT, 0, bytes(body))
         opcode, _f, payload = _recv_frame(self.sock)
         if opcode == OP_ERROR:
             msg, _ = read_lenencstr(payload, 0)
