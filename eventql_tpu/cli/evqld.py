@@ -123,8 +123,12 @@ def main(argv=None):
         metadata_service = MetadataService(MetadataStore(meta_dir))
 
     mr_cachedir = None
+    query_cache = None
     if args.datadir:
         mr_cachedir = os.path.join(args.datadir, "cache")
+        from eventql_tpu.exec.query_cache import QueryCache
+
+        query_cache = QueryCache(mr_cachedir)
 
     server = EventQLServer(
         table_service=table_service,
@@ -144,6 +148,7 @@ def main(argv=None):
         query_provider_factory=query_provider_factory,
         client_auth=client_auth,
         metadata_service=metadata_service,
+        query_cache=query_cache,
     ).start()
 
     from eventql_tpu.server.listener import Listener

@@ -79,6 +79,11 @@ class MemoryTable:
         # column-shredded ShreddedRecordList batches its insert path
         # groups records into, db/table_service.cc:883-897)
         self._batches: List[Relation] = []
+        # monotone data version: bumps on every mutation (keys the
+        # partial-aggregate query cache and mapreduce result ids — the
+        # reference's analog is the partition snapshot version,
+        # db/partition_snapshot.h)
+        self.mutation_count = 0
         self._relation_cache: Optional[Relation] = None
         self._reader_cache = None
         self._insert_meta = None
@@ -94,6 +99,7 @@ class MemoryTable:
             if cname not in known:
                 raise RuntimeError_(f"column not found: '{cname}'")
         self.rows.append(row)
+        self.mutation_count += 1
         if obj is None:
             obj = _undot({k: v.payload() if not v.is_null else None
                           for k, v in row.items()})
@@ -121,6 +127,7 @@ class MemoryTable:
             self.rows = []
             self.objs = []
         self._batches.append(rel)
+        self.mutation_count += 1
         self._relation_cache = None
         self._reader_cache = None
 
@@ -130,6 +137,7 @@ class MemoryTable:
         self.rows = []
         self.objs = []
         self._batches = []
+        self.mutation_count += 1
         self._relation_cache = None
         self._reader_cache = None
 
@@ -139,6 +147,7 @@ class MemoryTable:
                 raise RuntimeError_(f"column already exists: '{flat[0]}'")
             self.columns.append(flat)
         self.column_defs.append(coldef)
+        self.mutation_count += 1
         self._relation_cache = None
         self._reader_cache = None
         self._insert_meta = None
@@ -151,6 +160,7 @@ class MemoryTable:
         if len(self.columns) == before:
             raise RuntimeError_(f"column not found: '{name}'")
         self.column_defs = [d for d in self.column_defs if d.column_name != name]
+        self.mutation_count += 1
         self._relation_cache = None
         self._reader_cache = None
         self._insert_meta = None
@@ -422,6 +432,15 @@ class TableService(TableProvider):
         if table is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
         return table.to_relation()
+
+    def table_version(self, table_name: str) -> str:
+        """Monotone data version (reference analog: the partition
+        snapshot version that keys cached map results and partial
+        aggregates)."""
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        return str(table.mutation_count)
 
     def get_reader(self, table_name: str):
         table = self.tables.get(table_name)

@@ -82,3 +82,26 @@ class QueryCache:
         with open(tmp, "wb") as f:
             np.savez_compressed(f, **arrays)
         os.replace(tmp, self._path(key))
+
+    # -- raw entries ------------------------------------------------------
+    # (serialized partial-aggregate frames on the distributed path —
+    # the reference caches PartialGroupBy outputs the same way,
+    # groupby.cc:255-295,411-432)
+    def _blob_path(self, key: str) -> str:
+        return os.path.join(self.cache_dir, key + ".bin")
+
+    def get_blob(self, key: str):
+        path = self._blob_path(key)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def store_blob(self, key: str, data: bytes):
+        tmp = self._blob_path(key) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self._blob_path(key))

@@ -165,12 +165,15 @@ class NativeTCPServer:
     def __init__(
         self, table_service, host="127.0.0.1", port=9176,
         query_provider_factory=None, client_auth=None,
-        metadata_service=None,
+        metadata_service=None, query_cache=None,
     ):
         from eventql_tpu.exec.runtime import Runtime
         from eventql_tpu.server.auth import TrustClientAuth
 
         self.table_service = table_service
+        # partial-aggregate result cache (reference: QueryCache on the
+        # partition servers, groupby.cc:255-295)
+        self.query_cache = query_cache
         self.query_provider_factory = (
             query_provider_factory or (lambda: self.table_service)
         )
@@ -429,9 +432,38 @@ class NativeTCPServer:
         plan_data, pos = read_lenencstr(payload, pos)
         try:
             node = decode_plan(plan_data.decode("utf-8"))
-            table = self.table_service.get_table_data(node.table.table_name)
+            tname = node.table.table_name
+            cache_key = None
+            if self.query_cache is not None:
+                # keyed by the shipped plan + the table's data version
+                # (reference: scan cache key + expression fingerprint,
+                # groupby.cc:256-295)
+                version_fn = getattr(
+                    self.table_service, "table_version", None
+                )
+                if version_fn is not None:
+                    from eventql_tpu.exec.query_cache import QueryCache
+
+                    cache_key = QueryCache.fingerprint(
+                        "partialaggr",
+                        plan_data.decode("utf-8"),
+                        tname,
+                        version_fn(tname),
+                    )
+                    cached = self.query_cache.get_blob(cache_key)
+                    if cached is not None:
+                        _send_frame(
+                            sock,
+                            OP_QUERY_PARTIALAGGR_RESULT,
+                            F_ENDOFREQUEST,
+                            cached,
+                        )
+                        return
+            table = self.table_service.get_table_data(tname)
             partial = _exec_group_by_local(node, table)
             body = partial_to_bytes(partial)
+            if cache_key is not None:
+                self.query_cache.store_blob(cache_key, body)
         except SQLError as e:
             _send_frame(
                 sock,

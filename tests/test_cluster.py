@@ -180,3 +180,42 @@ def test_plan_coder_roundtrip(cluster):
         sl.expr.to_sql() for sl in node.select_list
     ]
     assert back.table.where_expr.to_sql() == node.table.where_expr.to_sql()
+
+
+def test_partialaggr_server_side_cache(tmp_path):
+    """Partition servers cache partial-aggregate results keyed by plan
+    + table data version (reference: QueryCache on PartialGroupBy,
+    groupby.cc:255-295,411-432); mutations invalidate."""
+    import os
+
+    from eventql_tpu.exec.query_cache import QueryCache
+
+    svc = TableService()
+    cache = QueryCache(str(tmp_path / "qcache"))
+    server = NativeTCPServer(svc, port=0, query_cache=cache).start()
+    try:
+        c = NativeTCPClient("127.0.0.1", server.port)
+        c.query(SCHEMA)
+        c.insert_json("ev", ['{"t": 1, "dim": "a", "v": 10, "x": 1.0}',
+                             '{"t": 2, "dim": "b", "v": 20, "x": 2.0}'])
+        provider = ClusterTableProvider([("127.0.0.1", server.port)])
+        sql = "select dim, sum(v) from ev group by dim order by dim;"
+        assert _run(provider, sql) == [["a", "10"], ["b", "20"]]
+        blobs = [f for f in os.listdir(str(tmp_path / "qcache"))
+                 if f.endswith(".bin")]
+        assert len(blobs) == 1
+
+        # cache hit: same result, no new entry
+        assert _run(provider, sql) == [["a", "10"], ["b", "20"]]
+        assert len([f for f in os.listdir(str(tmp_path / "qcache"))
+                    if f.endswith(".bin")]) == 1
+
+        # mutation bumps the version: fresh entry, fresh data visible
+        c.insert_json("ev", ['{"t": 3, "dim": "a", "v": 5, "x": 0.5}'])
+        assert _run(provider, sql) == [["a", "15"], ["b", "20"]]
+        assert len([f for f in os.listdir(str(tmp_path / "qcache"))
+                    if f.endswith(".bin")]) == 2
+        c.close()
+        provider.close()
+    finally:
+        server.stop()
