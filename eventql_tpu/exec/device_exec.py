@@ -500,3 +500,330 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
 
     names = [sl.column_name() for sl in node.select_list]
     return Relation(names, out_cols, ng)
+
+
+# -- SQL JOIN ... GROUP BY on device -----------------------------------
+def _join_ref(node, expr):
+    """Resolve a join-input ColumnReferenceNode to its
+    (table_idx, column_idx) or None."""
+    if not isinstance(expr, ColumnReferenceNode):
+        return None
+    if expr.column_index is None:
+        return None
+    ref = node.input_map[expr.column_index]
+    return ref.table_idx, ref.column_idx
+
+
+def _rewrite_join_refs(node, expr, side: int):
+    """Rewrite a join-input expression to reference one side's output
+    columns directly; returns None if it touches the other side."""
+    import copy
+
+    if isinstance(expr, ColumnReferenceNode):
+        r = _join_ref(node, expr)
+        if r is None or r[0] != side:
+            return None
+        out = copy.copy(expr)
+        out.column_index = r[1]
+        return out
+    if isinstance(expr, CallExpressionNode):
+        new_args = []
+        for a in expr.args:
+            na = _rewrite_join_refs(node, a, side)
+            if na is None:
+                return None
+            new_args.append(na)
+        out = copy.copy(expr)
+        out.args = new_args
+        return out
+    if isinstance(expr, LiteralExpressionNode):
+        return expr
+    return None
+
+
+def _child_ref(join, expr):
+    """Resolve a GroupBy-child-output ColumnReferenceNode through the
+    join's select list to (table_idx, side_output_column_idx)."""
+    if not isinstance(expr, ColumnReferenceNode):
+        return None
+    if expr.column_index is None:
+        return None
+    if expr.column_index >= len(join.select_list):
+        return None
+    jexpr = join.select_list[expr.column_index].expr
+    return _join_ref(join, jexpr)
+
+
+def _rewrite_child_refs(join, expr, side: int):
+    """Rewrite a GroupBy-child-output expression into one side's output
+    columns (two hops: child output → join input map → side output);
+    returns None if it touches the other side or a non-ref join
+    column."""
+    import copy
+
+    if isinstance(expr, ColumnReferenceNode):
+        r = _child_ref(join, expr)
+        if r is None or r[0] != side:
+            return None
+        out = copy.copy(expr)
+        out.column_index = r[1]
+        return out
+    if isinstance(expr, CallExpressionNode):
+        new_args = []
+        for a in expr.args:
+            na = _rewrite_child_refs(join, a, side)
+            if na is None:
+                return None
+            new_args.append(na)
+        out = copy.copy(expr)
+        out.args = new_args
+        return out
+    if isinstance(expr, LiteralExpressionNode):
+        return expr
+    return None
+
+
+def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
+    """SELECT <group>, aggs(fact exprs) FROM facts JOIN dims ON
+    f.k = d.k [WHERE fact-side predicate] GROUP BY <dim column> — as
+    one device program: compiled scan + filter, gather-free dim join
+    (kernels/join.py), fused masked group-aggregate. Returns None when
+    the plan is outside the subset (the host engine takes over):
+    non-INNER joins, multi-conjunction conditions, joined-side WHERE,
+    duplicate/NULL join keys, non-u64 keys.
+
+    The reference executes this shape as HashJoin feeding GroupBy
+    (hash_join.cc + groupby.cc), row-at-a-time."""
+    import os
+
+    if os.environ.get("EVENTQL_TPU_DEVICE") != "1":
+        return None
+    join = node.table
+    if not isinstance(join, qn.JoinNode):
+        return None
+    if join.join_type != qn.JoinNode.INNER:
+        return None
+    base, joined = join.base_table, join.joined_table
+    for scan in (base, joined):
+        if not isinstance(scan, qn.SequentialScanNode):
+            return None
+        if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
+            return None
+    if join.join_cond is None:
+        return None
+
+    # exactly one equi conjunction of two bare column refs
+    from eventql_tpu.exec.operators import (
+        _count_subject,
+        _find_join_conjunctions,
+        _strip_aggregates,
+        execute_node,
+    )
+
+    conjunctions = []
+    _find_join_conjunctions(join, join.join_cond, conjunctions)
+    if len(conjunctions) != 1:
+        return None
+    base_key_expr, joined_key_expr = conjunctions[0]
+    bref = _join_ref(join, base_key_expr)
+    jref = _join_ref(join, joined_key_expr)
+    if bref is None or jref is None or bref[0] != 0 or jref[0] != 1:
+        return None
+    # the join condition must BE that single equality (no residual)
+    cond = join.join_cond
+    if not (
+        isinstance(cond, CallExpressionNode) and cond.function_name == "eq"
+    ):
+        return None
+
+    # WHERE must be fact-side only
+    where_base = None
+    if join.where_expr is not None:
+        where_base = _rewrite_join_refs(join, join.where_expr, 0)
+        if where_base is None or not jax_expr.expr_is_device_compatible(
+            where_base
+        ):
+            return None
+
+    # single joined-side group expression (a child-output column ref)
+    if len(node.group_exprs) != 1:
+        return None
+    gref = _child_ref(join, node.group_exprs[0])
+    if gref is None or gref[0] != 1:
+        return None
+
+    # select list: aggregates over fact-side exprs, or the group column
+    entries = []
+    all_aggs = []
+    for sl in node.select_list:
+        if has_aggregate_call(sl.expr):
+            aggs: List[CallExpressionNode] = []
+            emit = _strip_aggregates(sl.expr, aggs)
+            rewritten = []
+            for a in aggs:
+                kind = a.sfunction.aggregate.kind
+                subj = (
+                    _count_subject(a) if kind == "count" else
+                    (a.args[0] if a.args else None)
+                )
+                if subj is None:
+                    rewritten.append((a, "count", None))
+                    continue
+                rsubj = _rewrite_child_refs(join, subj, 0)
+                if rsubj is None or not jax_expr.expr_is_device_compatible(
+                    rsubj
+                ):
+                    return None
+                rewritten.append(
+                    (a, "count_nonnull" if kind == "count" else kind, rsubj)
+                )
+            base_i = len(all_aggs)
+            all_aggs.extend(rewritten)
+            entries.append(("agg", emit, base_i))
+        else:
+            r = _child_ref(join, sl.expr)
+            if r != gref:
+                return None
+            entries.append(("group", None, None))
+
+    # joined side evaluates on host (dimension tables are small)
+    dims = execute_node(joined, txn)
+    dim_key_col = dims.columns[jref[1]]
+    if dim_key_col.stype not in (SType.UINT64, SType.TIMESTAMP64):
+        return None
+    if not dim_key_col.valid.all():
+        return None  # NULL keys join by tag in the host engine
+    dim_keys_h = np.asarray(dim_key_col.data, dtype=np.uint64)
+    if len(np.unique(dim_keys_h)) != len(dim_keys_h):
+        return None  # duplicate dim keys fan out: host path
+
+    # factorize the group column over dim rows → bucket per dim row
+    from eventql_tpu.exec.operators import _factorize_rows, _group_key_matrix
+
+    group_col = dims.columns[gref[1]]
+    keys = _group_key_matrix([group_col], dims.num_rows)
+    dim_bucket_h, firsts = _factorize_rows(keys)
+
+    # fact side: the key scan-output expr must be a valid-everywhere
+    # u64 column (NULL fact keys join by tag in the host engine)
+    scan = base
+    key_out_expr = scan.select_list[bref[1]].expr
+    if not jax_expr.expr_is_device_compatible(key_out_expr):
+        return None
+    if key_out_expr.return_type() not in (SType.UINT64, SType.TIMESTAMP64):
+        return None
+    table = txn.get_table_data(scan.table_name)
+    if table.num_rows == 0 or dims.num_rows == 0:
+        return Relation([sl.column_name() for sl in node.select_list], [], 0)
+    if isinstance(key_out_expr, ColumnReferenceNode):
+        in_name = scan.input_columns[key_out_expr.column_index][0]
+        src = table.columns[table.names.index(in_name)]
+        if not src.valid.all():
+            return None
+    else:
+        return None  # only plain key columns prove non-NULL cheaply
+
+    for sl in scan.select_list:
+        if not jax_expr.expr_is_device_compatible(sl.expr):
+            return None
+    if scan.where_expr is not None and not jax_expr.expr_is_device_compatible(
+        scan.where_expr
+    ):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+
+    from eventql_tpu.kernels.groupby import masked_grouped_aggregate
+    from eventql_tpu.kernels.join import (
+        MAX_COMPARE_DIMS,
+        build_side,
+        dim_fingerprints_unique,
+        dim_join_gather,
+        pallas_dim_join_gid,
+    )
+
+    in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
+    n = table.num_rows
+    use_compare = (
+        jax.default_backend() == "tpu"
+        and dims.num_rows <= MAX_COMPARE_DIMS
+        and dim_fingerprints_unique(dim_keys_h)
+    )
+    dim_keys_d = jnp.asarray(dim_keys_h)
+    dim_bucket_d = jnp.asarray(dim_bucket_h.astype(np.int32))
+
+    def program():
+        scan_cols = [
+            jax_expr.compile_expr(sl.expr, in_cols, n)
+            for sl in scan.select_list
+        ]
+        mask = jnp.ones((n,), jnp.bool_)
+        if scan.where_expr is not None:
+            mask &= jax_expr.compile_expr(scan.where_expr, in_cols, n).data
+        if where_base is not None:
+            mask &= jax_expr.compile_expr(where_base, scan_cols, n).data
+
+        fact_keys = scan_cols[bref[1]].data.astype(jnp.uint64)
+        if use_compare:
+            gid = pallas_dim_join_gid(fact_keys, dim_keys_d, dim_bucket_d)
+            matched = gid >= 0
+            gid = jnp.maximum(gid, 0)
+        else:
+            sk, perm = build_side(dim_keys_d)
+            idx, matched = dim_join_gather(sk, perm, fact_keys)
+            gid = dim_bucket_d[jnp.maximum(idx, 0)]
+
+        m = mask & matched
+        vals, kinds = [], []
+        for _a, kind, rsubj in all_aggs:
+            if kind == "count":
+                vals.append(jnp.zeros((n,), jnp.uint64))
+                kinds.append("count")
+            elif kind == "count_nonnull":
+                subj = jax_expr.compile_expr(rsubj, scan_cols, n)
+                vals.append(subj.valid.astype(jnp.uint64))
+                kinds.append("sum")
+            else:
+                vals.append(jax_expr.compile_expr(rsubj, scan_cols, n).data)
+                kinds.append(kind)
+        if not vals:
+            vals = [jnp.zeros((n,), jnp.uint64)]
+            kinds = ["count"]
+
+        gk, aggs_out, first_idx, ng = masked_grouped_aggregate(
+            m, (gid.astype(jnp.uint64),), tuple(vals), tuple(kinds)
+        )
+        return gk[0], aggs_out, first_idx, ng
+
+    gk, aggs_out, first_idx, ng = jax.jit(program)()
+    ng = int(ng)
+
+    # present buckets in first-surviving-pair order (base-row-major,
+    # like the reference's probe loop)
+    from eventql_tpu.exec.relation import dtype_for
+    from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
+
+    first_h = np.asarray(first_idx[:ng])
+    order = np.argsort(first_h, kind="stable")
+    buckets = np.asarray(gk[:ng]).astype(np.int64)[order]
+
+    agg_cols: List[Column] = []
+    for (a, _kind, _subj), out in zip(all_aggs, aggs_out):
+        rtype = a.sfunction.return_type
+        arr = np.asarray(out[:ng])[order]
+        agg_cols.append(
+            Column(rtype, arr.astype(dtype_for(rtype)), np.ones(ng, bool))
+        )
+
+    group_out = group_col.gather(firsts[buckets])
+
+    out_cols: List[Column] = []
+    for kind, expr, base_i in entries:
+        if kind == "agg":
+            ctx = EvalContext(agg_cols[base_i:], ng)
+            out_cols.append(evaluate_vector(expr, ctx))
+        else:
+            out_cols.append(group_out)
+    names = [sl.column_name() for sl in node.select_list]
+    return Relation(names, out_cols, ng)

@@ -703,10 +703,14 @@ def _exec_group_by_impl(node: qn.GroupByNode, txn) -> Relation:
         from eventql_tpu.exec.device_exec import (
             device_plan_eligible,
             execute_device_groupby,
+            try_execute_device_join_groupby,
             try_execute_pallas_string_groupby,
         )
 
         result = try_execute_pallas_string_groupby(node, txn)
+        if result is not None:
+            return result
+        result = try_execute_device_join_groupby(node, txn)
         if result is not None:
             return result
         if device_plan_eligible(node):

@@ -139,3 +139,107 @@ def test_string_key_pallas_route_is_taken():
     stmts = Parser().parse("select city, sum(v) from t group by city;")
     node = QueryPlanBuilder().build(stmts[0], txn.tables)
     assert try_execute_pallas_string_groupby(node, txn) is not None
+
+
+# -- JOIN ... GROUP BY device route ------------------------------------
+def _make_join_tables(n=4000, ndim=64, seed=13, null_fact_keys=False,
+                      dup_dim_keys=False):
+    rng = np.random.default_rng(seed)
+    dim_keys = rng.permutation(np.arange(ndim, dtype=np.uint64) * 13 + 7)
+    if dup_dim_keys:
+        dim_keys[1] = dim_keys[0]
+    buckets = np.array(
+        [f"r{i % 7}".encode() for i in range(ndim)], dtype=object
+    )
+    fact_keys = rng.integers(0, ndim * 2, n).astype(np.uint64) * 13 + 7
+    fact_vals = rng.integers(0, 1000, n).astype(np.uint64)
+    fvalid = rng.random(n) < 0.9
+    kvalid = (
+        rng.random(n) < 0.95 if null_fact_keys else np.ones(n, bool)
+    )
+    facts = Relation(
+        ["k", "v"],
+        [
+            Column(SType.UINT64, fact_keys, kvalid),
+            Column(
+                SType.UINT64,
+                np.where(fvalid, fact_vals, 0).astype(np.uint64),
+                fvalid,
+            ),
+        ],
+        n,
+    )
+    dims = Relation(
+        ["k", "region"],
+        [
+            Column(SType.UINT64, dim_keys, np.ones(ndim, bool)),
+            Column.from_strings(list(buckets)),
+        ],
+        ndim,
+    )
+    p = RelationTableProvider()
+    p.add_table("f", rel=facts)
+    p.add_table("d", rel=dims)
+    return p
+
+
+JOIN_QUERIES = [
+    "select d.region, count(1), sum(f.v) from f join d on f.k = d.k"
+    " group by d.region order by d.region;",
+    "select d.region, count(f.v) from f join d on f.k = d.k"
+    " where f.v < 700 group by d.region order by d.region;",
+    "select d.region, sum(f.v + 1) from f join d on f.k = d.k"
+    " group by d.region order by 2 desc, d.region;",
+    "select d.region, min(f.v), max(f.v), mean(f.v) from f"
+    " join d on f.k = d.k group by d.region order by d.region;",
+]
+
+
+def _run_join(query, device: bool, **tbl_kwargs):
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    os.environ["EVENTQL_TPU_DEVICE"] = "1" if device else "0"
+    try:
+        p = _make_join_tables(**tbl_kwargs)
+        rt = Runtime()
+        txn = rt.new_transaction(p)
+        return rt.build_query_plan(txn, query).execute(0).rows
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+
+
+@pytest.mark.parametrize("query", JOIN_QUERIES)
+def test_device_join_groupby_matches_host(query):
+    assert _run_join(query, False) == _run_join(query, True)
+
+
+def test_device_join_route_is_taken():
+    from unittest import mock
+
+    from eventql_tpu.exec import device_exec
+
+    called = []
+    real = device_exec.try_execute_device_join_groupby
+
+    def spy(node, txn):
+        out = real(node, txn)
+        called.append(out is not None)
+        return out
+
+    with mock.patch.object(
+        device_exec, "try_execute_device_join_groupby", spy
+    ):
+        rows = _run_join(JOIN_QUERIES[0], True)
+    assert called and called[0] is True
+    assert rows  # non-empty join result
+
+
+def test_device_join_falls_back_on_null_or_dup_keys():
+    """NULL fact keys join by tag in the host engine; duplicate dim
+    keys fan out — both shapes must take the host path and still agree
+    (i.e. the device run returns host-exact rows via fallback)."""
+    q = JOIN_QUERIES[0]
+    for kwargs in ({"null_fact_keys": True}, {"dup_dim_keys": True}):
+        assert _run_join(q, False, **kwargs) == _run_join(q, True, **kwargs)
