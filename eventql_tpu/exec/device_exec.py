@@ -662,6 +662,8 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
             rewritten = []
             for a in aggs:
                 kind = a.sfunction.aggregate.kind
+                if kind not in _DEVICE_AGGS:
+                    return None  # e.g. count_distinct: host path
                 subj = (
                     _count_subject(a) if kind == "count" else
                     (a.args[0] if a.args else None)

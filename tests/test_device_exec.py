@@ -243,3 +243,9 @@ def test_device_join_falls_back_on_null_or_dup_keys():
     q = JOIN_QUERIES[0]
     for kwargs in ({"null_fact_keys": True}, {"dup_dim_keys": True}):
         assert _run_join(q, False, **kwargs) == _run_join(q, True, **kwargs)
+
+
+def test_device_join_falls_back_on_count_distinct():
+    q = ("select d.region, count_distinct(f.v) from f join d on"
+         " f.k = d.k group by d.region order by d.region;")
+    assert _run_join(q, False) == _run_join(q, True)
