@@ -29,7 +29,7 @@ from eventql_tpu.plan.exprs import (
     has_aggregate_call,
 )
 
-_DEVICE_AGGS = {"sum", "count", "min", "max", "mean"}
+_DEVICE_AGGS = {"sum", "count", "count_distinct", "min", "max", "mean"}
 
 
 def device_plan_eligible(node) -> bool:
@@ -417,21 +417,32 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
                 )
             ]
 
-        # aggregate inputs
+        # aggregate inputs; count_distinct runs its own sort pass and
+        # merges back positionally (group order is shared — both sort
+        # by the same keys)
         vals = []
         kinds = []
+        positions = []  # (slot, "main"|"distinct", idx)
+        distinct_vals = []
         for a, kind in zip(all_aggs, agg_kinds):
             if kind == "count":
+                positions.append(("main", len(vals)))
                 vals.append(jnp.zeros((n,), jnp.uint64))
                 kinds.append("count")
             elif kind == "count_nonnull":
                 subj = jax_expr.compile_expr(
                     _count_subject(a), scan_cols, n
                 )
+                positions.append(("main", len(vals)))
                 vals.append(subj.valid.astype(jnp.uint64))
                 kinds.append("sum")
+            elif kind == "count_distinct":
+                c = jax_expr.compile_expr(a.args[0], scan_cols, n)
+                positions.append(("distinct", len(distinct_vals)))
+                distinct_vals.append(c.data)
             else:
                 c = jax_expr.compile_expr(a.args[0], scan_cols, n)
+                positions.append(("main", len(vals)))
                 vals.append(c.data)
                 kinds.append(kind)
         if not vals:
@@ -450,8 +461,25 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
         # null tag as an extra key column per key
         null_keys = tuple((~k.valid).astype(jnp.uint64) for k in key_cols)
 
-        gk, aggs_out, first_idx, ng = masked_grouped_aggregate(
+        gk, main_out, first_idx, ng = masked_grouped_aggregate(
             mask, key_arrays + null_keys, tuple(vals), tuple(kinds)
+        )
+        if distinct_vals:
+            from eventql_tpu.kernels.groupby import (
+                masked_grouped_count_distinct,
+            )
+
+            distinct_out = [
+                masked_grouped_count_distinct(
+                    mask, key_arrays + null_keys, dv
+                )
+                for dv in distinct_vals
+            ]
+        else:
+            distinct_out = []
+        aggs_out = tuple(
+            main_out[idx] if which == "main" else distinct_out[idx]
+            for which, idx in positions
         )
         return gk, aggs_out, first_idx, ng, [c.data for c in scan_cols], [
             c.valid for c in scan_cols
@@ -778,23 +806,46 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
 
         m = mask & matched
         vals, kinds = [], []
+        positions = []
+        distinct_vals = []
         for _a, kind, rsubj in all_aggs:
             if kind == "count":
+                positions.append(("main", len(vals)))
                 vals.append(jnp.zeros((n,), jnp.uint64))
                 kinds.append("count")
             elif kind == "count_nonnull":
                 subj = jax_expr.compile_expr(rsubj, scan_cols, n)
+                positions.append(("main", len(vals)))
                 vals.append(subj.valid.astype(jnp.uint64))
                 kinds.append("sum")
+            elif kind == "count_distinct":
+                positions.append(("distinct", len(distinct_vals)))
+                distinct_vals.append(
+                    jax_expr.compile_expr(rsubj, scan_cols, n).data
+                )
             else:
+                positions.append(("main", len(vals)))
                 vals.append(jax_expr.compile_expr(rsubj, scan_cols, n).data)
                 kinds.append(kind)
         if not vals:
             vals = [jnp.zeros((n,), jnp.uint64)]
             kinds = ["count"]
 
-        gk, aggs_out, first_idx, ng = masked_grouped_aggregate(
-            m, (gid.astype(jnp.uint64),), tuple(vals), tuple(kinds)
+        key = (gid.astype(jnp.uint64),)
+        gk, main_out, first_idx, ng = masked_grouped_aggregate(
+            m, key, tuple(vals), tuple(kinds)
+        )
+        from eventql_tpu.kernels.groupby import (
+            masked_grouped_count_distinct,
+        )
+
+        distinct_out = [
+            masked_grouped_count_distinct(m, key, dv)
+            for dv in distinct_vals
+        ]
+        aggs_out = tuple(
+            main_out[idx] if which == "main" else distinct_out[idx]
+            for which, idx in positions
         )
         return gk[0], aggs_out, first_idx, ng
 

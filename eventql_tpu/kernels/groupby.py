@@ -250,3 +250,44 @@ def masked_grouped_aggregate(
         outs.append(out)
 
     return group_keys, tuple(outs), first_index, num_groups
+
+
+def masked_grouped_count_distinct(
+    mask: jax.Array,
+    key_arrays: Tuple[jax.Array, ...],
+    values: jax.Array,
+):
+    """Per group: the number of distinct value payloads among masked-in
+    rows (the reference's count_distinct is an exact hash-set per
+    group, sql/expressions/aggregate.cc:74-120; the host engine
+    np.uniques (gid, value) pairs). One extra sort keyed by
+    (keys..., value); group order and count match
+    masked_grouped_aggregate exactly (same key sort), so outputs align
+    positionally with its groups."""
+    n = key_arrays[0].shape[0]
+    sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    keyed = tuple(
+        jnp.where(mask, sortable_u64(k), sentinel) for k in key_arrays
+    )
+    vkey = jnp.where(mask, sortable_u64(values), sentinel)
+    iota = jnp.arange(n, dtype=jnp.int64)
+    sorted_ops = jax.lax.sort(
+        list(keyed) + [vkey, iota], num_keys=len(keyed) + 1
+    )
+    skeys, svals, perm = sorted_ops[:-2], sorted_ops[-2], sorted_ops[-1]
+    mask_sorted = mask[perm]
+
+    group_diff = jnp.zeros(n, dtype=jnp.bool_)
+    for sk in skeys:
+        group_diff = group_diff | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        )
+    val_diff = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), svals[1:] != svals[:-1]]
+    )
+    new_distinct = (group_diff | val_diff) & mask_sorted
+    gid = jnp.cumsum(group_diff.astype(jnp.int64)) - 1
+    counts = jax.ops.segment_sum(
+        new_distinct.astype(jnp.uint64), gid, num_segments=n
+    )
+    return counts

@@ -42,6 +42,7 @@ QUERIES = [
     "select k, sum(f), min(f), max(f) from t group by k order by k;",
     "select k % 5, sum(v + 1) from t where v < 500 group by k % 5 order by 2 desc;",
     "select sum(v) + count(1) from t where k > 10;",
+    "select k, count_distinct(v) from t group by k order by k;",
 ]
 
 
@@ -245,7 +246,7 @@ def test_device_join_falls_back_on_null_or_dup_keys():
         assert _run_join(q, False, **kwargs) == _run_join(q, True, **kwargs)
 
 
-def test_device_join_falls_back_on_count_distinct():
+def test_device_join_count_distinct_matches_host():
     q = ("select d.region, count_distinct(f.v) from f join d on"
          " f.k = d.k group by d.region order by d.region;")
     assert _run_join(q, False) == _run_join(q, True)
