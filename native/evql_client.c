@@ -25,6 +25,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <sys/socket.h>
+#include <sys/time.h>
 #include <unistd.h>
 
 #define OP_HELLO 0x5e00
@@ -63,7 +64,21 @@ struct evql_client_s {
   size_t* row_offsets; /* start offset of each row in payload */
   int pending_stmt;
   int result_valid;
+  /* options (evql_client_setopt) */
+  uint64_t timeout_us;
+  uint64_t batch_size;
+  /* progress stats from QUERY_PROGRESS frames (evql_client_getstat) */
+  uint64_t progress_num_rows_modified;
+  uint64_t progress_num_rows_scanned;
+  uint64_t progress_num_bytes_scanned;
+  uint64_t progress_permill;
+  uint64_t progress_elapsed_ms;
+  uint64_t progress_eta_ms;
+  void (*progress_cb)(evql_client_t*, void*);
+  void* progress_cb_opaque;
 };
+
+static int evql_client_handshake(evql_client_t* client, int fd);
 
 /* -- wire helpers --------------------------------------------------------- */
 
@@ -207,6 +222,20 @@ int evql_client_connect(evql_client_t* client, const char* host,
     evql_client_setauth(client, "database", 8, database, strlen(database), 0);
   }
 
+  return evql_client_handshake(client, fd);
+}
+
+/* HELLO handshake over an already-connected socket (shared by
+ * evql_client_connect and evql_client_connectfd —
+ * reference: client.c:1055-1075). */
+static int evql_client_handshake(evql_client_t* client, int fd) {
+  if (client->timeout_us) {
+    struct timeval tv;
+    tv.tv_sec = (time_t)(client->timeout_us / 1000000);
+    tv.tv_usec = (suseconds_t)(client->timeout_us % 1000000);
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof(tv));
+  }
   /* HELLO */
   unsigned char buf[2048];
   size_t pos = 0;
@@ -342,7 +371,27 @@ static int read_result(evql_client_t* client) {
       set_error(client, "connection lost", 15);
       return -1;
     }
-    if (opcode == OP_HEARTBEAT || opcode == OP_QUERY_PROGRESS) {
+    if (opcode == OP_QUERY_PROGRESS) {
+      /* varints: rows_modified, rows_scanned, bytes_scanned, permill,
+       * elapsed_ms, eta_ms (reference: frames/query_progress.cc:63-70) */
+      size_t pp = 0;
+      uint64_t v[6] = {0, 0, 0, 0, 0, 0};
+      for (int i = 0; i < 6; i++) {
+        if (varint_decode(payload, plen, &pp, &v[i])) break;
+      }
+      client->progress_num_rows_modified = v[0];
+      client->progress_num_rows_scanned = v[1];
+      client->progress_num_bytes_scanned = v[2];
+      client->progress_permill = v[3];
+      client->progress_elapsed_ms = v[4];
+      client->progress_eta_ms = v[5];
+      if (client->progress_cb) {
+        client->progress_cb(client, client->progress_cb_opaque);
+      }
+      free(payload);
+      continue;
+    }
+    if (opcode == OP_HEARTBEAT) {
       free(payload);
       continue;
     }
@@ -368,21 +417,30 @@ static int read_result(evql_client_t* client) {
 
 int evql_query(evql_client_t* client, const char* query_string,
                const char* database, long flags) {
-  (void)database;
-  (void)flags;
   if (client->fd < 0) {
     set_error(client, "not connected", 13);
     return -1;
   }
+  uint64_t qflags = (uint64_t)flags;
+  size_t dlen = 0;
+  if (database && *database) {
+    qflags |= 0x1; /* EVQL_QUERY_SWITCHDB */
+    dlen = strlen(database);
+  }
   size_t qlen = strlen(query_string);
-  unsigned char* buf = (unsigned char*)malloc(qlen + 32);
+  unsigned char* buf = (unsigned char*)malloc(qlen + dlen + 48);
   if (!buf) return -1;
   size_t pos = 0;
   pos += varint_encode(qlen, buf + pos);
   memcpy(buf + pos, query_string, qlen);
   pos += qlen;
-  pos += varint_encode(0, buf + pos); /* flags */
+  pos += varint_encode(qflags, buf + pos); /* flags */
   pos += varint_encode(0, buf + pos); /* maxrows */
+  if (qflags & 0x1) {
+    pos += varint_encode(dlen, buf + pos);
+    memcpy(buf + pos, database, dlen);
+    pos += dlen;
+  }
   int rc = send_frame(client->fd, OP_QUERY, 0, buf, pos);
   free(buf);
   if (rc) {
@@ -462,4 +520,181 @@ void evql_client_destroy(evql_client_t* client) {
   evql_client_releasebuffers(client);
   free(client->authdata);
   free(client);
+}
+
+
+/* -- options / stats / progress / connectfd --------------------------------
+ * (reference: client.c:964-1005 setopt, :1055-1075 connectfd,
+ *  :1248-1266 getstat, eventql.h:144-157 option/stat ids) */
+
+int evql_client_setopt(
+    evql_client_t* client,
+    int opt,
+    const char* val,
+    size_t val_len,
+    long flags) {
+  (void)flags;
+  switch (opt) {
+    case EVQL_CLIENT_OPT_TIMEOUT:
+      if (val_len == sizeof(uint64_t)) {
+        memcpy(&client->timeout_us, val, sizeof(uint64_t));
+        if (client->fd >= 0) {
+          struct timeval tv;
+          tv.tv_sec = (time_t)(client->timeout_us / 1000000);
+          tv.tv_usec = (suseconds_t)(client->timeout_us % 1000000);
+          setsockopt(client->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+          setsockopt(client->fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof(tv));
+        }
+        return 0;
+      }
+      set_error(client, "invalid option value", 20);
+      return -1;
+    case EVQL_CLIENT_OPT_ROWBUFLEN:
+      if (val_len == sizeof(uint64_t)) {
+        memcpy(&client->batch_size, val, sizeof(uint64_t));
+        return 0;
+      }
+      set_error(client, "invalid option value", 20);
+      return -1;
+    default:
+      set_error(client, "invalid option", 14);
+      return -1;
+  }
+}
+
+int evql_client_connectfd(evql_client_t* client, int fd, long flags) {
+  (void)flags;
+  if (client->fd >= 0) {
+    close(client->fd);
+    client->fd = -1;
+  }
+  return evql_client_handshake(client, fd);
+}
+
+void evql_client_setprogresscb(
+    evql_client_t* client,
+    void (*cb)(evql_client_t* client, void* privdata),
+    void* privdata) {
+  client->progress_cb = cb;
+  client->progress_cb_opaque = privdata;
+}
+
+uint64_t evql_client_getstat(evql_client_t* client, uint64_t stat) {
+  switch (stat) {
+    case EVQL_STAT_ROWSMODIFIED:
+      return client->progress_num_rows_modified;
+    case EVQL_STAT_ROWSSCANNED:
+      return client->progress_num_rows_scanned;
+    case EVQL_STAT_BYTESSCANNED:
+      return client->progress_num_bytes_scanned;
+    case EVQL_STAT_PROGRESSPERMILL:
+      return client->progress_permill;
+    case EVQL_STAT_TIMEELAPSED_MS:
+      return client->progress_elapsed_ms;
+    case EVQL_STAT_ETA_MS:
+      return client->progress_eta_ms;
+  }
+  return 0;
+}
+
+/* -- evql_conf: layered key=value config (reference: evql_conf_t,
+ * eventql.h:306-345 — defaults <- ini file <- explicit sets) ------------- */
+
+struct evql_conf_s {
+  char** keys;
+  char** vals;
+  size_t n;
+  size_t cap;
+};
+
+evql_conf_t* evql_conf_init() {
+  return (evql_conf_t*)calloc(1, sizeof(evql_conf_t));
+}
+
+void evql_conf_free(evql_conf_t* conf) {
+  if (!conf) return;
+  for (size_t i = 0; i < conf->n; i++) {
+    free(conf->keys[i]);
+    free(conf->vals[i]);
+  }
+  free(conf->keys);
+  free(conf->vals);
+  free(conf);
+}
+
+int evql_conf_set(evql_conf_t* conf, const char* key, const char* value) {
+  for (size_t i = 0; i < conf->n; i++) {
+    if (!strcmp(conf->keys[i], key)) {
+      free(conf->vals[i]);
+      conf->vals[i] = strdup(value);
+      return 0;
+    }
+  }
+  if (conf->n == conf->cap) {
+    size_t cap = conf->cap ? conf->cap * 2 : 16;
+    char** k = (char**)realloc(conf->keys, cap * sizeof(char*));
+    char** v = (char**)realloc(conf->vals, cap * sizeof(char*));
+    if (!k || !v) return -1;
+    conf->keys = k;
+    conf->vals = v;
+    conf->cap = cap;
+  }
+  conf->keys[conf->n] = strdup(key);
+  conf->vals[conf->n] = strdup(value);
+  conf->n++;
+  return 0;
+}
+
+const char* evql_conf_get(evql_conf_t* conf, const char* key) {
+  for (size_t i = 0; i < conf->n; i++) {
+    if (!strcmp(conf->keys[i], key)) return conf->vals[i];
+  }
+  return NULL;
+}
+
+/* load an ini file: "key = value" lines, [section] prefixes keys with
+ * "section." (reference parses with inih; same observable mapping) */
+int evql_conf_load(evql_conf_t* conf, const char* fpath) {
+  FILE* f = fopen(fpath, "r");
+  if (!f) return -1;
+  char line[4096];
+  char section[256] = "";
+  while (fgets(line, sizeof(line), f)) {
+    char* p = line;
+    while (*p == ' ' || *p == '\t') p++;
+    if (*p == '#' || *p == ';' || *p == '\n' || *p == '\0') continue;
+    if (*p == '[') {
+      char* end = strchr(p, ']');
+      if (end) {
+        size_t len = (size_t)(end - p - 1);
+        if (len >= sizeof(section)) len = sizeof(section) - 1;
+        memcpy(section, p + 1, len);
+        section[len] = '\0';
+      }
+      continue;
+    }
+    char* eq = strchr(p, '=');
+    if (!eq) continue;
+    char* kend = eq;
+    while (kend > p && (kend[-1] == ' ' || kend[-1] == '\t')) kend--;
+    char key[512];
+    size_t klen = (size_t)(kend - p);
+    if (*section) {
+      snprintf(key, sizeof(key), "%s.%.*s", section, (int)klen, p);
+    } else {
+      snprintf(key, sizeof(key), "%.*s", (int)klen, p);
+    }
+    char* v = eq + 1;
+    while (*v == ' ' || *v == '\t') v++;
+    char* vend = v + strlen(v);
+    while (vend > v && (vend[-1] == '\n' || vend[-1] == '\r' ||
+                        vend[-1] == ' ' || vend[-1] == '\t')) vend--;
+    *vend = '\0';
+    if (evql_conf_set(conf, key, v)) {
+      fclose(f);
+      return -1;
+    }
+  }
+  fclose(f);
+  return 0;
 }

@@ -68,3 +68,98 @@ def test_c_client_auth():
         c.close()
     finally:
         server.stop()
+
+
+def _lib():
+    from eventql_tpu.client.cclient import _load
+
+    return _load()
+
+
+def test_c_client_setopt_and_getstat(server):
+    """evql_client_setopt(TIMEOUT/ROWBUFLEN) + evql_client_getstat
+    (reference: client.c:964-1005, :1248-1266)."""
+    import ctypes
+    import struct
+
+    lib = _lib()
+    lib.evql_client_setopt.restype = ctypes.c_int
+    lib.evql_client_setopt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_long,
+    ]
+    lib.evql_client_getstat.restype = ctypes.c_uint64
+    lib.evql_client_getstat.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+
+    c = CClient("127.0.0.1", server.port)
+    val = struct.pack("<Q", 5_000_000)
+    assert lib.evql_client_setopt(c._c, 1, val, 8, 0) == 0  # TIMEOUT
+    assert lib.evql_client_setopt(c._c, 2, val, 8, 0) == 0  # ROWBUFLEN
+    assert lib.evql_client_setopt(c._c, 1, b"xx", 2, 0) == -1
+    assert lib.evql_client_setopt(c._c, 99, val, 8, 0) == -1
+    # stats default to 0 before any progress frame
+    assert lib.evql_client_getstat(c._c, 0x4) == 0
+    # queries still work with the timeout set
+    assert c.query("select 1 as x;") == [(["x"], [["1"]])]
+    c.close()
+
+
+def test_c_client_connectfd(server):
+    """evql_client_connectfd adopts a connected socket and handshakes
+    (reference: client.c:1055-1075)."""
+    import ctypes
+    import socket
+
+    lib = _lib()
+    lib.evql_client_connectfd.restype = ctypes.c_int
+    lib.evql_client_connectfd.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_long,
+    ]
+    sock = socket.create_connection(("127.0.0.1", server.port))
+    raw = lib.evql_client_init()
+    try:
+        rc = lib.evql_client_connectfd(raw, sock.detach(), 0)
+        assert rc == 0
+        c = CClient.__new__(CClient)
+        c._c = raw
+        c._lib = lib
+        assert c.query("select 41 + 1 as answer;") == [
+            (["answer"], [["42"]])
+        ]
+    finally:
+        lib.evql_client_close(raw)
+        lib.evql_client_destroy(raw)
+
+
+def test_c_conf_api(tmp_path):
+    """evql_conf_*: layered key=value config with ini loading
+    (reference: eventql.h:306-345)."""
+    import ctypes
+
+    lib = _lib()
+    lib.evql_conf_init.restype = ctypes.c_void_p
+    lib.evql_conf_set.restype = ctypes.c_int
+    lib.evql_conf_set.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.evql_conf_get.restype = ctypes.c_char_p
+    lib.evql_conf_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.evql_conf_load.restype = ctypes.c_int
+    lib.evql_conf_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.evql_conf_free.restype = None
+    lib.evql_conf_free.argtypes = [ctypes.c_void_p]
+
+    conf = lib.evql_conf_init()
+    assert lib.evql_conf_set(conf, b"server.datadir", b"/tmp/x") == 0
+    assert lib.evql_conf_get(conf, b"server.datadir") == b"/tmp/x"
+    # ini layering: file values override
+    ini = tmp_path / "evql.conf"
+    ini.write_text(
+        "# comment\n[server]\ndatadir = /data/evql\nindexbuild_threads=2\n"
+        "[cluster]\nname = prod\n"
+    )
+    assert lib.evql_conf_load(conf, str(ini).encode()) == 0
+    assert lib.evql_conf_get(conf, b"server.datadir") == b"/data/evql"
+    assert lib.evql_conf_get(conf, b"server.indexbuild_threads") == b"2"
+    assert lib.evql_conf_get(conf, b"cluster.name") == b"prod"
+    assert lib.evql_conf_get(conf, b"missing") is None
+    lib.evql_conf_free(conf)
