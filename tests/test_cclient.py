@@ -163,3 +163,28 @@ def test_c_conf_api(tmp_path):
     assert lib.evql_conf_get(conf, b"cluster.name") == b"prod"
     assert lib.evql_conf_get(conf, b"missing") is None
     lib.evql_conf_free(conf)
+
+
+def test_embedded_server_c_api():
+    """The evql_server_* C API (reference: eventql.h:340-408): a pure-C
+    program boots the full server in-process, connects with the C
+    client, and runs DDL+DML+query end to end."""
+    import os
+    import subprocess
+
+    binary = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "build", "embedded_server_smoke",
+    )
+    if not os.path.exists(binary):
+        pytest.skip("embedded server binary not built")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [binary], capture_output=True, text=True, timeout=120, env=env
+    )
+    assert out.returncode == 0, out.stderr
+    assert "embedded server smoke OK" in out.stdout
