@@ -10,7 +10,9 @@ fixed-width accumulator tables over ICI, and a replicated merge — the
 collective plays the role of the QUERY_PARTIALAGGR RPC fan-out.
 
 Merge kinds mirror VM::mergeInstance (reference: sql/runtime/vm.cc:
-274-326): count partials merge by sum; sum by sum; min/max by min/max.
+274-326): count partials merge by sum; sum by sum; min/max by min/max;
+count_distinct exchanges locally-deduplicated pair tables
+(distributed_count_distinct) like the reference's hash-set union.
 """
 
 from __future__ import annotations
@@ -364,3 +366,79 @@ def distributed_join_aggregate(
         return jax.lax.psum(counts, axis), jax.lax.psum(sums, axis)
 
     return step(fact_keys, fact_values, fact_mask, dim_keys, dim_bucket)
+
+
+def distributed_count_distinct(
+    mesh: Mesh,
+    mask,
+    key_arrays: Tuple[jax.Array, ...],
+    values,
+    axis: str = "shards",
+):
+    """Exact distributed COUNT(DISTINCT value) GROUP BY keys over a
+    sharded table. Each shard first deduplicates its local
+    (keys, value) pairs (one sort), then the deduplicated pair tables
+    all-gather over ICI and a replicated pass recounts global
+    distincts — the reference ships serialized per-shard hash SETS and
+    unions them on the coordinator (count_distinct accumulator merge,
+    sql/expressions/aggregate.cc:74-120 + groupby.cc mergeInstance);
+    the local dedup plays the role of the per-shard set, bounding the
+    exchange at the deduplicated size.
+
+    Returns (group_keys, distinct_counts, valid_mask), replicated.
+    """
+    from eventql_tpu.kernels.groupby import (
+        masked_grouped_aggregate,
+        masked_grouped_count_distinct,
+        sortable_u64,
+    )
+
+    nkeys = len(key_arrays)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), tuple(P(axis) for _ in key_arrays), P(axis)),
+        out_specs=(tuple(P() for _ in key_arrays), P(), P()),
+        check_vma=False,
+    )
+    def step(mask_l, keys_l, vals_l):
+        n_local = keys_l[0].shape[0]
+        # local dedup: sort (keys..., value), keep first of each run
+        sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        keyed = [
+            jnp.where(mask_l, sortable_u64(k), sentinel) for k in keys_l
+        ] + [jnp.where(mask_l, sortable_u64(vals_l), sentinel)]
+        iota = jnp.arange(n_local, dtype=jnp.int64)
+        sorted_ops = jax.lax.sort(
+            keyed + [iota], num_keys=len(keyed)
+        )
+        perm = sorted_ops[-1]
+        diff = jnp.zeros(n_local, dtype=jnp.bool_)
+        for sk in sorted_ops[:-1]:
+            diff = diff | jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+            )
+        keep = diff & mask_l[perm]
+        keys_dedup = tuple(k[perm] for k in keys_l)
+        vals_dedup = vals_l[perm]
+
+        # exchange deduplicated pair tables over ICI
+        keep_all = jax.lax.all_gather(keep, axis, tiled=True)
+        keys_all = tuple(
+            jax.lax.all_gather(k, axis, tiled=True) for k in keys_dedup
+        )
+        vals_all = jax.lax.all_gather(vals_dedup, axis, tiled=True)
+
+        # replicated: global distinct count per group (cross-shard
+        # duplicates collapse here) + the group key table
+        counts = masked_grouped_count_distinct(
+            keep_all, keys_all, vals_all
+        )
+        gk, _aggs, _first, ng = masked_grouped_aggregate(
+            keep_all, keys_all, (vals_all,), ("count",)
+        )
+        valid = jnp.arange(keep_all.shape[0], dtype=jnp.int64) < ng
+        return gk, counts, valid
+
+    return step(mask, tuple(key_arrays), values)

@@ -166,3 +166,30 @@ def test_distributed_multi_join_compare_probe_ring():
         fk1, fk2, fv, fm, d1_keys, d1_bucket, d2_keys, d2_flag, K
     )
     assert out["search"] == (list(exp[0]), list(exp[1]))
+
+
+def test_distributed_count_distinct_exact():
+    """Exact COUNT(DISTINCT v) GROUP BY k over the mesh: local dedup +
+    all-gather + replicated recount collapses cross-shard duplicates."""
+    from eventql_tpu.parallel.distributed import distributed_count_distinct
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    n = 8 * 2048
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 9, n).astype(np.uint64)
+    vals = rng.integers(0, 40, n).astype(np.uint64)  # heavy duplication
+    mask = rng.random(n) < 0.85
+
+    k_d, v_d, m_d = shard_table(mesh, [keys, vals, mask])
+    gk, counts, valid = distributed_count_distinct(mesh, m_d, (k_d,), v_d)
+    got = {}
+    gk0, counts_h, valid_h = map(np.asarray, (gk[0], counts, valid))
+    for i in range(len(valid_h)):
+        if valid_h[i]:
+            got[int(gk0[i])] = int(counts_h[i])
+    exp = {}
+    for k, v, m in zip(keys, vals, mask):
+        if m:
+            exp.setdefault(int(k), set()).add(int(v))
+    assert got == {k: len(s) for k, s in exp.items()}
