@@ -271,6 +271,11 @@ class ZooKeeperClient:
             self._pending[xid] = slot
             _send_frame(self._sock, struct.pack(">ii", xid, op) + body)
         if not ev.wait(timeout=30):
+            # drop the slot: a late reply must not signal an abandoned
+            # event, and long-lived pooled sessions must not leak one
+            # pending entry per timeout
+            with self._lock:
+                self._pending.pop(xid, None)
             raise ZKError(-4, "zookeeper request timeout")
         if slot[1] is None:
             raise ConnectionError("zookeeper connection lost")
@@ -380,6 +385,17 @@ class ZooKeeperServer:
         self._sock: Optional[socket.socket] = None
         self._accept_thread: Optional[threading.Thread] = None
         self._stopped = False
+        # watch notifications dispatch OFF the server lock: every op
+        # runs under self._lock, so a sendall to one slow/stalled
+        # watcher in _fire would freeze all coordination (liveness,
+        # leader election, CAS) behind the lock
+        import queue as _queue
+
+        self._notify_queue: _queue.Queue = _queue.Queue()
+        self._notify_thread = threading.Thread(
+            target=self._notify_loop, daemon=True
+        )
+        self._notify_thread.start()
 
     # -- lifecycle ------------------------------------------------------
     def start(self) -> "ZooKeeperServer":
@@ -433,14 +449,21 @@ class ZooKeeperServer:
 
     def _fire(self, registry: Dict[str, List], path: str, etype: int):
         conns = registry.pop(path, [])
+        if not conns:
+            return
         payload = struct.pack(">iqi", XID_WATCH, self._zxid, ZOK) \
             + struct.pack(">ii", etype, STATE_CONNECTED) + _pack_str(path)
-        for conn_lock, conn in conns:
-            try:
-                with conn_lock:
-                    _send_frame(conn, payload)
-            except OSError:
-                pass
+        self._notify_queue.put((conns, payload))
+
+    def _notify_loop(self):
+        while True:
+            conns, payload = self._notify_queue.get()
+            for conn_lock, conn in conns:
+                try:
+                    with conn_lock:
+                        _send_frame(conn, payload)
+                except OSError:
+                    pass
 
     def _notify_node(self, path: str, etype: int):
         self._fire(self._data_watches, path, etype)

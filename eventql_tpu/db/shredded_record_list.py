@@ -136,21 +136,36 @@ def from_relation(rel, pk_names=None, version: int = 1) -> ShreddedRecordList:
     return out
 
 
-def to_row_dicts(records: ShreddedRecordList) -> List[dict]:
-    """Flat records back to {column: string-or-None} dicts for the
-    insert path (string values re-type through the standard insert
-    coercions)."""
+def to_row_dicts(records: ShreddedRecordList, schema=None) -> List[dict]:
+    """Flat records back to row dicts for the insert path. With a
+    schema ({column: SType}) the wire strings re-type losslessly here
+    (uint64 via int(), not the insert path's float() coercion — which
+    would corrupt keys above 2^53 and leave anti-entropy re-pushing
+    the same rows forever); unknown columns stay strings and re-type
+    through the standard insert coercions."""
+    from eventql_tpu.core.types import SType
+
     nrecs = len(records.record_ids)
     rows = [dict() for _ in range(nrecs)]
+    schema = schema or {}
     for col in records.columns:
         if len(col.values) != nrecs:
             raise ValueError(
                 f"column '{col.column_name}' has {len(col.values)} values "
                 f"for {nrecs} records (nested records not supported here)"
             )
+        want = schema.get(col.column_name)
         for i, (dlvl, _rlvl, value) in enumerate(col.values):
-            if dlvl > 0:
-                rows[i][col.column_name] = value.decode(
-                    "utf-8", "surrogateescape"
-                )
+            if dlvl <= 0:
+                continue
+            s = value.decode("utf-8", "surrogateescape")
+            if want in (SType.UINT64, SType.INT64, SType.TIMESTAMP64):
+                v = int(s)
+            elif want == SType.FLOAT64:
+                v = float(s)
+            elif want == SType.BOOL:
+                v = s == "true"
+            else:
+                v = s
+            rows[i][col.column_name] = v
     return rows

@@ -37,6 +37,11 @@ _TYPE_MAP = {
 }
 
 
+import uuid as _uuid
+
+_BOOT_EPOCH = _uuid.uuid4().hex[:12]
+
+
 def stype_from_name(name: str) -> SType:
     t = _TYPE_MAP.get(name.upper())
     if t is None:
@@ -434,13 +439,15 @@ class TableService(TableProvider):
         return table.to_relation()
 
     def table_version(self, table_name: str) -> str:
-        """Monotone data version (reference analog: the partition
-        snapshot version that keys cached map results and partial
-        aggregates)."""
+        """Data version keying persistent caches (reference analog: the
+        partition snapshot version). The per-process boot epoch makes
+        versions never repeat across restarts — the in-memory mutation
+        counter resets to 0 on reopen, and without the epoch a restart
+        would serve pre-restart cache entries for post-restart data."""
         table = self.tables.get(table_name)
         if table is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
-        return str(table.mutation_count)
+        return f"{_BOOT_EPOCH}-{table.mutation_count}"
 
     def get_reader(self, table_name: str):
         table = self.tables.get(table_name)

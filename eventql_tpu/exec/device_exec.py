@@ -76,9 +76,19 @@ def device_plan_eligible(node) -> bool:
 
             emit = _strip_aggregates(sl.expr, aggs)
             for a in aggs:
-                if a.sfunction.aggregate.kind not in _DEVICE_AGGS:
+                kind = a.sfunction.aggregate.kind
+                if kind not in _DEVICE_AGGS:
                     return False
                 if a.args and not jax_expr.expr_is_device_compatible(a.args[0]):
+                    return False
+                if (
+                    kind == "count_distinct"
+                    and a.args
+                    and a.args[0].return_type() == SType.FLOAT64
+                ):
+                    # host truncates float payloads with np.uint64 C
+                    # casts; the device bitcast would count bit
+                    # patterns — parity requires the host path
                     return False
             if not jax_expr.expr_is_device_compatible(emit):
                 return False
@@ -439,7 +449,8 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
             elif kind == "count_distinct":
                 c = jax_expr.compile_expr(a.args[0], scan_cols, n)
                 positions.append(("distinct", len(distinct_vals)))
-                distinct_vals.append(c.data)
+                # host convention: payloads truncate via uint64 cast
+                distinct_vals.append(c.data.astype(jnp.uint64))
             else:
                 c = jax_expr.compile_expr(a.args[0], scan_cols, n)
                 positions.append(("main", len(vals)))
@@ -704,6 +715,11 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
                     rsubj
                 ):
                     return None
+                if (
+                    kind == "count_distinct"
+                    and rsubj.return_type() == SType.FLOAT64
+                ):
+                    return None  # host truncation parity (see above)
                 rewritten.append(
                     (a, "count_nonnull" if kind == "count" else kind, rsubj)
                 )
@@ -744,7 +760,7 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
         return None
     table = txn.get_table_data(scan.table_name)
     if table.num_rows == 0 or dims.num_rows == 0:
-        return Relation([sl.column_name() for sl in node.select_list], [], 0)
+        return None  # empty inputs: host path builds the typed empty
     if isinstance(key_out_expr, ColumnReferenceNode):
         in_name = scan.input_columns[key_out_expr.column_index][0]
         src = table.columns[table.names.index(in_name)]
@@ -821,7 +837,8 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
             elif kind == "count_distinct":
                 positions.append(("distinct", len(distinct_vals)))
                 distinct_vals.append(
-                    jax_expr.compile_expr(rsubj, scan_cols, n).data
+                    jax_expr.compile_expr(rsubj, scan_cols, n)
+                    .data.astype(jnp.uint64)
                 )
             else:
                 positions.append(("main", len(vals)))

@@ -279,6 +279,20 @@ def to_number(v) -> float:
     return float("nan")
 
 
+
+def to_integer(v) -> int:
+    """JS ToInteger (ES5 9.4): NaN -> 0, +-Infinity clamps (callers
+    range-check anyway), truncation toward zero — int(to_number(x))
+    alone raises Python ValueError/OverflowError on NaN/Infinity."""
+    n = to_number(v)
+    if n != n:
+        return 0
+    if n == float("inf"):
+        return 2**53
+    if n == float("-inf"):
+        return -(2**53)
+    return int(n)
+
 def to_primitive(v, hint: str = "default"):
     if isinstance(v, JSArray):
         return to_string(v)
@@ -828,35 +842,53 @@ class Interpreter:
         fn = self.eval_expr(callee, scope)
         return self.call(fn, args)
 
+    def _resolve_target(self, target, scope):
+        """Evaluate a member/index target's object and key ONCE (JS
+        evaluates the reference a single time: 'f().n++' must not call
+        f twice); returns a (get, set) pair of closures."""
+        if target[0] == "ident":
+            name = target[1]
+            return (
+                lambda: self.eval_expr(target, scope),
+                lambda v: scope.assign(name, v),
+            )
+        if target[0] == "member":
+            obj = self.eval_expr(target[1], scope)
+            name = target[2]
+            return (
+                lambda: self.get_member(obj, name),
+                lambda v: self.set_member(obj, name, v),
+            )
+        if target[0] == "index":
+            obj = self.eval_expr(target[1], scope)
+            key = self._prop_key(self.eval_expr(target[2], scope))
+            return (
+                lambda: self.get_member(obj, key),
+                lambda v: self.set_member(obj, key, v),
+            )
+        throw("invalid assignment target", "SyntaxError")
+
     def _eval_assign(self, e, scope):
         _, op, target, value_expr = e
+        get, setv = self._resolve_target(target, scope)
         if op == "=":
             value = self.eval_expr(value_expr, scope)
         else:
-            cur = self.eval_expr(target, scope)
             value = self._eval_binop(
-                op[:-1], cur, self.eval_expr(value_expr, scope))
-        self._assign_target(target, value, scope)
+                op[:-1], get(), self.eval_expr(value_expr, scope))
+        setv(value)
         return value
 
     def _assign_target(self, target, value, scope):
-        if target[0] == "ident":
-            scope.assign(target[1], value)
-        elif target[0] == "member":
-            self.set_member(self.eval_expr(target[1], scope), target[2],
-                            value)
-        elif target[0] == "index":
-            obj = self.eval_expr(target[1], scope)
-            key = self._prop_key(self.eval_expr(target[2], scope))
-            self.set_member(obj, key, value)
-        else:
-            throw("invalid assignment target", "SyntaxError")
+        _get, setv = self._resolve_target(target, scope)
+        setv(value)
 
     def _eval_update(self, e, scope):
         _, op, target, prefix = e
-        old = to_number(self.eval_expr(target, scope))
+        get, setv = self._resolve_target(target, scope)
+        old = to_number(get())
         new = old + 1.0 if op == "++" else old - 1.0
-        self._assign_target(target, new, scope)
+        setv(new)
         return new if prefix else old
 
     def _eval_binop(self, op, left, right):
@@ -1033,7 +1065,7 @@ class Interpreter:
             return
         if isinstance(obj, JSArray):
             if name == "length":
-                n = int(to_number(value))
+                n = to_integer(value)
                 cur = len(obj.elements)
                 if n < cur:
                     del obj.elements[n:]
@@ -1053,7 +1085,7 @@ class Interpreter:
             return
         if isinstance(obj, JSRegExp):
             if name == "lastIndex":
-                obj.last_index = int(to_number(value))
+                obj.last_index = to_integer(value)
             else:
                 obj.props[name] = value
             return
@@ -1091,17 +1123,17 @@ def _string_member(interp, s: str, name: str):
         return _nf(fn, name)
 
     if name == "charAt":
-        return m(lambda it, this, a: s[int(to_number(a[0]) if a else 0)]
-                 if 0 <= int(to_number(a[0]) if a else 0) < len(s) else "")
+        return m(lambda it, this, a: s[to_integer(a[0] if a else 0)]
+                 if 0 <= to_integer(a[0] if a else 0) < len(s) else "")
     if name == "charCodeAt":
         def char_code_at(it, this, a):
-            i = int(to_number(a[0])) if a else 0
+            i = to_integer(a[0]) if a else 0
             return float(ord(s[i])) if 0 <= i < len(s) else float("nan")
         return m(char_code_at)
     if name == "indexOf":
         return m(lambda it, this, a: float(
             s.find(to_string(a[0]) if a else "undefined",
-                   int(to_number(a[1])) if len(a) > 1 else 0)))
+                   to_integer(a[1]) if len(a) > 1 else 0)))
     if name == "lastIndexOf":
         return m(lambda it, this, a: float(
             s.rfind(to_string(a[0]) if a else "undefined")))
@@ -1123,10 +1155,10 @@ def _string_member(interp, s: str, name: str):
         return m(substring)
     if name == "substr":
         def substr(it, this, a):
-            start = int(to_number(a[0])) if a else 0
+            start = to_integer(a[0]) if a else 0
             if start < 0:
                 start = max(0, len(s) + start)
-            length = int(to_number(a[1])) if len(a) > 1 \
+            length = to_integer(a[1]) if len(a) > 1 \
                 and a[1] is not UNDEFINED else len(s) - start
             return s[start:start + max(0, length)]
         return m(substr)
@@ -1134,7 +1166,7 @@ def _string_member(interp, s: str, name: str):
         def split(it, this, a):
             if not a or a[0] is UNDEFINED:
                 return JSArray([s])
-            limit = int(to_number(a[1])) if len(a) > 1 \
+            limit = to_integer(a[1]) if len(a) > 1 \
                 and a[1] is not UNDEFINED else -1
             if isinstance(a[0], JSRegExp):
                 parts = a[0].regex.split(s)
@@ -1241,7 +1273,7 @@ def _string_member(interp, s: str, name: str):
 def _slice_index(v, length, default):
     if v is UNDEFINED:
         return default
-    i = int(to_number(v)) if to_number(v) == to_number(v) else 0
+    i = to_integer(v)
     if i < 0:
         i += length
     return max(0, min(i, length))
@@ -1294,7 +1326,7 @@ def _array_member(interp, arr: JSArray, name: str):
         def splice(it, this, a):
             start = _slice_index(a[0] if a else UNDEFINED, len(els), 0)
             dc = len(els) - start if len(a) < 2 \
-                else max(0, int(to_number(a[1])))
+                else max(0, to_integer(a[1]))
             removed = els[start:start + dc]
             els[start:start + dc] = list(a[2:])
             return JSArray(removed)
@@ -1424,14 +1456,14 @@ def _number_member(interp, n: float, name: str):
 
     if name == "toFixed":
         def to_fixed(it, this, a):
-            digits = int(to_number(a[0])) if a and a[0] is not UNDEFINED \
+            digits = to_integer(a[0]) if a and a[0] is not UNDEFINED \
                 else 0
             return f"{n:.{digits}f}"
         return m(to_fixed)
     if name == "toString":
         def num_to_string(it, this, a):
             if a and a[0] is not UNDEFINED:
-                radix = int(to_number(a[0]))
+                radix = to_integer(a[0])
                 if radix == 10:
                     return js_num_str(n)
                 i = int(n)
@@ -1732,11 +1764,13 @@ def install_builtins(interp: Interpreter):
     # global functions
     def _parse_int(it, this, a):
         s = to_string(a[0]).strip() if a else "undefined"
-        radix = int(to_number(a[1])) if len(a) > 1 \
+        radix = to_integer(a[1]) if len(a) > 1 \
             and a[1] is not UNDEFINED and to_number(a[1]) == to_number(a[1]) \
             else 10
         if radix == 0:
             radix = 10
+        if radix < 2 or radix > 36:
+            return float("nan")  # ES5 15.1.2.2 step 8
         neg = False
         if s[:1] in "+-":
             neg = s[0] == "-"
@@ -1782,7 +1816,7 @@ def install_builtins(interp: Interpreter):
 
     string_fn = NativeFunction(_string_ctor, "String")
     string_fn.props["fromCharCode"] = _nf(
-        lambda it, this, a: "".join(chr(int(to_number(x))) for x in a),
+        lambda it, this, a: "".join(chr(to_integer(x) & 0xFFFF) for x in a),
         "fromCharCode")
     g.declare("String", string_fn)
 

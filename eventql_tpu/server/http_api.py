@@ -366,15 +366,7 @@ class EventQLServer:
 
         from urllib.parse import quote
 
-        h.send_response(200)
-        h.send_header("Content-Type", "text/event-stream")
-        h.send_header("Cache-Control", "no-cache")
-        h.end_headers()
-
-        def sse(event: str, data: str):
-            h.wfile.write(f"event: {event}\ndata: {data}\n\n".encode())
-            h.wfile.flush()  # stream events as they happen
-
+        sse = self._sse_begin(h)
         sse("job_started", "{}")
         try:
             results, logs = mr.execute_script(program)

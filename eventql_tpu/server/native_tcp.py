@@ -527,16 +527,27 @@ class NativeTCPServer:
             for _ in range(count):
                 rec, pos = read_lenencstr(payload, pos)
                 records.append(rec)
+            batched = False
             if target is self.table_service and hasattr(
                 target, "insert_json_batch"
             ):
                 # local store: one native shredding pass over the whole
                 # frame (the records are raw JSON objects — join them
                 # into one array without re-parsing)
-                target.insert_json_batch(
-                    table.decode("utf-8"), b"[" + b",".join(records) + b"]"
-                )
-            else:
+                try:
+                    target.insert_json_batch(
+                        table.decode("utf-8"),
+                        b"[" + b",".join(records) + b"]",
+                    )
+                    batched = True
+                except SQLError as e:
+                    if not str(e).startswith("invalid JSON"):
+                        raise
+                    # a malformed record poisons the joined array before
+                    # anything inserts; replay per record so valid rows
+                    # before the bad one land and the error text matches
+                    # the reference's per-record loop
+            if not batched:
                 for rec in records:
                     target.insert_json(
                         table.decode("utf-8"), rec.decode("utf-8")
@@ -569,12 +580,14 @@ class NativeTCPServer:
         body, pos = read_lenencstr(payload, pos)
         try:
             records = ShreddedRecordList.decode(body)
-            rows = to_row_dicts(records)
+            tname = table.decode("utf-8")
+            info = self.table_service.describe(tname)
+            schema = dict(info.columns) if info is not None else None
+            rows = to_row_dicts(records, schema=schema)
             import json as _json
 
             self.table_service.insert_json_batch(
-                table.decode("utf-8"),
-                _json.dumps(rows).encode(),
+                tname, _json.dumps(rows).encode()
             )
         except (SQLError, ValueError) as e:
             _send_frame(

@@ -588,6 +588,12 @@ void* evql_json_shred(
     out->status = BAD_INPUT;
     return out;
   }
+  // trailing content after the closing ']' is invalid JSON — the
+  // Python path must decide (and raise) for the whole batch
+  p.ws();
+  if (!p.eof()) {
+    out->status = BAD_INPUT;
+  }
   return out;
 }
 

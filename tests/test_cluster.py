@@ -219,3 +219,34 @@ def test_partialaggr_server_side_cache(tmp_path):
         provider.close()
     finally:
         server.stop()
+
+
+def test_partialaggr_cache_not_reused_across_restarts(tmp_path):
+    """table_version embeds a per-process boot epoch: reopening a
+    datadir resets the in-memory mutation counter, and without the
+    epoch a restarted server would serve pre-restart cache entries for
+    post-restart data."""
+    import importlib
+
+    from eventql_tpu.db import table_service as ts_mod
+
+    svc = TableService()
+    svc.create_table.__self__  # noqa: B018 — svc exists
+    from eventql_tpu.plan.nodes import ColumnDefinition, CreateTableNode
+
+    svc.create_table(
+        CreateTableNode(
+            "t", [ColumnDefinition("k", "UINT64")], [], None, []
+        )
+    )
+    v1 = svc.table_version("t")
+    assert v1.endswith("-0") and "-" in v1
+    svc.insert_json("t", '{"k": 1}')
+    assert svc.table_version("t") != v1
+    # a different boot epoch (simulated restart) never repeats versions
+    old_epoch = ts_mod._BOOT_EPOCH
+    try:
+        ts_mod._BOOT_EPOCH = "fffffffffff0"
+        assert svc.table_version("t").split("-")[0] != old_epoch
+    finally:
+        ts_mod._BOOT_EPOCH = old_epoch

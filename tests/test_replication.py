@@ -555,3 +555,36 @@ def test_repl_insert_op_and_push_repair(cluster3):
 
     # idempotent: a second sweep pushes nothing
     assert worker.push_once() == 0
+
+
+def test_push_repair_big_uint64_keys_lossless(cluster3):
+    """Keys above 2^53 must survive the push path exactly — the wire
+    strings re-type via int(), not the insert path's float() coercion
+    (a float round-trip would corrupt the key and anti-entropy would
+    re-push the same rows forever)."""
+    from eventql_tpu.db.replication import ReplicationWorker
+
+    cfg, cdir, servers = cluster3
+    p = _provider(cfg)
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    rt.build_query_plan(
+        txn, "CREATE TABLE big (t uint64, v uint64, PRIMARY KEY (t));"
+    ).execute(0)
+    meta = TableMetadata.from_json(
+        cdir.get_table_config("default", "big")["metadata"]
+    )
+    owners = meta.entries[0].servers
+    first = int(owners[0].replace("node", "")) - 1
+    second = int(owners[1].replace("node", "")) - 1
+
+    big = (1 << 53) + 1
+    servers[first].table_service.insert_json(
+        "big", json.dumps({"t": big, "v": 7})
+    )
+    worker = ReplicationWorker(servers[first].table_service, cfg, owners[0])
+    assert worker.push_once() == 1
+    rel = servers[second].table_service.get_table_data("big")
+    assert rel.columns[rel.names.index("t")].value_at(0).payload() == big
+    # converged: nothing left to push
+    assert worker.push_once() == 0
