@@ -1,0 +1,121 @@
+"""Distributed full ORDER BY: bitonic compare-split sort over the mesh.
+
+The reference materializes and std::sorts all rows on the coordinator
+(reference: sql/statements/select/orderby.cc:58-168); here the table
+stays sharded and the sort runs as ppermute compare-split stages over
+ICI (parallel/distributed.py distributed_sort). Tests run on the
+virtual 8-device CPU mesh (conftest)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eventql_tpu.kernels.groupby import sortable_u64
+from eventql_tpu.kernels.sort import make_sort_keys
+from eventql_tpu.parallel.distributed import (
+    distributed_order_permutation,
+    distributed_sort,
+    make_mesh,
+    shard_table,
+)
+
+
+def _check_sorted_pairs(keys_in, pay_in, keys_out, pay_out):
+    """Output must be ascending and a permutation of the input pairs."""
+    assert np.all(keys_out[:-1] <= keys_out[1:])
+    got = sorted(zip(keys_out.tolist(), pay_out.tolist()))
+    want = sorted(zip(keys_in.tolist(), pay_in.tolist()))
+    assert got == want
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_random_keys_with_duplicates(n_dev):
+    mesh = make_mesh(n_dev)
+    n = n_dev * 64
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50, n).astype(np.uint64)  # heavy duplicates
+    ids = np.arange(n, dtype=np.int64)
+    keys_d, ids_d = shard_table(mesh, [keys, ids])
+    (sk,), (sp,) = distributed_sort(mesh, (keys_d,), (ids_d,))
+    _check_sorted_pairs(keys, ids, np.asarray(sk), np.asarray(sp))
+
+
+def test_already_sorted_input():
+    # the adversarial case for splitter-sampling exchanges: every row
+    # of shard 0 belongs to the lowest output range
+    mesh = make_mesh(8)
+    n = 8 * 32
+    keys = np.arange(n, dtype=np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    keys_d, ids_d = shard_table(mesh, [keys, ids])
+    (sk,), (sp,) = distributed_sort(mesh, (keys_d,), (ids_d,))
+    assert np.array_equal(np.asarray(sk), keys)
+    assert np.array_equal(np.asarray(sp), ids)
+
+
+def test_reverse_sorted_and_all_equal():
+    mesh = make_mesh(8)
+    n = 8 * 32
+    for keys in (
+        np.arange(n, dtype=np.uint64)[::-1].copy(),
+        np.full(n, 42, dtype=np.uint64),
+    ):
+        ids = np.arange(n, dtype=np.int64)
+        keys_d, ids_d = shard_table(mesh, [keys, ids])
+        (sk,), (sp,) = distributed_sort(mesh, (keys_d,), (ids_d,))
+        _check_sorted_pairs(keys, ids, np.asarray(sk), np.asarray(sp))
+
+
+def test_multi_key_lexicographic_desc():
+    # ORDER BY a ASC, b DESC over the mesh, via make_sort_keys
+    mesh = make_mesh(8)
+    n = 8 * 16
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 5, n).astype(np.int64)
+    b = rng.integers(0, 1000, n).astype(np.int64)
+    a_d, b_d = shard_table(mesh, [a, b])
+    perm = np.asarray(
+        distributed_order_permutation(mesh, [a_d, b_d], [False, True])
+    )
+    got = list(zip(a[perm].tolist(), b[perm].tolist()))
+    want = sorted(zip(a.tolist(), b.tolist()), key=lambda t: (t[0], -t[1]))
+    assert got == want
+
+
+def test_balanced_output_ranges():
+    # shard i must end holding exactly global ranks [i*n, (i+1)*n)
+    mesh = make_mesh(8)
+    n = 8 * 32
+    rng = np.random.default_rng(11)
+    keys = rng.permutation(n).astype(np.uint64)
+    keys_d = shard_table(mesh, [keys])[0]
+    (sk,), _ = distributed_sort(mesh, (sortable_u64(keys_d),))
+    out = np.asarray(sk)
+    for i in range(8):
+        local = out[i * 32 : (i + 1) * 32]
+        assert local.min() == i * 32 and local.max() == (i + 1) * 32 - 1
+
+
+def test_non_power_of_two_rejected():
+    mesh = make_mesh(3)
+    keys = np.arange(6, dtype=np.uint64)
+    keys_d = shard_table(mesh, [keys])[0]
+    with pytest.raises(ValueError):
+        distributed_sort(mesh, (keys_d,))
+
+
+def test_payload_columns_ride_along():
+    # full row sort: two payload columns stay aligned with their key
+    mesh = make_mesh(4)
+    n = 4 * 32
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 62, n).astype(np.uint64)
+    v1 = (keys * 3 + 1).astype(np.uint64)
+    v2 = (keys % 97).astype(np.int64)
+    keys_d, v1_d, v2_d = shard_table(mesh, [keys, v1, v2])
+    (sk,), (s1, s2) = distributed_sort(mesh, (keys_d,), (v1_d, v2_d))
+    sk, s1, s2 = map(np.asarray, (sk, s1, s2))
+    assert np.array_equal(sk, np.sort(keys))
+    assert np.array_equal(s1, sk * 3 + 1)
+    assert np.array_equal(s2, sk % 97)
