@@ -580,3 +580,224 @@ def distributed_order_permutation(
     keys = make_sort_keys(columns, descendings)
     _, (perm,) = distributed_sort(mesh, keys, (iota_d,), axis=axis)
     return perm
+
+
+def distributed_grouped_aggregate_sharded(
+    mesh: Mesh,
+    mask,
+    key_arrays: Tuple[jax.Array, ...],
+    value_arrays: Tuple[jax.Array, ...],
+    agg_kinds: Tuple[str, ...],
+    axis: str = "shards",
+):
+    """High-cardinality distributed GROUP BY whose result STAYS SHARDED.
+
+    distributed_grouped_aggregate all-gathers every shard's partial
+    table and merges it replicated — O(P·n) memory per chip, the right
+    trade when the group count fits one chip (it mirrors the
+    reference's coordinator merge, sql/statements/select/groupby.cc:
+    552-637). When the distinct-key count exceeds one chip's table,
+    this variant keeps the groups sharded end to end:
+
+      1. per-shard pre-combine (masked_grouped_aggregate) — bounds all
+         later exchange at the deduplicated size and makes key skew
+         irrelevant (a hot key is one row per shard afterwards; the
+         reference has no online skew handling at all),
+      2. a global sort of the (group key, partial state) tables by key
+         over the mesh (distributed_sort — ppermute compare-split, so
+         the exchange volume is fixed-shape regardless of how the hash
+         of any key distributes),
+      3. a second per-shard combine of the now key-contiguous runs,
+      4. an O(P)-word boundary exchange: a group can span adjacent
+         shards only through their first/last entries (middle shards
+         of a long run collapse to a single entry in step 3), so one
+         all_gather of each shard's two edge entries + a replicated
+         merge patches the totals; the highest shard holding a key
+         owns it, lower copies deactivate.
+
+    Returns (group_keys, aggs, valid_mask), all sharded on `axis`;
+    valid groups are globally unique and ascending in key order across
+    shards. agg_kinds: sum/count/min/max (mean decomposes upstream).
+    """
+    merge_kinds = tuple(_MERGE_KIND[k] for k in agg_kinds)
+    nk = len(key_arrays)
+    na = len(value_arrays)
+    n_shards = mesh.shape[axis]
+
+    from eventql_tpu.kernels.groupby import (
+        masked_grouped_aggregate,
+        sortable_u64,
+    )
+
+    # --- step 1: per-shard pre-combine --------------------------------
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis),
+            tuple(P(axis) for _ in key_arrays),
+            tuple(P(axis) for _ in value_arrays),
+        ),
+        out_specs=(
+            P(axis),
+            tuple(P(axis) for _ in key_arrays),
+            tuple(P(axis) for _ in key_arrays),
+            tuple(P(axis) for _ in value_arrays),
+        ),
+        check_vma=False,
+    )
+    def precombine(mask_l, keys_l, vals_l):
+        n_local = keys_l[0].shape[0]
+        gk, aggs, _first, ng = masked_grouped_aggregate(
+            mask_l, keys_l, vals_l, agg_kinds
+        )
+        iota = jnp.arange(n_local, dtype=jnp.int64)
+        invalid = (iota >= ng).astype(jnp.uint64)
+        # sort keys: validity first (a real group key may equal the
+        # all-ones sentinel), then the sortable group keys
+        skeys = tuple(
+            jnp.where(
+                invalid == 0, sortable_u64(k), jnp.uint64(0xFFFFFFFFFFFFFFFF)
+            )
+            for k in gk
+        )
+        return invalid, skeys, gk, aggs
+
+    invalid, skeys, gk, aggs = precombine(
+        mask, tuple(key_arrays), tuple(value_arrays)
+    )
+
+    # --- step 2: global sort by (validity, group key) over the mesh ---
+    _, payload = distributed_sort(
+        mesh,
+        (invalid,) + skeys,
+        tuple(gk) + tuple(aggs) + (invalid,),
+        axis=axis,
+    )
+    gk_s = payload[:nk]
+    aggs_s = payload[nk : nk + na]
+    invalid_s = payload[nk + na]
+
+    # --- steps 3+4: per-shard re-combine + boundary patch -------------
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(P(axis) for _ in range(nk)),
+            tuple(P(axis) for _ in range(na)),
+            P(axis),
+        ),
+        out_specs=(
+            tuple(P(axis) for _ in range(nk)),
+            tuple(P(axis) for _ in range(na)),
+            P(axis),
+        ),
+        check_vma=False,
+    )
+    def combine(keys_l, aggs_l, invalid_l):
+        n_local = keys_l[0].shape[0]
+        valid_l = invalid_l == 0
+        mk, maggs, _first, mng = masked_grouped_aggregate(
+            valid_l, keys_l, aggs_l, merge_kinds
+        )
+        iota = jnp.arange(n_local, dtype=jnp.int64)
+        valid_out = iota < mng
+        if n_shards == 1:
+            return mk, maggs, valid_out
+
+        rank = jax.lax.axis_index(axis).astype(jnp.int64)
+        last_pos = jnp.maximum(mng - 1, 0)
+
+        # boundary entries: (first, last) of this shard's merged run.
+        # a shard whose run is a single group contributes it once.
+        def edge(arr, pos):
+            return jax.lax.dynamic_index_in_dim(
+                arr, pos, keepdims=False
+            )
+
+        contrib = jnp.stack([mng > 0, mng >= 2])  # (2,)
+        ekeys = [
+            jnp.stack([sortable_u64(edge(k, jnp.int64(0))),
+                       sortable_u64(edge(k, last_pos))])
+            for k in mk
+        ]  # nk × (2,)
+        eaggs = [
+            jnp.stack([edge(a, jnp.int64(0)), edge(a, last_pos)])
+            for a in maggs
+        ]  # na × (2,)
+
+        # O(P) exchange of the edge entries
+        bmask = jax.lax.all_gather(contrib, axis).reshape(-1)  # (2P,)
+        bkeys = [
+            jax.lax.all_gather(k, axis).reshape(-1) for k in ekeys
+        ]
+        baggs = [
+            jax.lax.all_gather(a, axis).reshape(-1) for a in eaggs
+        ]
+        bshard = (
+            jnp.arange(2 * n_shards, dtype=jnp.int64) // 2
+        )
+
+        def lookup(key_tuple):
+            """merged total + owning shard + contributor count of a key
+            over the replicated boundary table."""
+            match = bmask
+            for bk, k in zip(bkeys, key_tuple):
+                match = match & (bk == k)
+            cnt = match.sum()
+            owner = jnp.max(jnp.where(match, bshard, jnp.int64(-1)))
+            totals = []
+            for ba, mkind in zip(baggs, merge_kinds):
+                if mkind == "sum":
+                    t = jnp.where(match, ba, jnp.zeros((), ba.dtype)).sum()
+                elif mkind == "min":
+                    t = jnp.min(
+                        jnp.where(match, ba, jnp.asarray(_MAX_OF[ba.dtype.name], ba.dtype))
+                    )
+                else:  # max
+                    t = jnp.max(
+                        jnp.where(match, ba, jnp.asarray(_MIN_OF[ba.dtype.name], ba.dtype))
+                    )
+                totals.append(t)
+            return cnt, owner, totals
+
+        def patch(pos, active, maggs, valid_out):
+            key_tuple = tuple(sortable_u64(edge(k, pos)) for k in mk)
+            cnt, owner, totals = lookup(key_tuple)
+            spans = active & (cnt > 1)
+            is_owner = spans & (owner == rank)
+            # owner entry takes the merged total
+            maggs = tuple(
+                jnp.where(
+                    is_owner & (iota == pos),
+                    jnp.asarray(t, a.dtype),
+                    a,
+                )
+                for a, t in zip(maggs, totals)
+            )
+            # non-owner copies deactivate (merged elsewhere)
+            drop = spans & (owner != rank)
+            valid_out = valid_out & ~(drop & (iota == pos))
+            return maggs, valid_out
+
+        maggs, valid_out = patch(jnp.int64(0), mng > 0, maggs, valid_out)
+        maggs, valid_out = patch(last_pos, mng >= 2, maggs, valid_out)
+        return mk, maggs, valid_out
+
+    return combine(tuple(gk_s), tuple(aggs_s), invalid_s)
+
+
+_MAX_OF = {
+    "uint64": 0xFFFFFFFFFFFFFFFF,
+    "int64": (1 << 63) - 1,
+    "float64": float("inf"),
+    "uint32": 0xFFFFFFFF,
+    "int32": (1 << 31) - 1,
+}
+_MIN_OF = {
+    "uint64": 0,
+    "int64": -(1 << 63),
+    "float64": float("-inf"),
+    "uint32": 0,
+    "int32": -(1 << 31),
+}
