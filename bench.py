@@ -29,6 +29,32 @@ def _hbm_bandwidth_bytes():
     return table.get(gen, 819e9)
 
 
+_RTT_CACHE = [None]
+
+
+def _relay_rtt():
+    """Measure THIS session's relay round-trip with a trivial kernel —
+    the fixed 30 ms constant under/over-corrected short kernels by up
+    to ±10 ms across relay sessions (PERF.md relay notes)."""
+    if _RTT_CACHE[0] is not None:
+        return _RTT_CACHE[0]
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def nop(x):
+        return x + 1
+
+    _ = np.asarray(nop(jnp.int32(0)))
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(nop(jnp.int32(i)))
+        ts.append(time.perf_counter() - t0)
+    _RTT_CACHE[0] = min(ts)
+    return _RTT_CACHE[0]
+
+
 def _timeit(fn, *args, reps=1):
     """min-of-3 wall time with the relay round-trip subtracted."""
     import numpy as np
@@ -40,7 +66,7 @@ def _timeit(fn, *args, reps=1):
         t0 = time.perf_counter()
         _ = np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
-    roundtrip = 0.0 if os.environ.get("BENCH_RAW") == "1" else 0.030
+    roundtrip = 0.0 if os.environ.get("BENCH_RAW") == "1" else _relay_rtt()
     return max(min(ts) - roundtrip, 1e-9) / reps
 
 
@@ -56,24 +82,34 @@ def bench_scan():
     jax.config.update("jax_enable_x64", True)
 
     n = int(os.environ.get("BENCH_ROWS", 1 << 26))
-    reps = int(os.environ.get("BENCH_REPS", 8))
+    reps = int(os.environ.get("BENCH_REPS", 32))
+    pad = 1024
     rng = np.random.default_rng(3)
-    a = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
-    b = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
+    # logical u64 columns whose values fit 32 bits stream as u32 and
+    # widen in-register inside the fused program — exactly what the
+    # engine's device path does (device_exec._narrow_np +
+    # jax_expr._widen); measured free vs the narrow stream (PERF.md)
+    a = jnp.asarray(rng.integers(0, 1000, n + reps * pad).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, 1000, n + reps * pad).astype(np.uint32))
 
     @jax.jit
     def pipe(a, b):
         def body(i, acc):
+            # per-rep offset slices force a fresh HBM stream per rep —
+            # with loop-invariant reads XLA unrolls+fuses the loop into
+            # one pass and the measurement inflates (PERF.md)
+            av = jax.lax.dynamic_slice(a, (i * pad,), (n,)).astype(jnp.uint64)
+            bv = jax.lax.dynamic_slice(b, (i * pad,), (n,)).astype(jnp.uint64)
             ii = i.astype(jnp.uint64)
             # WHERE a + i < 800 AND b >= 100 (evaluatePredicateVector)
-            mask = ((a + ii) < jnp.uint64(800)) & (b >= jnp.uint64(100))
+            mask = ((av + ii) < jnp.uint64(800)) & (bv >= jnp.uint64(100))
             return acc + mask.sum(dtype=jnp.int64)
 
         return jax.lax.fori_loop(0, reps, body, jnp.int64(0))
 
     per = _timeit(pipe, a, b, reps=reps)
     rows_per_sec = n / per
-    sol = _hbm_bandwidth_bytes() / 16.0  # two u64 column streams
+    sol = _hbm_bandwidth_bytes() / 8.0  # two narrowed u32 column streams
     print(
         json.dumps(
             {

@@ -98,6 +98,35 @@ def device_plan_eligible(node) -> bool:
     return True
 
 
+def _narrow_np(c: Column) -> "np.ndarray":
+    """Physical column narrowing: a logical 64-bit column whose values
+    fit 32 bits transfers (and streams from HBM) as a 32-bit array —
+    half the scan bytes per row. The expression compiler widens back to
+    the logical dtype inside the traced program, where XLA fuses the
+    convert into the consumer, so semantics are unchanged while the
+    memory-bound scan roofline doubles (the reference's planner reads
+    column statistics the same way; measured ladder in PERF.md).
+    Min/max stats cache on the Column (columns are rebuilt on
+    mutation)."""
+    cached = getattr(c, "_narrow_cache", None)
+    if cached is not None:
+        return cached
+    data = c.data
+    out = data
+    if data.size:
+        if data.dtype == np.uint64:
+            if int(data.max()) < (1 << 32):
+                out = data.astype(np.uint32)
+        elif data.dtype == np.int64:
+            if -(1 << 31) <= int(data.min()) and int(data.max()) < (1 << 31):
+                out = data.astype(np.int32)
+    try:
+        c._narrow_cache = out
+    except AttributeError:
+        pass
+    return out
+
+
 def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
     """Host → device transfer of the scan's input columns."""
     import jax.numpy as jnp
@@ -108,7 +137,7 @@ def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
         c = by_name[cname]
         out.append(
             jax_expr.DeviceCol(
-                c.stype, jnp.asarray(c.data), jnp.asarray(c.valid)
+                c.stype, jnp.asarray(_narrow_np(c)), jnp.asarray(c.valid)
             )
         )
     return out

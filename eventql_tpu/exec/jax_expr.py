@@ -60,6 +60,19 @@ class DeviceCol:
         self.valid = valid
 
 
+def _widen(col: DeviceCol) -> DeviceCol:
+    """Restore a physically-narrowed column (device_exec._narrow_np
+    stores 64-bit columns whose values fit 32 bits as 32-bit arrays) to
+    its logical dtype. Runs inside the traced program: XLA fuses the
+    convert into the consumer, so HBM still streams the narrow bytes."""
+    want = _JNP_DTYPE.get(col.stype)
+    if want is None or col.stype == S:
+        return col
+    if col.data.dtype != jnp.dtype(want):
+        return DeviceCol(col.stype, col.data.astype(want), col.valid)
+    return col
+
+
 def _const(value, stype, n):
     dt = _JNP_DTYPE[stype]
     if stype == S:
@@ -105,7 +118,7 @@ def compile_expr(
     if isinstance(expr, ColumnReferenceNode):
         if expr.column_index is None:
             raise UnsupportedExpression("unresolved column ref")
-        return columns[expr.column_index]
+        return _widen(columns[expr.column_index])
 
     if isinstance(expr, IsNullExpressionNode):
         arg = compile_expr(expr.arg, columns, n)

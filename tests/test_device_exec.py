@@ -250,3 +250,102 @@ def test_device_join_count_distinct_matches_host():
     q = ("select d.region, count_distinct(f.v) from f join d on"
          " f.k = d.k group by d.region order by d.region;")
     assert _run_join(q, False) == _run_join(q, True)
+
+
+def _make_narrowing_table(n=4000, seed=23):
+    """Columns exercising physical narrowing (device_exec._narrow_np):
+    small u64 (narrows to u32), small-range int64 (narrows to i32),
+    huge u64 (stays 64-bit), boundary values around 2^32 / int32 max."""
+    rng = np.random.default_rng(seed)
+    small_u = rng.integers(0, 1 << 20, n).astype(np.uint64)
+    small_i = rng.integers(-(1 << 30), 1 << 30, n).astype(np.int64)
+    big_u = rng.integers(1 << 40, 1 << 52, n).astype(np.uint64)
+    edge = np.full(n, (1 << 32) - 1, dtype=np.uint64)
+    edge[: n // 2] = 7
+    keys = rng.integers(0, 23, n).astype(np.uint64)
+    rel = Relation(
+        ["k", "su", "si", "bu", "e"],
+        [
+            Column(SType.UINT64, keys, np.ones(n, bool)),
+            Column(SType.UINT64, small_u, np.ones(n, bool)),
+            Column(SType.INT64, small_i, np.ones(n, bool)),
+            Column(SType.UINT64, big_u, np.ones(n, bool)),
+            Column(SType.UINT64, edge, np.ones(n, bool)),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("t", rel)
+    return p
+
+
+NARROWING_QUERIES = [
+    "select k, sum(su), min(si), max(si) from t group by k order by k;",
+    "select k, sum(bu), count(1) from t where su < 500000 group by k order by k;",
+    "select k, max(e), sum(e) from t where si > 0 group by k order by k;",
+    "select k, sum(su + si) from t group by k order by k;",
+]
+
+
+@pytest.mark.parametrize("query", NARROWING_QUERIES)
+def test_narrowed_columns_match_host(query):
+    provider = _make_narrowing_table()
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    try:
+        os.environ["EVENTQL_TPU_DEVICE"] = "0"
+        rt = Runtime()
+        host = rt.build_query_plan(
+            rt.new_transaction(provider), query
+        ).execute(0)
+        os.environ["EVENTQL_TPU_DEVICE"] = "1"
+        rt = Runtime()
+        dev = rt.build_query_plan(
+            rt.new_transaction(provider), query
+        ).execute(0)
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+    assert dev.columns == host.columns
+    assert dev.rows == host.rows
+
+
+def test_narrowing_decisions():
+    from eventql_tpu.exec.device_exec import _narrow_np
+
+    n = 100
+    small_u = Column(
+        SType.UINT64, np.arange(n, dtype=np.uint64), np.ones(n, bool)
+    )
+    assert _narrow_np(small_u).dtype == np.uint32
+    # cached second call returns the same array
+    assert _narrow_np(small_u) is _narrow_np(small_u)
+
+    big_u = Column(
+        SType.UINT64,
+        np.full(n, 1 << 32, dtype=np.uint64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(big_u).dtype == np.uint64
+
+    edge_u = Column(
+        SType.UINT64,
+        np.full(n, (1 << 32) - 1, dtype=np.uint64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(edge_u).dtype == np.uint32
+
+    small_i = Column(
+        SType.INT64,
+        np.array([-(1 << 31)] * n, dtype=np.int64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(small_i).dtype == np.int32
+
+    wide_i = Column(
+        SType.INT64,
+        np.array([-(1 << 31) - 1] * n, dtype=np.int64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(wide_i).dtype == np.int64
