@@ -62,6 +62,12 @@ def load_csv_table(
     row_separator: bytes = b"\n",
     quote_char: bytes = b'"',
 ) -> Relation:
+    if isinstance(column_separator, str):
+        column_separator = column_separator.encode()
+    if isinstance(row_separator, str):
+        row_separator = row_separator.encode()
+    if isinstance(quote_char, str):
+        quote_char = quote_char.encode()
     with open(path, "rb") as f:
         data = f.read()
     rows = parse_csv(data, column_separator, row_separator, quote_char)
