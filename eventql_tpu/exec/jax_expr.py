@@ -263,6 +263,19 @@ def expr_is_device_compatible(expr: ValueExpressionNode) -> bool:
             expr.args[0], LiteralExpressionNode
         ):
             return False
+        if name == "mod" and expr.return_type() != SType.FLOAT64:
+            # integer modulo raises "modulo by zero" per evaluated row
+            # (reference: sql/expressions/math.cc:178-206) — the device
+            # can't raise data-dependently, so route to host unless the
+            # divisor is a provably nonzero literal. Float mod is fmod
+            # and permits zero (math.cc:208-212).
+            div = expr.args[1] if len(expr.args) > 1 else None
+            if not (
+                isinstance(div, LiteralExpressionNode)
+                and not div.value.is_null
+                and div.value.payload() not in (0, 0.0)
+            ):
+                return False
         # string args only flow through comparison ops (id-preserving)
         for a in expr.args:
             if a.return_type() == S and name not in (
