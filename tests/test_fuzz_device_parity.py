@@ -179,3 +179,113 @@ def test_mod_by_zero_raises_on_device_path():
         with pytest.raises(Exception) as exc:
             _run(provider, q, device)
         assert "modulo by zero" in str(exc.value)
+
+
+# ---------------------------------------------------------------------------
+# Join-route fuzz: SELECT d.attr, aggs(f-exprs) FROM f JOIN d ON f.k = d.k
+# [WHERE fact preds] GROUP BY d.attr — the device join route
+# (device_exec.try_execute_device_join_groupby); out-of-subset variants
+# (LEFT JOIN, residual conditions) must fall back and still agree.
+
+def _make_join_tables(rng: random.Random):
+    n = rng.choice([0, 1, 100, 5000, 20000])
+    d = rng.choice([1, 16, 257, 1024])
+    npr = np.random.default_rng(rng.randrange(1 << 30))
+    # dim: unique u64 keys (possibly sparse ids), attr column for grouping
+    dk = npr.permutation(d * 3)[:d].astype(np.uint64)
+    dattr = npr.integers(0, 9, max(d, 1))[:d].astype(np.uint64)
+    # facts: keys drawn from dim keys, plus some misses (no dim match)
+    fk = dk[npr.integers(0, d, max(n, 1))][:n].astype(np.uint64)
+    if n and rng.random() < 0.5:
+        miss = npr.random(n) < 0.1
+        fk = np.where(miss, fk + np.uint64(d * 5), fk)
+    fv = npr.integers(0, 1000, max(n, 1))[:n].astype(np.uint64)
+    fv_valid = npr.random(max(n, 1))[:n] < (1.0 if rng.random() < 0.5 else 0.9)
+    ff = (npr.integers(-2048, 2048, max(n, 1))[:n] / 64.0).astype(np.float64)
+    p = RelationTableProvider()
+    p.add_table(
+        "facts",
+        Relation(
+            ["k", "v", "f"],
+            [
+                Column(SType.UINT64, fk, np.ones(n, bool)),
+                Column(SType.UINT64, np.where(fv_valid, fv, 0).astype(np.uint64),
+                       fv_valid.copy()),
+                Column(SType.FLOAT64, ff, np.ones(n, bool)),
+            ],
+            n,
+        ),
+    )
+    p.add_table(
+        "dims",
+        Relation(
+            ["k", "attr"],
+            [
+                Column(SType.UINT64, dk, np.ones(d, bool)),
+                Column(SType.UINT64, dattr, np.ones(d, bool)),
+            ],
+            d,
+        ),
+    )
+    return p
+
+
+JOIN_AGGS = [
+    "count(1)", "sum(facts.v)", "min(facts.v)", "max(facts.v)",
+    "sum(facts.f)", "mean(facts.f)", "count(facts.v)",
+]
+JOIN_WHERES = ["facts.v < 500", "facts.f > 0.0", "facts.v % 3 = 0"]
+
+
+def _gen_join_query(rng: random.Random) -> str:
+    aggs = rng.sample(JOIN_AGGS, rng.randint(1, 3))
+    jt = "join" if rng.random() < 0.8 else "left join"
+    q = (
+        f"select dims.attr, {', '.join(aggs)} from facts {jt} dims"
+        f" on facts.k = dims.k"
+    )
+    if rng.random() < 0.5:
+        q += " where " + rng.choice(JOIN_WHERES)
+    q += " group by dims.attr"
+    ordinals = ", ".join(str(i + 1) for i in range(1 + len(aggs)))
+    return q + f" order by {ordinals};"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_join_host_device_parity(seed):
+    rng = random.Random(5000 + seed)
+    provider = _make_join_tables(rng)
+    query = _gen_join_query(rng)
+    host = _run(provider, query, device=False)
+    dev = _run(provider, query, device=True)
+    assert host == dev, (
+        f"seed={seed} query={query!r}\nhost={host[1][:8]}\ndev ={dev[1][:8]}"
+    )
+
+
+def test_fuzz_join_is_not_vacuous():
+    """Enough join fuzz seeds must hit the device join route."""
+    from eventql_tpu.exec.device_exec import try_execute_device_join_groupby
+    import eventql_tpu.plan.nodes as qn
+
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    os.environ["EVENTQL_TPU_DEVICE"] = "1"
+    try:
+        hits = 0
+        for s in range(20):
+            rng = random.Random(5000 + s)
+            provider = _make_join_tables(rng)
+            query = _gen_join_query(rng)
+            rt = Runtime()
+            txn = rt.new_transaction(provider)
+            node = rt.build_query_plan(txn, query).nodes[0]
+            while not isinstance(node, qn.GroupByNode):
+                node = node.table
+            if try_execute_device_join_groupby(node, txn) is not None:
+                hits += 1
+        assert hits >= 10, f"only {hits}/20 join fuzz seeds device-routed"
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
