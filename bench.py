@@ -311,6 +311,153 @@ def bench_join_bigdim():
     )
 
 
+def bench_skew():
+    """BASELINE config 4: skewed-key GROUP BY — Zipf(1.2) keys vs
+    uniform keys through the same hash-aggregate kernel. The design
+    handles skew by per-chip pre-combine (parallel/distributed.py:
+    every chip reduces its shard to one row per key BEFORE any
+    exchange, so a hot key costs exactly one accumulator entry per
+    chip and the cross-chip exchange stays O(K) words regardless of
+    the key distribution — the reference has no online skew handling;
+    tests/test_skew.py checks exactness). What skew could still hurt
+    is the per-chip kernel itself; this bench measures that directly.
+    vs_baseline = zipf_rate / uniform_rate (ideal 1.0: skew-oblivious)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 8))
+
+    rng = np.random.default_rng(23)
+    gid_uniform = rng.integers(0, n_keys, n).astype(np.int32)
+    # Zipf(1.2) folded into the key space: rank r gets mass ~ r^-1.2;
+    # the hottest key covers ~30% of all rows at this exponent
+    gid_zipf = ((np.minimum(rng.zipf(1.2, n), 1 << 30) - 1) % n_keys).astype(
+        np.int32
+    )
+    values_h = rng.integers(0, 1000, n).astype(np.uint64)
+    values = jnp.asarray(values_h)
+    threshold = jnp.uint64(800)
+    value_bits = max(8, int(values_h.max()).bit_length() + 1)
+
+    @jax.jit
+    def pipeline_many(gid, values, threshold):
+        def body(i, acc):
+            mask = values + i.astype(jnp.uint64) < threshold
+            counts, sums = pallas_sum_count(
+                mask, gid, values, n_keys, value_bits=value_bits
+            )
+            return acc + sums.sum() + counts.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    rates = {}
+    for name, gid_h in (("uniform", gid_uniform), ("zipf", gid_zipf)):
+        per = _timeit(
+            pipeline_many, jnp.asarray(gid_h), values, threshold, reps=reps
+        )
+        rates[name] = n / per
+
+    # exchange volume after pre-combine: one (key, sum, count) row per
+    # key per chip — independent of skew by construction
+    exchange_bytes = n_keys * 3 * 8
+    print(
+        json.dumps(
+            {
+                "metric": "skewed_groupby_rows_per_sec_per_chip",
+                "value": round(rates["zipf"], 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rates["zipf"] / rates["uniform"], 4),
+                "uniform_rows_per_sec": round(rates["uniform"], 1),
+                "exchange_bytes_per_chip": exchange_bytes,
+            }
+        )
+    )
+
+
+def bench_multijoin():
+    """BASELINE config 5 (per-chip tier): multi-join + multi-agg —
+    facts probe dim1 (grouping buckets) and dim2 (flag filter), then a
+    fused masked GROUP BY sum+count, the exact per-chip program of
+    parallel/distributed.py distributed_multi_join_aggregate (there the
+    dim1 probe additionally ring-rotates over ICI with the ppermute
+    overlapped behind this same compute; on one chip the ring is
+    degenerate, so this measures the compute the overlap must hide).
+    vs_baseline = fraction of the strict HBM roofline for the query's
+    minimum movement (k1 u64 + k2 u64 + v u64 + mask ≈ 25 B/row)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+    from eventql_tpu.kernels.join import (
+        dim_fingerprints_unique,
+        pallas_dim_join_gid,
+    )
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    nd1 = int(os.environ.get("BENCH_DIM", 1024))
+    nd2 = int(os.environ.get("BENCH_DIM2", 256))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 4))
+    rng = np.random.default_rng(31)
+
+    d1_keys = jnp.asarray(
+        rng.permutation(np.arange(nd1, dtype=np.uint64) * 7919 + 3)
+    )
+    d1_bucket = jnp.asarray(rng.integers(0, n_keys, nd1).astype(np.int32))
+    d2_keys = jnp.asarray(
+        rng.permutation(np.arange(nd2, dtype=np.uint64) * 104729 + 11)
+    )
+    d2_flag = jnp.asarray(rng.integers(0, 2, nd2).astype(np.int32))
+    f_k1 = jnp.asarray(rng.integers(0, nd1, n).astype(np.uint64) * 7919 + 3)
+    f_k2 = jnp.asarray(rng.integers(0, nd2, n).astype(np.uint64) * 104729 + 11)
+    vals_h = rng.integers(0, 1000, n).astype(np.uint64)
+    f_v = jnp.asarray(vals_h)
+    value_bits = max(8, int(vals_h.max()).bit_length() + 1)
+    assert dim_fingerprints_unique(np.asarray(d1_keys))
+    assert dim_fingerprints_unique(np.asarray(d2_keys))
+
+    @jax.jit
+    def pipe(fk1, fk2, fv, d1k, d1b, d2k, d2f):
+        def body(i, acc):
+            # perturb the probe keys per rep so XLA cannot hoist the
+            # loop-invariant probes out of the reps loop (bench_join
+            # methodology; perturbed rows simply miss the dim)
+            gid2 = pallas_dim_join_gid(fk2 + i.astype(jnp.uint64), d2k, d2f)
+            gid1 = pallas_dim_join_gid(fk1 + i.astype(jnp.uint64), d1k, d1b)
+            mask = (gid2 == 1) & (gid1 >= 0) & (fv + i.astype(jnp.uint64)
+                                                < jnp.uint64(800))
+            counts, sums = pallas_sum_count(
+                mask, jnp.maximum(gid1, 0), fv, n_keys,
+                value_bits=value_bits,
+            )
+            return acc + counts.sum() + sums.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    per = _timeit(
+        pipe, f_k1, f_k2, f_v, d1_keys, d1_bucket, d2_keys, d2_flag,
+        reps=reps,
+    )
+    rows_per_sec = n / per
+    sol = _hbm_bandwidth_bytes() / 25.0
+    print(
+        json.dumps(
+            {
+                "metric": "multijoin_agg_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
 def bench_scaling():
     """Distributed GROUP BY weak scaling over the process tier: W
     worker processes each own BENCH_ROWS_PER_WORKER rows; the
@@ -759,6 +906,10 @@ def main():
         return bench_join_bigdim()
     if cfg == "scaling":
         return bench_scaling()
+    if cfg == "skew":
+        return bench_skew()
+    if cfg == "multijoin":
+        return bench_multijoin()
     return bench_groupby()
 
 
