@@ -305,17 +305,27 @@ def execute_nested_scan(node: qn.SequentialScanNode, reader) -> Relation:
 
 
 def _column_from_values(stype: SType, vals: List[SValue]) -> Column:
+    """Columnarize expanded-row SValues. `presence` marks the rows
+    where the column's repetition group occurs — count(x) accumulates
+    per occurrence (reference: CSTableScan.cc:441-452 rep-level gating),
+    which this expansion surfaces as defined values (an absent
+    occurrence assembles as a null SValue). A null value INSIDE a
+    present occurrence is indistinguishable here and is counted as
+    absent — the reference's own fixtures (704/24793) don't exercise
+    that corner (noted in COMPARISON.md)."""
     from eventql_tpu.exec.relation import dtype_for
 
     n = len(vals)
     if stype == SType.STRING:
-        return Column.from_strings(
+        col = Column.from_strings(
             [None if v.is_null else v.payload() for v in vals]
         )
+        col.presence = col.valid.copy()
+        return col
     data = np.zeros(n, dtype=dtype_for(stype))
     valid = np.zeros(n, dtype=bool)
     for i, v in enumerate(vals):
         valid[i] = not v.is_null and v.stype != SType.NIL
         if valid[i]:
             data[i] = v.payload()
-    return Column(stype, data, valid)
+    return Column(stype, data, valid, None, valid.copy())

@@ -47,15 +47,22 @@ def device_plan_eligible(node) -> bool:
         return False
     if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
         return False
-    # scan select exprs + where must be device compatible; string
-    # columns are not routed yet (dictionary transport pending)
+    # scan select exprs + where must be device compatible. STRING
+    # columns flow as dictionary ids (dictionaries are np.unique-sorted
+    # at ingest, so ids preserve both equality and byte order); only
+    # plain column refs are routable — computed string exprs (concat,
+    # substring, ...) have no device form and stay on the host.
     for sl in scan.select_list:
         if not jax_expr.expr_is_device_compatible(sl.expr):
             return False
-        if sl.expr.return_type() == SType.STRING:
+        if sl.expr.return_type() == SType.STRING and not isinstance(
+            sl.expr, ColumnReferenceNode
+        ):
             return False
     for g in node.group_exprs:
-        if g.return_type() == SType.STRING:
+        if g.return_type() == SType.STRING and not isinstance(
+            g, ColumnReferenceNode
+        ):
             return False
     if scan.where_expr is not None and not jax_expr.expr_is_device_compatible(
         scan.where_expr
@@ -272,7 +279,14 @@ def try_execute_pallas_string_groupby(
     else:
         mask = jnp.ones((n,), jnp.bool_)
 
-    gid = scan_cols[g.column_index].data.astype(jnp.int32)
+    # bucket = dictionary id; NULL keys get their own bucket K (NULL and
+    # b"" group separately — the tag participates in the reference's
+    # group key, groupby.cc:129-135 / SURVEY appendix A.8)
+    key_dev = scan_cols[g.column_index]
+    gid = jnp.where(
+        key_dev.valid, key_dev.data.astype(jnp.int32), jnp.int32(K)
+    )
+    num_buckets = K + 1
 
     # per aggregate: its value array + kind
     vals, kinds, layout = [], [], []
@@ -285,14 +299,12 @@ def try_execute_pallas_string_groupby(
         for a in aggs:
             kind = a.sfunction.aggregate.kind
             if kind == "count":
-                subj = _count_subject(a)
-                if subj is None:
-                    vals.append(jnp.zeros((n,), jnp.uint64))
-                    kinds.append("count")
-                else:
-                    sc = jax_expr.compile_expr(subj, scan_cols, n)
-                    vals.append(sc.valid.astype(jnp.uint64))
-                    kinds.append("sum")
+                # count(x) counts every accumulated row, NULL or not
+                # (reference: aggregate.cc:35-38 count_acc pops the
+                # bare tag and increments unconditionally); device
+                # tables are flat, so there is no occurrence gating
+                vals.append(jnp.zeros((n,), jnp.uint64))
+                kinds.append("count")
             else:
                 c = jax_expr.compile_expr(a.args[0], scan_cols, n)
                 vals.append(c.data.astype(jnp.uint64))
@@ -340,7 +352,7 @@ def try_execute_pallas_string_groupby(
         # pad the static dimensions to coarse grids so distinct queries
         # and table sizes share compiled kernel variants
         value_bits = -(-value_bits // 8) * 8
-        Kp = _pad_buckets(K)
+        Kp = _pad_buckets(num_buckets)
         n_p = _pad_rows(n)
         if n_p != n:
             mask = jnp.pad(mask, (0, n_p - n))
@@ -349,13 +361,13 @@ def try_execute_pallas_string_groupby(
         counts, outs = pallas_grouped_aggregate(
             mask, gid, tuple(vals), tuple(kinds), Kp, value_bits=value_bits
         )
-        counts = counts[:K]
-        outs = tuple(o[:K] for o in outs)
+        counts = counts[:num_buckets]
+        outs = tuple(o[:num_buckets] for o in outs)
     else:
         from eventql_tpu.kernels.onehot_agg import onehot_grouped_aggregate
 
         counts, outs = onehot_grouped_aggregate(
-            mask, gid, tuple(vals), tuple(kinds), K
+            mask, gid, tuple(vals), tuple(kinds), num_buckets
         )
 
     counts_h = np.asarray(counts)
@@ -368,11 +380,13 @@ def try_execute_pallas_string_groupby(
     out_cols = []
     for tag, emit, idxs in layout:
         if tag == "key":
+            # bucket K is the NULL group: id 0 placeholder, valid False
+            is_null_grp = occupied == K
             out_cols.append(
                 Column(
                     SType.STRING,
-                    occupied.astype(np.int32),
-                    np.ones(ng, bool),
+                    np.where(is_null_grp, 0, occupied).astype(np.int32),
+                    ~is_null_grp,
                     key_col.dictionary,
                 )
             )
@@ -393,8 +407,11 @@ def try_execute_pallas_string_groupby(
     return Relation(names, out_cols, ng)
 
 
-def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
-    """Compile + run Scan→Filter→GroupBy as one device program."""
+def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
+    """Compile + run Scan→Filter→GroupBy as one device program.
+
+    Returns None on empty tables: the host path builds the correct
+    typed empty relation (0 groups) / ungrouped-aggregate row."""
     import jax
     import jax.numpy as jnp
 
@@ -405,11 +422,7 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
     table = txn.get_table_data(scan.table_name)
     n = table.num_rows
     if n == 0:
-        return Relation(
-            [sl.column_name() for sl in node.select_list],
-            [],
-            0,
-        )
+        return None
 
     in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
 
@@ -426,13 +439,9 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
         else:
             entries.append(("first", sl.expr, None))
 
-    agg_kinds = []
-    for a in all_aggs:
-        kind = a.sfunction.aggregate.kind
-        if kind == "count" and _count_subject(a) is not None:
-            agg_kinds.append("count_nonnull")
-        else:
-            agg_kinds.append(kind)
+    # count(x) counts every row, NULL or not (aggregate.cc:35-38);
+    # device tables are flat so no occurrence gating applies
+    agg_kinds = [a.sfunction.aggregate.kind for a in all_aggs]
 
     def program():
         # scan select exprs (the child's computed columns)
@@ -468,13 +477,6 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
                 positions.append(("main", len(vals)))
                 vals.append(jnp.zeros((n,), jnp.uint64))
                 kinds.append("count")
-            elif kind == "count_nonnull":
-                subj = jax_expr.compile_expr(
-                    _count_subject(a), scan_cols, n
-                )
-                positions.append(("main", len(vals)))
-                vals.append(subj.valid.astype(jnp.uint64))
-                kinds.append("sum")
             elif kind == "count_distinct":
                 c = jax_expr.compile_expr(a.args[0], scan_cols, n)
                 positions.append(("distinct", len(distinct_vals)))
@@ -548,15 +550,20 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Relation:
     from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
 
     out_cols: List[Column] = []
-    scan_host_cols = [
-        Column(
-            sl.expr.return_type(),
-            np.asarray(d),
-            np.asarray(v),
-            None,
+    name_to_col = dict(zip(table.names, table.columns))
+    scan_host_cols = []
+    for sl, d, v in zip(scan.select_list, scan_data, scan_valid):
+        rtype = sl.expr.return_type()
+        dictionary = None
+        if rtype == SType.STRING:
+            # device strings are dictionary ids (eligibility restricts
+            # them to plain column refs); reattach the input column's
+            # dictionary for the host-side emit
+            src = scan.input_columns[sl.expr.column_index][0]
+            dictionary = name_to_col[src].dictionary
+        scan_host_cols.append(
+            Column(rtype, np.asarray(d), np.asarray(v), dictionary)
         )
-        for sl, d, v in zip(scan.select_list, scan_data, scan_valid)
-    ]
     for (kind, expr, base) in entries:
         if kind == "agg":
             ctx = EvalContext(agg_cols[base:], ng)
@@ -732,10 +739,12 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
                 kind = a.sfunction.aggregate.kind
                 if kind not in _DEVICE_AGGS:
                     return None  # e.g. count_distinct: host path
-                subj = (
-                    _count_subject(a) if kind == "count" else
-                    (a.args[0] if a.args else None)
-                )
+                if kind == "count":
+                    # counts every joined row, NULL args included
+                    # (aggregate.cc:35-38)
+                    rewritten.append((a, "count", None))
+                    continue
+                subj = a.args[0] if a.args else None
                 if subj is None:
                     rewritten.append((a, "count", None))
                     continue
@@ -749,9 +758,7 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
                     and rsubj.return_type() == SType.FLOAT64
                 ):
                     return None  # host truncation parity (see above)
-                rewritten.append(
-                    (a, "count_nonnull" if kind == "count" else kind, rsubj)
-                )
+                rewritten.append((a, kind, rsubj))
             base_i = len(all_aggs)
             all_aggs.extend(rewritten)
             entries.append(("agg", emit, base_i))
@@ -858,11 +865,6 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
                 positions.append(("main", len(vals)))
                 vals.append(jnp.zeros((n,), jnp.uint64))
                 kinds.append("count")
-            elif kind == "count_nonnull":
-                subj = jax_expr.compile_expr(rsubj, scan_cols, n)
-                positions.append(("main", len(vals)))
-                vals.append(subj.valid.astype(jnp.uint64))
-                kinds.append("sum")
             elif kind == "count_distinct":
                 positions.append(("distinct", len(distinct_vals)))
                 distinct_vals.append(

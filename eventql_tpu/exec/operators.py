@@ -346,6 +346,34 @@ def _strip_aggregates(
     return expr
 
 
+def _count_presence_mask(subject, ctx) -> "Optional[np.ndarray]":
+    """Occurrence mask for count(subject): None = every row counts.
+
+    The reference's count_acc increments unconditionally per
+    accumulated row (aggregate.cc:35-38); what varies is WHICH rows
+    accumulate — on flat scans every row, on nested Dremel scans one
+    per occurrence of the expression's repetition group
+    (CSTableScan.cc:441-452). Flat columns carry presence=None; nested
+    row expansion marks occurrences in Column.presence. NULL-ness does
+    NOT gate counting."""
+    if subject is None:
+        return None
+    mask = None
+    stack = [subject]
+    while stack:
+        e = stack.pop()
+        if (
+            isinstance(e, ColumnReferenceNode)
+            and e.column_index is not None
+            and e.column_index < len(ctx.columns)
+        ):
+            p = ctx.columns[e.column_index].presence
+            if p is not None:
+                mask = p if mask is None else (mask & p)
+        stack.extend(e.arguments())
+    return mask
+
+
 def _count_subject(call: CallExpressionNode):
     """For count(expr): the un-converted argument expression whose
     nullness is counted, or None when the argument is constant (count
@@ -376,17 +404,17 @@ def _segment_aggregate(
     rtype = call.sfunction.return_type
 
     if kind == "count":
-        # count(expr) counts non-null values; count(<constant>) counts
-        # rows. (The reference's test expectations — Runtime_test.cc:
-        # 193-210, 232-241 — require non-null counting: 704 of 773
-        # values defined, 24793 of 24866.)
-        inner = _count_subject(call)
-        if inner is None:
+        # count(expr) counts one per occurrence of expr's repetition
+        # group — every row on flat scans (count_acc is unconditional,
+        # aggregate.cc:35-38, NULLs included), one per Dremel occurrence
+        # on nested scans (rep-level gating, CSTableScan.cc:441-452;
+        # 704 of the 773-row expansion in Runtime_test.cc:193-210).
+        pm = _count_presence_mask(_count_subject(call), ctx)
+        if pm is None:
             data = np.bincount(gids, minlength=n_groups).astype(np.uint64)
         else:
-            v = evaluate_vector(inner, ctx)
             data = np.bincount(
-                gids, weights=v.valid.astype(np.float64), minlength=n_groups
+                gids, weights=pm.astype(np.float64), minlength=n_groups
             ).astype(np.uint64)
         return Column(SType.UINT64, data, np.ones(n_groups, bool))
 
@@ -477,7 +505,7 @@ def _exec_group_by_local(node: qn.GroupByNode, table: Relation) -> GroupByPartia
                         "sum", call, ctx, gids, n_groups, SType.FLOAT64
                     )
                     c = _segment_aggregate_kind(
-                        "count", call, ctx, gids, n_groups, SType.UINT64
+                        "count_rows", call, ctx, gids, n_groups, SType.UINT64
                     )
                     states.append(("mean", [s, c]))
                 elif kind == "count_distinct":
@@ -504,14 +532,19 @@ def _exec_group_by_local(node: qn.GroupByNode, table: Relation) -> GroupByPartia
 
 def _segment_aggregate_kind(kind, call, ctx, gids, n_groups, rtype):
     """Segment aggregation with an explicit kind/return type override."""
-    if kind == "count":
-        inner = _count_subject(call)
-        if inner is None:
+    if kind in ("count", "count_rows"):
+        # "count_rows" (mean's denominator) always counts rows so the
+        # partial/merged mean equals the local mean (sum/len semantics)
+        pm = (
+            None
+            if kind == "count_rows"
+            else _count_presence_mask(_count_subject(call), ctx)
+        )
+        if pm is None:
             data = np.bincount(gids, minlength=n_groups).astype(np.uint64)
         else:
-            v = evaluate_vector(inner, ctx)
             data = np.bincount(
-                gids, weights=v.valid.astype(np.float64), minlength=n_groups
+                gids, weights=pm.astype(np.float64), minlength=n_groups
             ).astype(np.uint64)
         return Column(SType.UINT64, data, np.ones(n_groups, bool))
     arg = evaluate_vector(call.args[0], ctx)
@@ -714,7 +747,9 @@ def _exec_group_by_impl(node: qn.GroupByNode, txn) -> Relation:
         if result is not None:
             return result
         if device_plan_eligible(node):
-            return execute_device_groupby(node, txn)
+            result = execute_device_groupby(node, txn)
+            if result is not None:
+                return result
 
     child = execute_node(node.table, txn)
     n = child.num_rows

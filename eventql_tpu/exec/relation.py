@@ -42,6 +42,14 @@ class Column:
     data: np.ndarray
     valid: np.ndarray
     dictionary: Optional[np.ndarray] = None  # object array of bytes (STRING)
+    # Dremel occurrence mask for columns produced by nested-record row
+    # expansion: True where the column's repetition group occurs in the
+    # expanded row. None (every flat column) = occurs in every row.
+    # count(x) accumulates per occurrence, NULL or not (reference:
+    # CSTableScan.cc:441-452 rep-level gating + aggregate.cc:35-38
+    # unconditional count_acc) — so it counts all rows on flat scans
+    # and per-occurrence on nested ones; validity plays no part.
+    presence: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.data)
@@ -86,6 +94,7 @@ class Column:
             self.data[indices],
             self.valid[indices],
             self.dictionary,
+            self.presence[indices] if self.presence is not None else None,
         )
 
     def value_at(self, i: int) -> SValue:

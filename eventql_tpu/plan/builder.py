@@ -409,6 +409,33 @@ class QueryPlanBuilder:
                     sort.children[0],
                     lambda name: subtree.get_computed_column_info(name, True),
                 )
+                # ORDER BY <ordinal>: resolve a positive integer literal
+                # to the select-list column (MySQL semantics). The
+                # reference leaves the literal in place
+                # (queryplanbuilder.cc:609-620), which sorts by a
+                # constant — i.e. an UNSPECIFIED order under its
+                # unstable std::sort — so resolving is a strict
+                # refinement, never a divergence on defined behavior
+                # (noted in COMPARISON.md).
+                from eventql_tpu.plan.exprs import LiteralExpressionNode
+
+                if isinstance(expr, LiteralExpressionNode) and not expr.value.is_null:
+                    try:
+                        pos = int(expr.value.payload())
+                    except (TypeError, ValueError):
+                        pos = None
+                    ncols = len(subtree.get_result_columns())
+                    if pos is not None and 1 <= pos <= ncols:
+                        from eventql_tpu.plan.exprs import (
+                            ColumnReferenceNode,
+                        )
+
+                        name = subtree.get_result_columns()[pos - 1]
+                        expr = ColumnReferenceNode(
+                            name,
+                            subtree.get_column_type(pos - 1),
+                            index=pos - 1,
+                        )
                 sort_specs.append(qn.SortSpec(expr, descending))
         return qn.OrderByNode(sort_specs, subtree)
 
