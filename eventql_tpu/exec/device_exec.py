@@ -494,7 +494,11 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
         # keys: fold validity into the key bits like the host engine
         def key_bits(k):
             if k.data.dtype == jnp.float64:
-                bits = jax.lax.bitcast_convert_type(k.data, jnp.uint64)
+                # order/equality-preserving key; a raw f64 bitcast does
+                # not compile on TPU (float-float emulation)
+                from eventql_tpu.kernels.groupby import f64_sort_bits
+
+                bits = f64_sort_bits(k.data)
             else:
                 bits = k.data.astype(jnp.uint64)
             return jnp.where(k.valid, bits, jnp.uint64(0))
@@ -575,6 +579,252 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
 
     names = [sl.column_name() for sl in node.select_list]
     return Relation(names, out_cols, ng)
+
+
+# -- SELECT ... ORDER BY ... LIMIT on device (top-k scan) ---------------
+
+
+def _dictionary_sorted(c: Column) -> bool:
+    """True when the column dictionary is in ascending byte order (the
+    ingest paths build dictionaries with np.unique, which sorts), so
+    dictionary ids are order-preserving ranks. Cached per Column."""
+    cached = getattr(c, "_dict_sorted_cache", None)
+    if cached is None:
+        e = c.dictionary
+        cached = all(e[i] <= e[i + 1] for i in range(len(e) - 1))
+        try:
+            c._dict_sorted_cache = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+def _device_host_order_key(c, descending: bool, null_rank):
+    """uint64 keys whose ascending unsigned order equals the host
+    engine's sort order for this column (operators._sort_key_arrays +
+    its descending transforms):
+      - NULL numerics sort as 0 of the dtype; NULL strings sort as the
+        literal "NULL" among the dictionary entries (null_rank is the
+        precomputed host rank of that label);
+      - floats: -0.0 ties +0.0 (host compares values) and NaN sorts
+        LAST in both directions (np.lexsort semantics);
+      - descending is an order-reversing bijection (no INT64_MIN wrap).
+    """
+    import jax.numpy as jnp
+
+    from eventql_tpu.kernels.groupby import sortable_u64
+
+    if c.stype == SType.STRING:
+        d = c.data.astype(jnp.int64)
+        q = jnp.int64(null_rank)
+        rank = jnp.where(c.valid, d + (d >= q).astype(jnp.int64), q)
+        k = rank.astype(jnp.uint64)
+        return ~k if descending else k
+    if c.data.dtype == jnp.float64:
+        x = jnp.where(c.valid, c.data, jnp.float64(0.0))
+        x = x + jnp.float64(0.0)  # -0.0 -> +0.0: host value-compare ties
+        k = sortable_u64(x)
+        if descending:
+            k = ~k
+        return jnp.where(
+            jnp.isnan(x), jnp.uint64(0xFFFFFFFFFFFFFFFF), k
+        )
+    zero = jnp.zeros((), c.data.dtype)
+    x = jnp.where(c.valid, c.data, zero)
+    k = sortable_u64(x)
+    return ~k if descending else k
+
+
+def _host_float_order_key(col: Column, descending: bool) -> "np.ndarray":
+    """Exact uint64 host-order key for a FLOAT64 column, mirroring
+    _device_host_order_key's float semantics bit-for-bit (NULL as 0.0,
+    -0.0 normalized to +0.0, NaN last in both directions)."""
+    x = np.where(col.valid, col.data, 0.0) + 0.0
+    bits = x.view(np.uint64)
+    sign = bits >> np.uint64(63)
+    k = np.where(sign == 1, ~bits, bits ^ np.uint64(1 << 63))
+    if descending:
+        k = ~k
+    return np.where(np.isnan(x), np.uint64(0xFFFFFFFFFFFFFFFF), k)
+
+
+def _emit_scan_rows(limit_node, scan, table, cand: "np.ndarray") -> Relation:
+    """Materialize the chosen rows through the HOST evaluator: the
+    device decided only the ORDER (indices); values/formatting come
+    from the exact host expression path, so no output-transport
+    divergence is possible."""
+    from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
+
+    lo = limit_node.offset
+    hi = limit_node.offset + limit_node.limit
+    cand = cand[lo:hi]
+    name_to_col = dict(zip(table.names, table.columns))
+    in_rows = [name_to_col[cname].gather(cand) for cname, _t in scan.input_columns]
+    ctx = EvalContext(in_rows, len(cand))
+    out_cols = [evaluate_vector(sl.expr, ctx) for sl in scan.select_list]
+    names = [sl.column_name() for sl in scan.select_list]
+    return Relation(names, out_cols, len(cand))
+
+
+def _pad_window(w: int, n_p: int) -> int:
+    """Round the top-k window up to a power of two (>=16) so distinct
+    LIMIT values share compiled kernel variants."""
+    p = 16
+    while p < w:
+        p <<= 1
+    return min(p, n_p)
+
+
+def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
+    """SELECT ... FROM t [WHERE ...] ORDER BY ... LIMIT k on device.
+
+    The reference materializes every row and std::sorts with compiled
+    comparators, then trims (orderby.cc:58-168 + limit.cc); here the
+    scan + WHERE + sort keys evaluate on-device and the window comes
+    from the histogram-threshold top-k kernel (kernels/sort.py, 2.19
+    Grows/s vs the host's full np.lexsort), falling back to the device
+    bitonic full sort for multi-key specs. Only the winning row INDICES
+    leave the device; the host evaluator materializes those few rows.
+
+    Filtered rows are excluded by forcing their top-key to 0. A passing
+    row whose key is legitimately 0 (the very last value in host order,
+    e.g. NaN or UINT64_MAX) can then tie with filtered rows, so the
+    host verifies the window (all passing-zero rows captured) and
+    reruns via the always-exact masked full sort when the rare corner
+    trips. Returns None when the plan shape is not routable."""
+    import bisect
+
+    import jax.numpy as jnp
+
+    from eventql_tpu.kernels.sort import order_permutation, topk_permutation
+
+    order_node = node.table
+    if not isinstance(order_node, qn.OrderByNode):
+        return None
+    scan = order_node.table
+    if not isinstance(scan, qn.SequentialScanNode):
+        return None
+    if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
+        return None
+    specs = order_node.sort_specs
+    if not specs:
+        return None
+    w = node.offset + node.limit
+    if w == 0:
+        return None
+    if scan.where_expr is not None and not jax_expr.expr_is_device_compatible(
+        scan.where_expr
+    ):
+        return None
+
+    # select entries referenced by the sort exprs (only those compile
+    # on device; the full select list is materialized by the host for
+    # just the winning rows)
+    needed = set()
+    stack = [s.expr for s in specs]
+    while stack:
+        e = stack.pop()
+        if isinstance(e, ColumnReferenceNode):
+            if e.column_index is None or e.column_index >= len(scan.select_list):
+                return None
+            needed.add(e.column_index)
+        stack.extend(e.arguments())
+    for s in specs:
+        if not jax_expr.expr_is_device_compatible(s.expr):
+            return None
+        if s.expr.return_type() == SType.STRING and not isinstance(
+            s.expr, ColumnReferenceNode
+        ):
+            return None
+    for i in needed:
+        e = scan.select_list[i].expr
+        if not jax_expr.expr_is_device_compatible(e):
+            return None
+        if e.return_type() == SType.STRING and not isinstance(
+            e, ColumnReferenceNode
+        ):
+            return None
+
+    table = txn.get_table_data(scan.table_name)
+    n = table.num_rows
+    if n == 0:
+        return None
+    name_to_col = dict(zip(table.names, table.columns))
+
+    # STRING sort keys ride dictionary ids; ids are order-preserving
+    # only for sorted dictionaries, and the host sorts NULL as the
+    # literal "NULL" among the entries (operators._sort_key_arrays).
+    # Plain-ref FLOAT64 keys are precomputed on the host (exact IEEE
+    # bit order) because TPU emulates f64 as float-float: device-built
+    # float keys are exact only to the ~49-bit FF mantissa there.
+    null_ranks = [None] * len(specs)
+    host_keys = [None] * len(specs)
+    for si, s in enumerate(specs):
+        rt = s.expr.return_type()
+        if rt == SType.STRING:
+            inner = scan.select_list[s.expr.column_index].expr
+            src = name_to_col[scan.input_columns[inner.column_index][0]]
+            if src.dictionary is None or not _dictionary_sorted(src):
+                return None
+            entries = list(src.dictionary.astype(bytes))
+            null_ranks[si] = bisect.bisect_right(entries, b"NULL")
+        elif rt == SType.FLOAT64 and isinstance(s.expr, ColumnReferenceNode):
+            inner = scan.select_list[s.expr.column_index].expr
+            if isinstance(inner, ColumnReferenceNode):
+                src = name_to_col[scan.input_columns[inner.column_index][0]]
+                host_keys[si] = _host_float_order_key(src, s.descending)
+
+    w = min(w, n)
+    n_p = _pad_rows(n)
+    pad = n_p - n
+
+    in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
+    scan_cols = [None] * len(scan.select_list)
+    for i in needed:
+        scan_cols[i] = jax_expr.compile_expr(
+            scan.select_list[i].expr, in_cols, n
+        )
+    if scan.where_expr is not None:
+        mask = jax_expr.compile_expr(scan.where_expr, in_cols, n).data
+    else:
+        mask = jnp.ones((n,), jnp.bool_)
+    keys = [
+        jnp.asarray(host_keys[si])
+        if host_keys[si] is not None
+        else _device_host_order_key(
+            jax_expr.compile_expr(s.expr, scan_cols, n),
+            s.descending,
+            null_ranks[si],
+        )
+        for si, s in enumerate(specs)
+    ]
+    maskp = jnp.pad(mask, (0, pad))
+
+    if len(keys) == 1:
+        # top-k fast path: host-FIRST row <-> LARGEST flipped key;
+        # ties break toward the lowest row index = host stable order
+        ktop = jnp.where(mask, ~keys[0], jnp.uint64(0))
+        npz = jnp.sum(jnp.logical_and(mask, ktop == jnp.uint64(0)))
+        ktop_p = jnp.pad(ktop, (0, pad))
+        idx = topk_permutation(ktop_p, _pad_window(w, n_p))
+        mask_w = np.asarray(maskp[idx])
+        idx_h = np.asarray(idx)
+        if bool(mask_w.all()):
+            return _emit_scan_rows(node, scan, table, idx_h)
+        # filtered rows in the window: exact iff every passing zero-key
+        # row is inside it (rows outside then all have key 0)
+        kw = np.asarray(ktop_p[idx])
+        if int((mask_w & (kw == 0)).sum()) == int(npz):
+            return _emit_scan_rows(node, scan, table, idx_h[mask_w])
+
+    # multi-key specs / top-k corner: stable bitonic full sort with the
+    # filter mask as the leading key (passing rows first, host order)
+    mkey = (~maskp).astype(jnp.uint64)
+    ops = (mkey,) + tuple(jnp.pad(k, (0, pad)) for k in keys)
+    perm = order_permutation(ops)
+    idx_h = np.asarray(perm[:w])
+    mask_w = np.asarray(maskp[perm[:w]])
+    return _emit_scan_rows(node, scan, table, idx_h[mask_w])
 
 
 # -- SQL JOIN ... GROUP BY on device -----------------------------------

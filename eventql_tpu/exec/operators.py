@@ -10,6 +10,7 @@ loops (see SURVEY.md Appendix A).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -830,7 +831,12 @@ def _order_relation(child: Relation, sort_specs) -> Relation:
             elif k.dtype == np.uint64:
                 k = np.iinfo(np.uint64).max - k
             else:
-                k = -(k.astype(np.int64))
+                # order-reversing bijection into uint64 (sign-flip then
+                # complement) — plain negation wraps INT64_MIN onto
+                # itself and would sort the smallest value FIRST under
+                # DESC (the reference's compiled cmp sorts it last)
+                u = k.astype(np.int64).astype(np.uint64) ^ np.uint64(1 << 63)
+                k = ~u
         keys.append(np.asarray(k))
 
     if keys:
@@ -848,6 +854,15 @@ def _exec_limit(node: qn.LimitNode, txn) -> Relation:
 
     if isinstance(txn.tables, ClusterTableProvider):
         result = txn.tables.execute_pushdown_limit(node)
+        if result is not None:
+            return result
+
+    if os.environ.get("EVENTQL_TPU_DEVICE") == "1" and isinstance(
+        node.table, qn.OrderByNode
+    ):
+        from eventql_tpu.exec.device_exec import try_execute_device_scan_topk
+
+        result = try_execute_device_scan_topk(node, txn)
         if result is not None:
             return result
 

@@ -23,6 +23,42 @@ import jax.numpy as jnp
 U64_SIGN = jnp.uint64(1 << 63)
 
 
+def _sortable_u32_from_f32(x32: jax.Array) -> jax.Array:
+    """IEEE-754 total-order trick on float32 (32-bit bitcasts compile
+    everywhere, unlike 64-bit ones on TPU)."""
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    sign = bits >> jnp.uint32(31)
+    return jnp.where(sign == 1, ~bits, bits ^ jnp.uint32(1 << 31))
+
+
+def f64_sort_bits(data: jax.Array) -> jax.Array:
+    """float64 -> uint64 keys whose unsigned ascending order equals the
+    float order (and equality <-> key equality), for sort/group keys.
+
+    On CPU this is the classic IEEE total-order bit trick. On TPU,
+    float64 is emulated as a float-float (f32 hi + f32 residual) pair —
+    the f64 bit pattern never exists on device and any 64-bit
+    bitcast-convert is unimplemented in the X64-rewrite pass — so the
+    key is built from the emulation's own parts: round to f32 (hi),
+    take the residual (lo), and pack their 32-bit total-order keys as
+    (k32(hi) << 32) | k32(lo). Rounding is monotone and the residual
+    orders values sharing a hi, so key order equals FF value order;
+    precision beyond the ~49-bit FF mantissa is the device's own
+    arithmetic precision, not an artifact of the key."""
+    if jax.default_backend() == "cpu":
+        words = jax.lax.bitcast_convert_type(data, jnp.uint32)
+        lo = words[..., 0].astype(jnp.uint64)
+        hi = words[..., 1].astype(jnp.uint64)
+        bits = (hi << jnp.uint64(32)) | lo
+        sign = bits >> jnp.uint64(63)
+        return jnp.where(sign == 1, ~bits, bits ^ U64_SIGN)
+    hi = data.astype(jnp.float32)
+    lo = (data - hi.astype(jnp.float64)).astype(jnp.float32)
+    khi = _sortable_u32_from_f32(hi).astype(jnp.uint64)
+    klo = _sortable_u32_from_f32(lo).astype(jnp.uint64)
+    return (khi << jnp.uint64(32)) | klo
+
+
 def sortable_u64(data: jax.Array, descending: bool = False) -> jax.Array:
     """Map a column to uint64 keys whose unsigned order equals the SQL
     order of the values (int64: flip sign bit; float64: IEEE-754 total
@@ -32,9 +68,7 @@ def sortable_u64(data: jax.Array, descending: bool = False) -> jax.Array:
     elif data.dtype == jnp.int64:
         k = data.astype(jnp.uint64) ^ U64_SIGN
     elif data.dtype == jnp.float64:
-        bits = jax.lax.bitcast_convert_type(data, jnp.uint64)
-        sign = bits >> jnp.uint64(63)
-        k = jnp.where(sign == 1, ~bits, bits ^ U64_SIGN)
+        k = f64_sort_bits(data)
     elif data.dtype == jnp.bool_:
         k = data.astype(jnp.uint64)
     elif data.dtype in (jnp.int32, jnp.uint32):
