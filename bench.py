@@ -910,7 +910,77 @@ def main():
         return bench_skew()
     if cfg == "multijoin":
         return bench_multijoin()
+    if cfg == "sql_topk":
+        return bench_sql_topk()
     return bench_groupby()
+
+
+def bench_sql_topk():
+    """END-TO-END engine query throughput for the device ORDER BY ...
+    LIMIT route: SQL text -> plan -> device scan + top-k -> host row
+    materialization, steady state (device column cache warm). This
+    measures the whole serving path, not just the kernel
+    (BENCH_CONFIG=topk); the delta is plan build + eager dispatch +
+    relay round trips. SOL denominator is the same scatter-ideal HBM
+    tier as the kernel bench (8 B/row of sort key)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from eventql_tpu.exec.relation import Column, Relation
+    from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+    from eventql_tpu.core.types import SType
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    reps = int(os.environ.get("BENCH_REPS", 8))
+    rng = np.random.default_rng(42)
+    # full-range keys so the key column cannot narrow below 8 B/row
+    k = rng.integers(0, 1 << 63, n, dtype=np.uint64)
+    v = rng.integers(0, 1000, n).astype(np.uint64)
+    rel = Relation(
+        ["k", "v"],
+        [
+            Column(SType.UINT64, k, np.ones(n, bool)),
+            Column(SType.UINT64, v, np.ones(n, bool)),
+        ],
+        n,
+    )
+    provider = RelationTableProvider()
+    provider.add_table("t", rel)
+    os.environ["EVENTQL_TPU_DEVICE"] = "1"
+    rt = Runtime()
+    q = "select k, v from t order by k desc limit 100;"
+
+    def run_query():
+        txn = rt.new_transaction(provider)
+        res = rt.build_query_plan(txn, q).execute(0)
+        assert res.num_rows == 100
+        return res
+
+    run_query()  # compile + device-cache warm
+    rtt = _relay_rtt()
+    times = []
+    for _ in range(max(3, reps)):
+        t0 = time.perf_counter()
+        run_query()
+        times.append(time.perf_counter() - t0)
+    # the route makes one device->host pull per query (the packed
+    # window); subtract that single round trip unless BENCH_RAW=1
+    el = min(times)
+    if not os.environ.get("BENCH_RAW"):
+        el = max(el - rtt, 1e-9)
+    rate = n / el
+    sol = _hbm_bandwidth_bytes() / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "sql_orderby_limit_rows_per_sec_per_chip",
+                "value": round(rate / 1e9, 3),
+                "unit": "Grows/s",
+                "vs_baseline": round(rate / sol, 4),
+            }
+        )
+    )
 
 
 def bench_groupby():

@@ -648,15 +648,13 @@ def _host_float_order_key(col: Column, descending: bool) -> "np.ndarray":
     return np.where(np.isnan(x), np.uint64(0xFFFFFFFFFFFFFFFF), k)
 
 
-def _emit_scan_rows(limit_node, scan, table, cand: "np.ndarray") -> Relation:
+def _emit_scan_rows(scan, table, cand: "np.ndarray", lo=0, hi=None) -> Relation:
     """Materialize the chosen rows through the HOST evaluator: the
     device decided only the ORDER (indices); values/formatting come
     from the exact host expression path, so no output-transport
     divergence is possible."""
     from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
 
-    lo = limit_node.offset
-    hi = limit_node.offset + limit_node.limit
     cand = cand[lo:hi]
     name_to_col = dict(zip(table.names, table.columns))
     in_rows = [name_to_col[cname].gather(cand) for cname, _t in scan.input_columns]
@@ -675,32 +673,14 @@ def _pad_window(w: int, n_p: int) -> int:
     return min(p, n_p)
 
 
-def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
-    """SELECT ... FROM t [WHERE ...] ORDER BY ... LIMIT k on device.
-
-    The reference materializes every row and std::sorts with compiled
-    comparators, then trims (orderby.cc:58-168 + limit.cc); here the
-    scan + WHERE + sort keys evaluate on-device and the window comes
-    from the histogram-threshold top-k kernel (kernels/sort.py, 2.19
-    Grows/s vs the host's full np.lexsort), falling back to the device
-    bitonic full sort for multi-key specs. Only the winning row INDICES
-    leave the device; the host evaluator materializes those few rows.
-
-    Filtered rows are excluded by forcing their top-key to 0. A passing
-    row whose key is legitimately 0 (the very last value in host order,
-    e.g. NaN or UINT64_MAX) can then tie with filtered rows, so the
-    host verifies the window (all passing-zero rows captured) and
-    reruns via the always-exact masked full sort when the rare corner
-    trips. Returns None when the plan shape is not routable."""
+def _prep_device_scan_order(order_node: qn.OrderByNode, txn):
+    """Shared front half of the device ORDER BY routes: eligibility,
+    table fetch, scan/WHERE compile, host-order key construction.
+    Returns (scan, table, mask, maskp, keys, n, n_p, pad) or None."""
     import bisect
 
     import jax.numpy as jnp
 
-    from eventql_tpu.kernels.sort import order_permutation, topk_permutation
-
-    order_node = node.table
-    if not isinstance(order_node, qn.OrderByNode):
-        return None
     scan = order_node.table
     if not isinstance(scan, qn.SequentialScanNode):
         return None
@@ -708,9 +688,6 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
         return None
     specs = order_node.sort_specs
     if not specs:
-        return None
-    w = node.offset + node.limit
-    if w == 0:
         return None
     if scan.where_expr is not None and not jax_expr.expr_is_device_compatible(
         scan.where_expr
@@ -774,7 +751,6 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
                 src = name_to_col[scan.input_columns[inner.column_index][0]]
                 host_keys[si] = _host_float_order_key(src, s.descending)
 
-    w = min(w, n)
     n_p = _pad_rows(n)
     pad = n_p - n
 
@@ -799,6 +775,43 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
         for si, s in enumerate(specs)
     ]
     maskp = jnp.pad(mask, (0, pad))
+    return scan, table, mask, maskp, keys, n, n_p, pad
+
+
+def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
+    """SELECT ... FROM t [WHERE ...] ORDER BY ... LIMIT k on device.
+
+    The reference materializes every row and std::sorts with compiled
+    comparators, then trims (orderby.cc:58-168 + limit.cc); here the
+    scan + WHERE + sort keys evaluate on-device and the window comes
+    from the histogram-threshold top-k kernel (kernels/sort.py, 2.19
+    Grows/s vs the host's full np.lexsort), falling back to the device
+    bitonic full sort for multi-key specs. Only the winning row INDICES
+    leave the device; the host evaluator materializes those few rows.
+
+    Filtered rows are excluded by forcing their top-key to 0. A passing
+    row whose key is legitimately 0 (the very last value in host order,
+    e.g. NaN or UINT64_MAX) can then tie with filtered rows, so the
+    host verifies the window (all passing-zero rows captured) and
+    reruns via the always-exact masked full sort when the rare corner
+    trips. Returns None when the plan shape is not routable."""
+    import jax.numpy as jnp
+
+    from eventql_tpu.kernels.sort import order_permutation, topk_permutation
+
+    order_node = node.table
+    if not isinstance(order_node, qn.OrderByNode):
+        return None
+    w = node.offset + node.limit
+    if w == 0:
+        return None
+    prep = _prep_device_scan_order(order_node, txn)
+    if prep is None:
+        return None
+    scan, table, mask, maskp, keys, n, n_p, pad = prep
+    w = min(w, n)
+    lo = node.offset
+    hi = node.offset + node.limit
 
     if len(keys) == 1:
         # top-k fast path: host-FIRST row <-> LARGEST flipped key;
@@ -810,12 +823,12 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
         mask_w = np.asarray(maskp[idx])
         idx_h = np.asarray(idx)
         if bool(mask_w.all()):
-            return _emit_scan_rows(node, scan, table, idx_h)
+            return _emit_scan_rows(scan, table, idx_h, lo, hi)
         # filtered rows in the window: exact iff every passing zero-key
         # row is inside it (rows outside then all have key 0)
         kw = np.asarray(ktop_p[idx])
         if int((mask_w & (kw == 0)).sum()) == int(npz):
-            return _emit_scan_rows(node, scan, table, idx_h[mask_w])
+            return _emit_scan_rows(scan, table, idx_h[mask_w], lo, hi)
 
     # multi-key specs / top-k corner: stable bitonic full sort with the
     # filter mask as the leading key (passing rows first, host order)
@@ -824,7 +837,32 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
     perm = order_permutation(ops)
     idx_h = np.asarray(perm[:w])
     mask_w = np.asarray(maskp[perm[:w]])
-    return _emit_scan_rows(node, scan, table, idx_h[mask_w])
+    return _emit_scan_rows(scan, table, idx_h[mask_w], lo, hi)
+
+
+def try_execute_device_scan_order(
+    order_node: qn.OrderByNode, txn
+) -> Optional[Relation]:
+    """Full SELECT ... FROM t [WHERE ...] ORDER BY ... on device (no
+    LIMIT above): the stable bitonic sort over order-preserving u64
+    keys replaces the host's np.lexsort (0.198 vs ~0.02 Grows/s at
+    100M rows; the reference std::sorts materialized SValue rows,
+    orderby.cc:119). The filter mask leads the key tuple so filtered
+    rows sink; the host materializes the passing rows in order."""
+    import jax.numpy as jnp
+
+    from eventql_tpu.kernels.sort import order_permutation
+
+    prep = _prep_device_scan_order(order_node, txn)
+    if prep is None:
+        return None
+    scan, table, mask, maskp, keys, n, n_p, pad = prep
+    mkey = (~maskp).astype(jnp.uint64)
+    ops = (mkey,) + tuple(jnp.pad(k, (0, pad)) for k in keys)
+    perm = order_permutation(ops)[:n]
+    idx_h = np.asarray(perm)
+    mask_w = np.asarray(maskp[perm])
+    return _emit_scan_rows(scan, table, idx_h[mask_w])
 
 
 # -- SQL JOIN ... GROUP BY on device -----------------------------------

@@ -813,6 +813,15 @@ def _sort_key_arrays(col: Column) -> np.ndarray:
 
 
 def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:
+    if os.environ.get("EVENTQL_TPU_DEVICE") == "1" and isinstance(
+        node.table, qn.SequentialScanNode
+    ):
+        from eventql_tpu.exec.device_exec import try_execute_device_scan_order
+
+        result = try_execute_device_scan_order(node, txn)
+        if result is not None:
+            return result
+
     child = execute_node(node.table, txn)
     return _order_relation(child, node.sort_specs)
 

@@ -224,6 +224,26 @@ def test_passing_zero_key_corner():
         _parity(prov, "select u from t where flt = 1 order by u limit 4;")
 
 
+def test_full_order_route_fires():
+    from eventql_tpu.exec.device_exec import try_execute_device_scan_order
+
+    p = _table()
+    rt = Runtime()
+    txn = rt.new_transaction(p)
+    plan = rt.build_query_plan(
+        txn, "select u, i from t order by u, i, f, s;"
+    )
+    assert try_execute_device_scan_order(plan.nodes[0], txn) is not None
+
+
+def test_full_order_parity():
+    p = _table()
+    _parity(p, "select u, i, f, b, s from t order by i desc, u, f, s;")
+    _parity(p, "select u, s from t where u < 30 order by s, u, i, f;")
+    _parity(p, "select u from t where u > 1000 order by u;")  # empty
+    _parity(p, "select f, u from t order by f desc, u, i, s;")
+
+
 def test_fuzz_scan_topk_parity():
     keys = ["u", "i", "f", "s", "b"]
     wheres = ["u < 30", "i >= 0", "f > 0.0", "u % 3 = 1"]
@@ -240,7 +260,9 @@ def test_fuzz_scan_topk_parity():
         q = "select u, i, f, b, s from t"
         if rng.random() < 0.6:
             q += " where " + rng.choice(wheres)
-        q += f" order by {order}, {rest} limit {rng.choice([1, 3, 17, 400])}"
-        if rng.random() < 0.3:
-            q += f" offset {rng.choice([1, 5, 50])}"
+        q += f" order by {order}, {rest}"
+        if rng.random() < 0.75:
+            q += f" limit {rng.choice([1, 3, 17, 400])}"
+            if rng.random() < 0.3:
+                q += f" offset {rng.choice([1, 5, 50])}"
         _parity(p, q + ";")
