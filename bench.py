@@ -580,6 +580,21 @@ def bench_latency():
         emb.append(time.perf_counter() - t0)
     emb.sort()
 
+    # embedded with the server-side plan cache (repeated-query shape;
+    # both server transports run with a PlanCache attached)
+    from eventql_tpu.exec.runtime import PlanCache
+
+    rtc = Runtime(plan_cache=PlanCache())
+    svc = TableService()
+    txnc = rtc.new_transaction(svc)
+    rtc.build_query_plan(txnc, "select 1;").execute(0)
+    embc = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rtc.build_query_plan(txnc, "select 1;").execute(0)
+        embc.append(time.perf_counter() - t0)
+    embc.sort()
+
     srv = NativeTCPServer(TableService(), port=0).start()
     try:
         c = NativeTCPClient("127.0.0.1", srv.port)
@@ -603,6 +618,9 @@ def bench_latency():
                 "unit": "ms",
                 "vs_baseline": round(0.1e-3 / p50, 4),
                 "embedded_p50_ms": round(emb[len(emb) // 2] * 1e3, 4),
+                "embedded_plan_cached_p50_ms": round(
+                    embc[len(embc) // 2] * 1e3, 4
+                ),
                 "native_tcp_p99_ms": round(net[int(len(net) * 0.99)] * 1e3, 4),
             }
         )

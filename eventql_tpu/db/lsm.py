@@ -542,6 +542,7 @@ class DurableTableService(TableService):
             self.arena_flush_rows,
             column_defs=list(node.columns),
         )
+        self.bump_schema_version()
 
     def drop_table(self, table_name: str) -> None:
         table = self.tables.get(table_name)
@@ -551,6 +552,7 @@ class DurableTableService(TableService):
 
         shutil.rmtree(table.dir, ignore_errors=True)
         del self.tables[table_name]
+        self.bump_schema_version()
 
     def commit_all(self):
         for t in self.tables.values():

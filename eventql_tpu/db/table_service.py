@@ -229,10 +229,37 @@ class MemoryTable:
                 cols.append(Column(ctype, data, valid))
         return Relation(names, cols, n)
 
+    def _align_to_schema(self, rel: Relation) -> Relation:
+        """Re-shape an arena batch to the CURRENT flat schema: ALTER
+        TABLE after a batch insert adds (all-NULL) or drops columns the
+        batch was built without (reference analog: CSTableScan fills
+        columns missing from older segments with NULLs)."""
+        names = [c[0] for c in self.columns if not c[2]]
+        if list(rel.names) == names:
+            return rel
+        by_name = dict(zip(rel.names, rel.columns))
+        n = rel.num_rows
+        cols = []
+        for cname, ctype, rep in self.columns:
+            if rep:
+                continue
+            c = by_name.get(cname)
+            if c is None:
+                if ctype == SType.STRING:
+                    c = Column.from_strings([None] * n)
+                else:
+                    c = Column(
+                        ctype,
+                        np.zeros(n, dtype=dtype_for(ctype)),
+                        np.zeros(n, dtype=bool),
+                    )
+            cols.append(c)
+        return Relation(names, cols, n)
+
     def to_relation(self) -> Relation:
         if self._relation_cache is not None:
             return self._relation_cache
-        parts = list(self._batches)
+        parts = [self._align_to_schema(b) for b in self._batches]
         if self.rows or not parts:
             parts.append(self._rows_relation())
         rel = parts[0] if len(parts) == 1 else _concat_arena(parts)
@@ -247,6 +274,15 @@ class TableService(TableProvider):
     def __init__(self):
         self.tables: Dict[str, MemoryTable] = {}
         self.databases: Dict[str, None] = {}
+        # bumped on any schema change; keys the server plan cache
+        # (exec/runtime.py PlanCache) so cached plans invalidate on DDL
+        self._schema_version = 0
+
+    def bump_schema_version(self) -> None:
+        self._schema_version += 1
+
+    def plan_cache_key(self):
+        return self._schema_version
 
     # -- DDL ------------------------------------------------------------
     def create_table(self, node) -> None:
@@ -277,11 +313,13 @@ class TableService(TableProvider):
             node.properties,
             column_defs=list(node.columns),
         )
+        self.bump_schema_version()
 
     def drop_table(self, table_name: str) -> None:
         if table_name not in self.tables:
             raise RuntimeError_(f"table not found: '{table_name}'")
         del self.tables[table_name]
+        self.bump_schema_version()
 
     def truncate_table(self, table_name: str) -> None:
         """Unload a table's local rows, keeping the schema (reference
@@ -307,6 +345,7 @@ class TableService(TableProvider):
                 table.drop_column(payload)
             elif kind == AlterTableNode.SET_PROPERTY:
                 table.properties[payload[0]] = payload[1]
+        self.bump_schema_version()
 
     # -- DML ------------------------------------------------------------
     def insert(self, table_name: str, columns: List[str], values: List[SValue]):

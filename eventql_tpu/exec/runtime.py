@@ -34,9 +34,14 @@ class RelationTableProvider(TableProvider):
 
     def __init__(self):
         self._tables: Dict[str, Relation] = {}
+        self._schema_version = 0
 
     def add_table(self, name: str, rel: Relation, stypes: Optional[List[SType]] = None):
         self._tables[name] = rel
+        self._schema_version += 1
+
+    def plan_cache_key(self):
+        return self._schema_version
 
     def describe(self, table_name: str) -> Optional[TableInfo]:
         rel = self._tables.get(table_name)
@@ -82,6 +87,48 @@ class Transaction:
         return "\n".join(out)
 
 
+class PlanCache:
+    """Server-side LRU cache of built plan-node lists, keyed by
+    (provider identity, provider schema version, query text).
+
+    The reference re-parses and re-plans every query per request (its
+    only caching is of partial-aggregate RESULTS, QueryCache); repeated
+    dashboard queries here skip parse + plan-build entirely. Plans are
+    safe to share: execution never mutates plan nodes (device-route
+    rewrites copy expressions first), and all table DATA is read through
+    the transaction at execute time, so a cached plan stays correct
+    across inserts. Schema changes invalidate via the provider's
+    plan_cache_key() version. Only read-only statement plans are cached
+    (DDL/DML re-build, and any DDL bumps the version key anyway)."""
+
+    def __init__(self, max_entries: int = 256):
+        import threading
+        from collections import OrderedDict
+
+        self._lock = threading.Lock()
+        self._entries = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            nodes = self._entries.get(key)
+            if nodes is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+            else:
+                self.misses += 1
+            return nodes
+
+    def put(self, key, nodes):
+        with self._lock:
+            self._entries[key] = nodes
+            self._entries.move_to_end(key)
+            while len(self._entries) > self.max_entries:
+                self._entries.popitem(last=False)
+
+
 class QueryPlan:
     def __init__(self, runtime: "Runtime", txn: Transaction, nodes: List[qn.QueryTreeNode]):
         self.runtime = runtime
@@ -117,8 +164,9 @@ class QueryPlan:
 
 
 class Runtime:
-    def __init__(self, registry=DEFAULT_REGISTRY):
+    def __init__(self, registry=DEFAULT_REGISTRY, plan_cache: Optional[PlanCache] = None):
         self.registry = registry
+        self.plan_cache = plan_cache
 
     def new_transaction(
         self, tables: Optional[TableProvider] = None, query_cache=None
@@ -126,10 +174,22 @@ class Runtime:
         return Transaction(tables or RelationTableProvider(), query_cache)
 
     def build_query_plan(self, txn: Transaction, query: str) -> QueryPlan:
+        key = None
+        if self.plan_cache is not None:
+            version_fn = getattr(txn.tables, "plan_cache_key", None)
+            if version_fn is not None:
+                key = (id(txn.tables), version_fn(), query)
+                nodes = self.plan_cache.get(key)
+                if nodes is not None:
+                    return QueryPlan(self, txn, nodes)
         parser = Parser()
         statements = parser.parse(query)
         builder = QueryPlanBuilder(self.registry)
         nodes = builder.build_statements(statements, txn.tables)
+        if key is not None and all(
+            isinstance(n, qn.TableExpressionNode) for n in nodes
+        ):
+            self.plan_cache.put(key, nodes)
         return QueryPlan(self, txn, nodes)
 
     def execute_query(self, txn: Transaction, query: str) -> List[ResultList]:

@@ -33,7 +33,7 @@ from urllib.parse import parse_qs, urlparse
 from eventql_tpu.core.errors import SQLError
 from eventql_tpu.core.types import sql_typename
 from eventql_tpu.db.table_service import TableService, stype_from_name
-from eventql_tpu.exec.runtime import Runtime
+from eventql_tpu.exec.runtime import PlanCache, Runtime
 from eventql_tpu.plan.nodes import ColumnDefinition, CreateTableNode
 
 
@@ -77,7 +77,9 @@ class EventQLServer:
         self.query_provider_factory = (
             query_provider_factory or (lambda: self.table_service)
         )
-        self.runtime = Runtime()
+        # server-side plan cache: repeated queries skip parse+plan
+        # (invalidated by the provider's schema version)
+        self.runtime = Runtime(plan_cache=PlanCache())
         self.stats = ServerStats()
         self.host = host
         self.port = port

@@ -167,7 +167,7 @@ class NativeTCPServer:
         query_provider_factory=None, client_auth=None,
         metadata_service=None, query_cache=None,
     ):
-        from eventql_tpu.exec.runtime import Runtime
+        from eventql_tpu.exec.runtime import PlanCache, Runtime
         from eventql_tpu.server.auth import TrustClientAuth
 
         self.table_service = table_service
@@ -179,7 +179,9 @@ class NativeTCPServer:
         )
         self.metadata_service = metadata_service
         self.client_auth = client_auth or TrustClientAuth()
-        self.runtime = Runtime()
+        # server-side plan cache: repeated queries skip parse+plan
+        # (invalidated by the provider's schema version)
+        self.runtime = Runtime(plan_cache=PlanCache())
         self.host = host
         self.port = port
         self._server: Optional[socketserver.ThreadingTCPServer] = None
