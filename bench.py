@@ -85,12 +85,14 @@ def bench_scan():
     reps = int(os.environ.get("BENCH_REPS", 32))
     pad = 1024
     rng = np.random.default_rng(3)
-    # logical u64 columns whose values fit 32 bits stream as u32 and
+    # logical u64 columns whose values fit 16 bits stream as u16 and
     # widen in-register inside the fused program — exactly what the
     # engine's device path does (device_exec._narrow_np +
-    # jax_expr._widen); measured free vs the narrow stream (PERF.md)
-    a = jnp.asarray(rng.integers(0, 1000, n + reps * pad).astype(np.uint32))
-    b = jnp.asarray(rng.integers(0, 1000, n + reps * pad).astype(np.uint32))
+    # jax_expr._widen); u16 measured 203 Grows/s at 0.99 of its HBM
+    # roofline (PERF.md; u8 widening is compute-bound — 16 bits is the
+    # narrowing floor)
+    a = jnp.asarray(rng.integers(0, 1000, n + reps * pad).astype(np.uint16))
+    b = jnp.asarray(rng.integers(0, 1000, n + reps * pad).astype(np.uint16))
 
     @jax.jit
     def pipe(a, b):
@@ -109,7 +111,7 @@ def bench_scan():
 
     per = _timeit(pipe, a, b, reps=reps)
     rows_per_sec = n / per
-    sol = _hbm_bandwidth_bytes() / 8.0  # two narrowed u32 column streams
+    sol = _hbm_bandwidth_bytes() / 4.0  # two narrowed u16 column streams
     print(
         json.dumps(
             {

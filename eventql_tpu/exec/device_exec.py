@@ -107,14 +107,16 @@ def device_plan_eligible(node) -> bool:
 
 def _narrow_np(c: Column) -> "np.ndarray":
     """Physical column narrowing: a logical 64-bit column whose values
-    fit 32 bits transfers (and streams from HBM) as a 32-bit array —
-    half the scan bytes per row. The expression compiler widens back to
-    the logical dtype inside the traced program, where XLA fuses the
-    convert into the consumer, so semantics are unchanged while the
-    memory-bound scan roofline doubles (the reference's planner reads
-    column statistics the same way; measured ladder in PERF.md).
-    Min/max stats cache on the Column (columns are rebuilt on
-    mutation)."""
+    fit 32 (16) bits transfers (and streams from HBM) as a 32 (16)-bit
+    array — half (a quarter) of the scan bytes per row. The expression
+    compiler widens back to the logical dtype inside the traced
+    program, where XLA fuses the convert into the consumer, so
+    semantics are unchanged while the memory-bound scan roofline
+    doubles (the reference's planner reads column statistics the same
+    way; measured ladder in PERF.md — u16 streams run 203 Grows/s at
+    0.99 of their HBM roofline; u8 widening is compute-bound on v5e
+    and measures BELOW u16, so 16 bits is the floor). Min/max stats
+    cache on the Column (columns are rebuilt on mutation)."""
     cached = getattr(c, "_narrow_cache", None)
     if cached is not None:
         return cached
@@ -122,10 +124,16 @@ def _narrow_np(c: Column) -> "np.ndarray":
     out = data
     if data.size:
         if data.dtype == np.uint64:
-            if int(data.max()) < (1 << 32):
+            mx = int(data.max())
+            if mx < (1 << 16):
+                out = data.astype(np.uint16)
+            elif mx < (1 << 32):
                 out = data.astype(np.uint32)
         elif data.dtype == np.int64:
-            if -(1 << 31) <= int(data.min()) and int(data.max()) < (1 << 31):
+            mn, mx = int(data.min()), int(data.max())
+            if -(1 << 15) <= mn and mx < (1 << 15):
+                out = data.astype(np.int16)
+            elif -(1 << 31) <= mn and mx < (1 << 31):
                 out = data.astype(np.int32)
     try:
         c._narrow_cache = out

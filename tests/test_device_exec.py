@@ -262,15 +262,24 @@ def _make_narrowing_table(n=4000, seed=23):
     big_u = rng.integers(1 << 40, 1 << 52, n).astype(np.uint64)
     edge = np.full(n, (1 << 32) - 1, dtype=np.uint64)
     edge[: n // 2] = 7
+    # 16-bit narrowing cases: tiny u64 (-> u16), tiny int64 (-> i16),
+    # boundary values around 2^16 / int16 extremes
+    tiny_u = rng.integers(0, 1 << 12, n).astype(np.uint64)
+    tiny_i = rng.integers(-(1 << 14), 1 << 14, n).astype(np.int64)
+    edge16 = np.full(n, (1 << 16) - 1, dtype=np.uint64)
+    edge16[: n // 2] = 3
     keys = rng.integers(0, 23, n).astype(np.uint64)
     rel = Relation(
-        ["k", "su", "si", "bu", "e"],
+        ["k", "su", "si", "bu", "e", "tu", "ti", "e16"],
         [
             Column(SType.UINT64, keys, np.ones(n, bool)),
             Column(SType.UINT64, small_u, np.ones(n, bool)),
             Column(SType.INT64, small_i, np.ones(n, bool)),
             Column(SType.UINT64, big_u, np.ones(n, bool)),
             Column(SType.UINT64, edge, np.ones(n, bool)),
+            Column(SType.UINT64, tiny_u, np.ones(n, bool)),
+            Column(SType.INT64, tiny_i, np.ones(n, bool)),
+            Column(SType.UINT64, edge16, np.ones(n, bool)),
         ],
         n,
     )
@@ -284,6 +293,9 @@ NARROWING_QUERIES = [
     "select k, sum(bu), count(1) from t where su < 500000 group by k order by k;",
     "select k, max(e), sum(e) from t where si > 0 group by k order by k;",
     "select k, sum(su + si) from t group by k order by k;",
+    "select k, sum(tu), min(ti), max(ti) from t group by k order by k;",
+    "select k, max(e16), sum(e16 + tu) from t where ti > 0 group by k order by k;",
+    "select k, sum(tu + si), count(1) from t where tu < 2048 group by k order by k;",
 ]
 
 
@@ -318,9 +330,32 @@ def test_narrowing_decisions():
     small_u = Column(
         SType.UINT64, np.arange(n, dtype=np.uint64), np.ones(n, bool)
     )
-    assert _narrow_np(small_u).dtype == np.uint32
+    assert _narrow_np(small_u).dtype == np.uint16
     # cached second call returns the same array
     assert _narrow_np(small_u) is _narrow_np(small_u)
+
+    mid_u = Column(
+        SType.UINT64,
+        np.full(n, 1 << 20, dtype=np.uint64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(mid_u).dtype == np.uint32
+    mid_i = Column(
+        SType.INT64,
+        np.full(n, -(1 << 20), dtype=np.int64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(mid_i).dtype == np.int32
+    tiny_i = Column(
+        SType.INT64, np.arange(-50, 50, dtype=np.int64), np.ones(100, bool)
+    )
+    assert _narrow_np(tiny_i).dtype == np.int16
+    edge16 = Column(
+        SType.UINT64,
+        np.full(n, (1 << 16) - 1, dtype=np.uint64),
+        np.ones(n, bool),
+    )
+    assert _narrow_np(edge16).dtype == np.uint16
 
     big_u = Column(
         SType.UINT64,
