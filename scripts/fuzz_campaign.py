@@ -29,6 +29,10 @@ from tests.test_fuzz_device_parity import (  # noqa: E402
     _make_table,
     _run,
 )
+from tests.test_fuzz_device_order import (  # noqa: E402
+    _gen_order_query,
+    _make_table as _make_order_table,
+)
 
 
 def main():
@@ -72,6 +76,19 @@ def main():
         except Exception as e:
             print(f"ERR(join) seed={s} q={qj!r} err={e!r}", flush=True)
             failures += 1
+        rngo = random.Random(s)
+        providero = _make_order_table(rngo)
+        qo = _gen_order_query(rngo)
+        try:
+            host = _run(providero, qo, device=False)
+            dev = _run(providero, qo, device=True)
+            if host != dev:
+                print(f"FAIL(order) seed={s} q={qo!r}", flush=True)
+                failures += 1
+        except Exception as e:
+            print(f"ERR(order) seed={s} q={qo!r} err={e!r}", flush=True)
+            failures += 1
+
         if (s - start + 1) % 50 == 0:
             print(f"...{s - start + 1}/{count} seeds done", flush=True)
     print(f"campaign done: {count} seeds, {failures} failures", flush=True)
