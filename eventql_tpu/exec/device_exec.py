@@ -744,6 +744,21 @@ def _prep_device_scan_order(order_node: qn.OrderByNode, txn):
     # float keys are exact only to the ~49-bit FF mantissa there.
     null_ranks = [None] * len(specs)
     host_keys = [None] * len(specs)
+    # static [lo, hi] bound on each u64 host-order key (pre-descending):
+    # string ranks are bounded by the dictionary size, and plain-ref
+    # numeric keys by the column's physically-narrowed dtype. A bounded
+    # key downcasts to uint32 after the descending flip — the bitonic
+    # sort is operand-width bound (PERF.md), so 32-bit keys sort ~1.5x
+    # faster than 64-bit ones.
+    bounds = [None] * len(specs)
+    _M64 = 0xFFFFFFFFFFFFFFFF
+    _NARROW_BOUNDS = {
+        np.dtype(np.uint16): (0, 0xFFFF),
+        np.dtype(np.uint32): (0, 0xFFFFFFFF),
+        np.dtype(np.int16): ((1 << 63) - (1 << 15), (1 << 63) + (1 << 15) - 1),
+        np.dtype(np.int32): ((1 << 63) - (1 << 31), (1 << 63) + (1 << 31) - 1),
+        np.dtype(np.bool_): (0, 1),
+    }
     for si, s in enumerate(specs):
         rt = s.expr.return_type()
         if rt == SType.STRING:
@@ -753,11 +768,22 @@ def _prep_device_scan_order(order_node: qn.OrderByNode, txn):
                 return None
             entries = list(src.dictionary.astype(bytes))
             null_ranks[si] = bisect.bisect_right(entries, b"NULL")
+            bounds[si] = (0, len(entries))
         elif rt == SType.FLOAT64 and isinstance(s.expr, ColumnReferenceNode):
             inner = scan.select_list[s.expr.column_index].expr
             if isinstance(inner, ColumnReferenceNode):
                 src = name_to_col[scan.input_columns[inner.column_index][0]]
                 host_keys[si] = _host_float_order_key(src, s.descending)
+        elif rt != SType.FLOAT64 and isinstance(s.expr, ColumnReferenceNode):
+            inner = scan.select_list[s.expr.column_index].expr
+            if isinstance(inner, ColumnReferenceNode) and (
+                inner.column_index is not None
+            ):
+                src = name_to_col[scan.input_columns[inner.column_index][0]]
+                bounds[si] = _NARROW_BOUNDS.get(_narrow_np(src).dtype)
+        if bounds[si] is not None and s.descending:
+            lo, hi = bounds[si]
+            bounds[si] = ((~hi) & _M64, (~lo) & _M64)
 
     n_p = _pad_rows(n)
     pad = n_p - n
@@ -782,6 +808,13 @@ def _prep_device_scan_order(order_node: qn.OrderByNode, txn):
         )
         for si, s in enumerate(specs)
     ]
+    # downcast statically-bounded keys: (key - lo) is a strictly
+    # monotonic bijection of [lo, hi] onto [0, hi - lo] that fits u32;
+    # garbage values in padded/filtered rows are harmless because the
+    # leading filter-mask key sinks them and both routes drop them
+    for si, b in enumerate(bounds):
+        if b is not None and (b[1] - b[0]) <= 0xFFFFFFFF and host_keys[si] is None:
+            keys[si] = (keys[si] - jnp.uint64(b[0])).astype(jnp.uint32)
     maskp = jnp.pad(mask, (0, pad))
     return scan, table, mask, maskp, keys, n, n_p, pad
 
@@ -824,7 +857,10 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
     if len(keys) == 1:
         # top-k fast path: host-FIRST row <-> LARGEST flipped key;
         # ties break toward the lowest row index = host stable order
-        ktop = jnp.where(mask, ~keys[0], jnp.uint64(0))
+        # (the histogram kernel wants u64 keys; widening a downcast
+        # key in-register is free)
+        k0 = keys[0].astype(jnp.uint64)
+        ktop = jnp.where(mask, ~k0, jnp.uint64(0))
         npz = jnp.sum(jnp.logical_and(mask, ktop == jnp.uint64(0)))
         ktop_p = jnp.pad(ktop, (0, pad))
         idx = topk_permutation(ktop_p, _pad_window(w, n_p))
@@ -840,7 +876,7 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
 
     # multi-key specs / top-k corner: stable bitonic full sort with the
     # filter mask as the leading key (passing rows first, host order)
-    mkey = (~maskp).astype(jnp.uint64)
+    mkey = (~maskp).astype(jnp.uint32)
     ops = (mkey,) + tuple(jnp.pad(k, (0, pad)) for k in keys)
     perm = order_permutation(ops)
     idx_h = np.asarray(perm[:w])
@@ -865,7 +901,7 @@ def try_execute_device_scan_order(
     if prep is None:
         return None
     scan, table, mask, maskp, keys, n, n_p, pad = prep
-    mkey = (~maskp).astype(jnp.uint64)
+    mkey = (~maskp).astype(jnp.uint32)
     ops = (mkey,) + tuple(jnp.pad(k, (0, pad)) for k in keys)
     perm = order_permutation(ops)[:n]
     idx_h = np.asarray(perm)

@@ -21,10 +21,14 @@ from eventql_tpu.kernels.groupby import sortable_u64
 @jax.jit
 def order_permutation(sort_keys: Tuple[jax.Array, ...]) -> jax.Array:
     """Stable permutation ordering rows by the given pre-transformed
-    uint64 key arrays (ascending unsigned order; callers apply
-    sortable_u64 with their descending flags)."""
+    unsigned key arrays (ascending unsigned order; callers apply
+    sortable_u64 with their descending flags, and may pass uint32 keys
+    where a static bound proves the u64 key fits — the bitonic sort is
+    operand-width bound, so narrow keys and the int32 payload are the
+    difference between the 0.21 and 0.33+ Grows/s tiers, PERF.md)."""
     n = sort_keys[0].shape[0]
-    iota = jnp.arange(n, dtype=jnp.int64)
+    idx_dtype = jnp.int32 if n < (1 << 31) else jnp.int64
+    iota = jnp.arange(n, dtype=idx_dtype)
     ops = list(sort_keys) + [iota]
     out = jax.lax.sort(ops, num_keys=len(sort_keys), is_stable=True)
     return out[-1]
