@@ -856,12 +856,13 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
 
     if len(keys) == 1:
         # top-k fast path: host-FIRST row <-> LARGEST flipped key;
-        # ties break toward the lowest row index = host stable order
-        # (the histogram kernel wants u64 keys; widening a downcast
-        # key in-register is free)
-        k0 = keys[0].astype(jnp.uint64)
-        ktop = jnp.where(mask, ~k0, jnp.uint64(0))
-        npz = jnp.sum(jnp.logical_and(mask, ktop == jnp.uint64(0)))
+        # ties break toward the lowest row index = host stable order.
+        # A statically-bounded (u32-downcast) key stays narrow — the
+        # histogram top-k streams half the bytes (fast_topk_u32)
+        k0 = keys[0]
+        zero = jnp.zeros((), k0.dtype)
+        ktop = jnp.where(mask, ~k0, zero)
+        npz = jnp.sum(jnp.logical_and(mask, ktop == zero))
         ktop_p = jnp.pad(ktop, (0, pad))
         idx = topk_permutation(ktop_p, _pad_window(w, n_p))
         mask_w = np.asarray(maskp[idx])

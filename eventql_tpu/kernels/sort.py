@@ -57,6 +57,8 @@ def topk_permutation(sort_key: jax.Array, k: int) -> jax.Array:
     block-skipping extractor (kernels/extract.py)."""
     n = sort_key.shape[0]
     if n >= (1 << 22) and k <= 4096:
+        if sort_key.dtype == jnp.uint32:
+            return fast_topk_u32(sort_key, k)
         return fast_topk_u64(sort_key, k)
     _, idx = jax.lax.top_k(sort_key, k)
     return idx.astype(jnp.int64)
@@ -88,17 +90,21 @@ def _threshold_level(counts, k):
     return T, n_ge
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
+def _fast_topk(sort_key: jax.Array, k: int, width: int) -> jax.Array:
+    """Histogram-threshold top-k over unsigned keys of the given bit
+    width (64 for u64 keys; 32 for statically-bounded keys the device
+    routes downcast — the narrow stream halves the histogram passes'
+    HBM traffic)."""
     from eventql_tpu.kernels.extract import extract_ge
     from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
 
     n = sort_key.shape[0]
     nbuckets = 1 << PREFIX_BITS
     zeros = jnp.zeros((n,), jnp.uint64)
+    sdt = sort_key.dtype  # shift operand dtype
 
     # level 1: top 12 bits
-    p1 = (sort_key >> jnp.uint64(64 - PREFIX_BITS)).astype(jnp.int32)
+    p1 = (sort_key >> sdt.type(width - PREFIX_BITS)).astype(jnp.int32)
     counts1, _ = pallas_sum_count(
         jnp.ones((n,), bool), p1, zeros, nbuckets, value_bits=8
     )
@@ -107,7 +113,7 @@ def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
 
     # level 2: next 12 bits, restricted to bucket T1 rows
     p2 = (
-        sort_key >> jnp.uint64(64 - 2 * PREFIX_BITS)
+        sort_key >> sdt.type(width - 2 * PREFIX_BITS)
     ).astype(jnp.int32) & (nbuckets - 1)
     counts2, _ = pallas_sum_count(
         p1 == T1, p2, zeros, nbuckets, value_bits=8
@@ -117,7 +123,7 @@ def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
 
     # exact 24-bit threshold; candidates = rows with f24 >= t24
     t24 = T1 * nbuckets + T2
-    f24 = (sort_key >> jnp.uint64(64 - 2 * PREFIX_BITS)).astype(jnp.int32)
+    f24 = (sort_key >> sdt.type(width - 2 * PREFIX_BITS)).astype(jnp.int32)
     n_candidates = n_gt1 + n_ge2
 
     # static cap: k + 4x the expected 24-bit threshold-bucket mass
@@ -125,7 +131,7 @@ def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
 
     def fast_path(_):
         cand_idx = extract_ge(f24, t24, cap)  # -1 padded, ascending
-        padded = jnp.concatenate([sort_key, jnp.zeros((1,), jnp.uint64)])
+        padded = jnp.concatenate([sort_key, jnp.zeros((1,), sdt)])
         cand_keys = padded[jnp.where(cand_idx >= 0, cand_idx, n)]
         _, pos = jax.lax.top_k(cand_keys, k)
         return cand_idx[pos].astype(jnp.int64)
@@ -137,3 +143,13 @@ def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
     return jax.lax.cond(
         n_candidates <= jnp.uint64(cap), fast_path, slow_path, None
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fast_topk_u64(sort_key: jax.Array, k: int) -> jax.Array:
+    return _fast_topk(sort_key, k, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fast_topk_u32(sort_key: jax.Array, k: int) -> jax.Array:
+    return _fast_topk(sort_key, k, 32)

@@ -232,3 +232,46 @@ def test_grouped_aggregate_count_only_routes_fast_path():
     exp = np.bincount(gid[mask], minlength=K).astype(np.uint64)
     assert (np.asarray(counts) == exp).all()
     assert (np.asarray(outs[0]) == exp).all()
+
+
+def test_fast_topk_u32():
+    """u32 histogram-threshold top-k (the statically-bounded key path):
+    exact, ordered, tie-stable toward the lowest index, and falls back
+    on pathological prefix skew (kernels/sort.py fast_topk_u32)."""
+    import numpy as np
+
+    from eventql_tpu.kernels.sort import fast_topk_u32
+
+    rng = np.random.default_rng(13)
+    n, k = 1 << 22, 57
+    keys = rng.integers(0, 1 << 31, n, dtype=np.uint32)
+    idx = np.asarray(fast_topk_u32(jnp.asarray(keys), k))
+    vals = keys[idx]
+    assert (np.sort(vals)[::-1] == np.sort(keys)[::-1][:k]).all()
+    assert (vals[:-1] >= vals[1:]).all()
+
+    # heavy ties: low-cardinality keys — lowest-index tie break
+    ties = (rng.integers(0, 3, n) * 0x40000000).astype(np.uint32)
+    idx2 = np.asarray(fast_topk_u32(jnp.asarray(ties), k))
+    want = np.argsort(-ties.astype(np.int64), kind="stable")[:k]
+    assert (idx2 == want).all()
+
+    # all keys share the top prefix -> candidate overflow -> fallback
+    skew = (np.uint32(0x5A5) << np.uint32(20)) | rng.integers(
+        0, 1 << 20, n, dtype=np.uint32
+    )
+    idx3 = np.asarray(fast_topk_u32(jnp.asarray(skew), k))
+    assert (np.sort(skew[idx3])[::-1] == np.sort(skew)[::-1][:k]).all()
+
+
+def test_topk_permutation_dispatches_u32():
+    import numpy as np
+
+    from eventql_tpu.kernels.sort import topk_permutation
+
+    rng = np.random.default_rng(3)
+    n = 1 << 22
+    keys = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    idx = np.asarray(topk_permutation(jnp.asarray(keys), 9))
+    vals = keys[idx]
+    assert (np.sort(vals)[::-1] == np.sort(keys)[::-1][:9]).all()
