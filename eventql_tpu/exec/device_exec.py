@@ -135,6 +135,15 @@ def _narrow_np(c: Column) -> "np.ndarray":
                 out = data.astype(np.int16)
             elif -(1 << 31) <= mn and mx < (1 << 31):
                 out = data.astype(np.int32)
+        elif data.dtype == np.int32:
+            # STRING dictionary ids: ids are [0, K) by construction
+            # (relation.from_strings / dictionary unification), so a
+            # dictionary that fits 15 bits streams as int16 — half the
+            # scan bytes for string-keyed filters/sorts/groupbys.
+            # jax_expr._widen restores int32 inside the traced program.
+            mn, mx = int(data.min()), int(data.max())
+            if -(1 << 15) <= mn and mx < (1 << 15):
+                out = data.astype(np.int16)
     try:
         c._narrow_cache = out
     except AttributeError:

@@ -66,7 +66,7 @@ def _widen(col: DeviceCol) -> DeviceCol:
     its logical dtype. Runs inside the traced program: XLA fuses the
     convert into the consumer, so HBM still streams the narrow bytes."""
     want = _JNP_DTYPE.get(col.stype)
-    if want is None or col.stype == S:
+    if want is None:
         return col
     if col.data.dtype != jnp.dtype(want):
         return DeviceCol(col.stype, col.data.astype(want), col.valid)

@@ -384,3 +384,71 @@ def test_narrowing_decisions():
         np.ones(n, bool),
     )
     assert _narrow_np(wide_i).dtype == np.int64
+
+    # STRING dictionary ids: small dictionary -> int16 stream
+    s_small = Column.from_strings([b"a", b"b", b"c", b"a"] * 25)
+    assert s_small.data.dtype == np.int32
+    assert _narrow_np(s_small).dtype == np.int16
+    # ids at/above 2^15 keep the int32 stream
+    s_big = Column(
+        SType.STRING,
+        np.full(n, 1 << 15, dtype=np.int32),
+        np.ones(n, bool),
+        np.array([b"x"] * ((1 << 15) + 1), dtype=object),
+    )
+    assert _narrow_np(s_big).dtype == np.int32
+
+
+def _make_string_narrowing_table(n=3000, seed=7):
+    rng = np.random.default_rng(seed)
+    cities = [b"ams", b"ber", b"nyc", b"par", b"sfo", b"tok"]
+    ids = rng.integers(0, len(cities), n)
+    valid = rng.random(n) > 0.05
+    strs = [cities[i] if ok else None for i, ok in zip(ids, valid)]
+    v = rng.integers(0, 1 << 10, n).astype(np.uint64)
+    rel = Relation(
+        ["city", "v"],
+        [
+            Column.from_strings(strs),
+            Column(SType.UINT64, v, np.ones(n, bool)),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("t", rel)
+    return p
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        # pallas string-groupby route over int16-narrowed dictionary ids
+        "select city, sum(v), count(1) from t group by city"
+        " order by city;",
+        # device order route: string sort key rides narrowed ids
+        "select city, v from t where v < 600 order by city, v limit 40;",
+        # string-column equality filter (ids compared post-widen)
+        "select count(1) from t where city = city;",
+    ],
+)
+def test_string_dict_id_narrowing_matches_host(query):
+    provider = _make_string_narrowing_table()
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    try:
+        os.environ["EVENTQL_TPU_DEVICE"] = "0"
+        rt = Runtime()
+        host = rt.build_query_plan(
+            rt.new_transaction(provider), query
+        ).execute(0)
+        os.environ["EVENTQL_TPU_DEVICE"] = "1"
+        rt = Runtime()
+        dev = rt.build_query_plan(
+            rt.new_transaction(provider), query
+        ).execute(0)
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+    assert dev.columns == host.columns
+    assert dev.rows == host.rows
