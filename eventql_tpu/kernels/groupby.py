@@ -71,7 +71,9 @@ def sortable_u64(data: jax.Array, descending: bool = False) -> jax.Array:
         k = f64_sort_bits(data)
     elif data.dtype == jnp.bool_:
         k = data.astype(jnp.uint64)
-    elif data.dtype in (jnp.int32, jnp.uint32):
+    elif data.dtype in (jnp.int32, jnp.uint32, jnp.int16, jnp.uint16):
+        # via int64 so signed narrow values keep numeric order (a direct
+        # uint64 cast would sign-extend negatives above every positive)
         k = data.astype(jnp.int64).astype(jnp.uint64) ^ U64_SIGN
     else:
         k = data.astype(jnp.uint64)

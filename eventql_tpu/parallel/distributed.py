@@ -444,6 +444,19 @@ def distributed_count_distinct(
     return step(mask, tuple(key_arrays), values)
 
 
+# u64 host-order-key bounds implied by sortable_u64 per input dtype:
+# narrow ints bias by the sign flip to [2^63 - 2^b, 2^63 + 2^b - 1].
+# A bounded key's 32-bit span lets the mesh sort exchange uint32.
+_SIGN63 = 1 << 63
+_SORTKEY_DTYPE_BOUNDS = {
+    jnp.dtype(jnp.bool_): (0, 1),
+    jnp.dtype(jnp.uint32): (_SIGN63, _SIGN63 + (1 << 32) - 1),
+    jnp.dtype(jnp.int32): (_SIGN63 - (1 << 31), _SIGN63 + (1 << 31) - 1),
+    jnp.dtype(jnp.uint16): (_SIGN63, _SIGN63 + (1 << 16) - 1),
+    jnp.dtype(jnp.int16): (_SIGN63 - (1 << 15), _SIGN63 + (1 << 15) - 1),
+}
+
+
 def _lex_lt(a_tuple, b_tuple):
     """Elementwise lexicographic a < b over tuples of uint64 arrays."""
     lt = jnp.zeros(a_tuple[0].shape, dtype=jnp.bool_)
@@ -459,6 +472,7 @@ def distributed_sort(
     sort_keys: Tuple[jax.Array, ...],
     payloads: Tuple[jax.Array, ...] = (),
     axis: str = "shards",
+    key_bounds: Tuple = None,
 ):
     """Full distributed ORDER BY: globally sort a sharded table.
 
@@ -490,6 +504,14 @@ def distributed_sort(
 
     Ties between rows equal on every key may permute (the reference's
     std::sort is likewise unstable; its golden tests avoid ties).
+
+    key_bounds: optional per-key static (lo, hi) u64 bounds (post any
+      descending flip). A key whose span fits 32 bits exchanges and
+      compare-splits as uint32 — (key - lo) is a strictly monotonic
+      bijection onto [0, hi - lo], so order and ties are bit-identical
+      while the bitonic stages (operand-width bound, PERF.md) and the
+      ppermute exchanges move half the bytes. Returned keys are
+      restored to uint64.
     """
     n_shards = mesh.shape[axis]
     if n_shards & (n_shards - 1):
@@ -498,6 +520,19 @@ def distributed_sort(
             f"{n_shards}"
         )
     nk = len(sort_keys)
+    key_lo = [None] * nk
+    if key_bounds is not None:
+        sort_keys = list(sort_keys)
+        for i, b in enumerate(key_bounds):
+            if b is None:
+                continue
+            lo, hi = b
+            if (hi - lo) <= 0xFFFFFFFF:
+                sort_keys[i] = (
+                    sort_keys[i] - jnp.uint64(lo)
+                ).astype(jnp.uint32)
+                key_lo[i] = lo
+        sort_keys = tuple(sort_keys)
 
     def local_sort(keys_l, pays_l):
         ops = jax.lax.sort(list(keys_l) + list(pays_l), num_keys=nk)
@@ -559,7 +594,13 @@ def distributed_sort(
             k *= 2
         return keys_l, pays_l
 
-    return step(tuple(sort_keys), tuple(payloads))
+    out_keys, out_pays = step(tuple(sort_keys), tuple(payloads))
+    if any(lo is not None for lo in key_lo):
+        out_keys = tuple(
+            k.astype(jnp.uint64) + jnp.uint64(lo) if lo is not None else k
+            for k, lo in zip(out_keys, key_lo)
+        )
+    return out_keys, out_pays
 
 
 def distributed_order_permutation(
@@ -571,15 +612,33 @@ def distributed_order_permutation(
     """Distributed ORDER BY permutation: sort the sharded table by the
     given columns/DESC flags and return the global row-id permutation,
     sharded (shard i holds the row ids of global ranks
-    [i*n_local, (i+1)*n_local))."""
+    [i*n_local, (i+1)*n_local)).
+
+    Columns whose dtype statically bounds the u64 host-order key within
+    a 32-bit span (narrowed physical columns, dictionary ids, bools)
+    sort as uint32 — the same static-bound downcast as the single-chip
+    ORDER BY route — and the permutation payload rides int32 when the
+    global row count fits (widened back to int64 on return)."""
     from eventql_tpu.kernels.sort import make_sort_keys
 
+    _M64 = 0xFFFFFFFFFFFFFFFF
+    bounds = []
+    for c, d in zip(columns, descendings):
+        b = _SORTKEY_DTYPE_BOUNDS.get(c.dtype)
+        if b is not None and d:
+            lo, hi = b
+            b = ((~hi) & _M64, (~lo) & _M64)
+        bounds.append(b)
+
     n = columns[0].shape[0]
-    iota = jnp.arange(n, dtype=jnp.int64)
+    idx_dtype = jnp.int32 if n < (1 << 31) else jnp.int64
+    iota = jnp.arange(n, dtype=idx_dtype)
     (iota_d,) = shard_table(mesh, [iota], axis=axis)
     keys = make_sort_keys(columns, descendings)
-    _, (perm,) = distributed_sort(mesh, keys, (iota_d,), axis=axis)
-    return perm
+    _, (perm,) = distributed_sort(
+        mesh, keys, (iota_d,), axis=axis, key_bounds=tuple(bounds)
+    )
+    return perm.astype(jnp.int64)
 
 
 def distributed_grouped_aggregate_sharded(
@@ -629,6 +688,13 @@ def distributed_grouped_aggregate_sharded(
         sortable_u64,
     )
 
+    # static u64 key bounds from the key dtypes (dictionary ids /
+    # narrowed physical columns): bounded keys ride the mesh sort as
+    # uint32 — half the compare-split + ppermute bytes
+    key_bounds_static = [
+        _SORTKEY_DTYPE_BOUNDS.get(k.dtype) for k in key_arrays
+    ]
+
     # --- step 1: per-shard pre-combine --------------------------------
     @functools.partial(
         jax.shard_map,
@@ -654,12 +720,21 @@ def distributed_grouped_aggregate_sharded(
         iota = jnp.arange(n_local, dtype=jnp.int64)
         invalid = (iota >= ng).astype(jnp.uint64)
         # sort keys: validity first (a real group key may equal the
-        # all-ones sentinel), then the sortable group keys
+        # invalid-row sentinel), then the sortable group keys. Keys
+        # with a static dtype bound clamp invalid rows to the bound's
+        # max instead of all-ones so the key stays 32-bit-narrowable
+        # (ordering among invalid rows is irrelevant — the leading
+        # validity key already sinks them, and they are masked out
+        # downstream).
         skeys = tuple(
             jnp.where(
-                invalid == 0, sortable_u64(k), jnp.uint64(0xFFFFFFFFFFFFFFFF)
+                invalid == 0,
+                sortable_u64(k),
+                jnp.uint64(
+                    b[1] if b is not None else 0xFFFFFFFFFFFFFFFF
+                ),
             )
-            for k in gk
+            for k, b in zip(gk, key_bounds_static)
         )
         return invalid, skeys, gk, aggs
 
@@ -673,6 +748,7 @@ def distributed_grouped_aggregate_sharded(
         (invalid,) + skeys,
         tuple(gk) + tuple(aggs) + (invalid,),
         axis=axis,
+        key_bounds=((0, 1),) + tuple(key_bounds_static),
     )
     gk_s = payload[:nk]
     aggs_s = payload[nk : nk + na]

@@ -144,3 +144,21 @@ def test_multi_key_group():
         if m:
             want[(int(a), int(b))] = want.get((int(a), int(b)), 0) + int(x)
     assert got == want
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.int16])
+def test_narrow_dtype_keys_exact(dtype):
+    # dictionary-id / narrowed-column group keys: the mesh sort runs
+    # them as uint32 via the static dtype bound — results must be
+    # exact, including negative keys and masked rows
+    n = 8 * 64
+    rng = np.random.default_rng(31)
+    info = np.iinfo(dtype)
+    keys = rng.integers(info.min, int(info.max) + 1, n).astype(dtype)
+    vals = rng.integers(0, 1000, n).astype(np.uint64)
+    mask = rng.random(n) < 0.8
+    kinds = ("sum", "count", "min", "max")
+    got, order = _run(8, keys, vals, mask, kinds)
+    want = _host_expected(keys, vals, mask, kinds)
+    assert got == want
+    assert order == sorted(order)

@@ -105,6 +105,50 @@ def test_non_power_of_two_rejected():
         distributed_sort(mesh, (keys_d,))
 
 
+def test_narrow_dtype_columns_sort_as_u32():
+    # narrowed physical columns (i32/u16 here; the full dtype->bound
+    # table is covered by the single-chip route tests) carry a static
+    # key bound: the mesh sort runs them as uint32 keys + int32
+    # payload and must produce the exact host ordering, ASC and DESC
+    mesh = make_mesh(8)
+    n = 8 * 32
+    rng = np.random.default_rng(17)
+    cases = [
+        rng.integers(-(1 << 31), 1 << 31, n).astype(np.int32),
+        rng.integers(0, 1 << 16, n).astype(np.uint16),
+    ]
+    for col in cases:
+        for desc in (False, True):
+            col_d = shard_table(mesh, [jnp.asarray(col)])[0]
+            pn = np.asarray(
+                distributed_order_permutation(mesh, [col_d], [desc])
+            )
+            got = col[pn].astype(np.int64)
+            want = np.sort(col.astype(np.int64))
+            if desc:
+                want = want[::-1]
+            assert np.array_equal(got, want), (col.dtype, desc)
+
+
+def test_key_bounds_roundtrip_restores_u64():
+    # explicit key_bounds: returned keys must be restored to uint64
+    mesh = make_mesh(4)
+    n = 4 * 16
+    rng = np.random.default_rng(23)
+    base = 5_000_000_000  # > 2^32: only the SPAN must fit 32 bits
+    keys = (base + rng.integers(0, 1000, n)).astype(np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    keys_d, ids_d = shard_table(mesh, [keys, ids])
+    (sk,), (sp,) = distributed_sort(
+        mesh,
+        (keys_d,),
+        (ids_d,),
+        key_bounds=((base, base + 1000),),
+    )
+    assert np.asarray(sk).dtype == np.uint64
+    _check_sorted_pairs(keys, ids, np.asarray(sk), np.asarray(sp))
+
+
 def test_payload_columns_ride_along():
     # full row sort: two payload columns stay aligned with their key
     mesh = make_mesh(4)
