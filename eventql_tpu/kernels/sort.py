@@ -56,6 +56,10 @@ def topk_permutation(sort_key: jax.Array, k: int) -> jax.Array:
     histogram levels for an exact 24-bit threshold plus the Pallas
     block-skipping extractor (kernels/extract.py)."""
     n = sort_key.shape[0]
+    if sort_key.dtype == jnp.uint16:
+        # u16 keys exist for the full-sort route's benefit; the
+        # histogram kernels speak u32/u64, so widen (free in-register)
+        sort_key = sort_key.astype(jnp.uint32)
     if n >= (1 << 22) and k <= 4096:
         if sort_key.dtype == jnp.uint32:
             return fast_topk_u32(sort_key, k)

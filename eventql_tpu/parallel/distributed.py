@@ -527,7 +527,12 @@ def distributed_sort(
             if b is None:
                 continue
             lo, hi = b
-            if (hi - lo) <= 0xFFFFFFFF:
+            if (hi - lo) <= 0xFFFF:
+                sort_keys[i] = (
+                    sort_keys[i] - jnp.uint64(lo)
+                ).astype(jnp.uint16)
+                key_lo[i] = lo
+            elif (hi - lo) <= 0xFFFFFFFF:
                 sort_keys[i] = (
                     sort_keys[i] - jnp.uint64(lo)
                 ).astype(jnp.uint32)
