@@ -545,7 +545,9 @@ def _window_join_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_buckets", "block", "window", "value_bits"),
+    static_argnames=(
+        "num_buckets", "block", "window", "value_bits", "key_bound",
+    ),
 )
 def sorted_merge_join_aggregate(
     fact_keys: jax.Array,
@@ -557,6 +559,7 @@ def sorted_merge_join_aggregate(
     block: int = _MERGE_BLOCK,
     window: int = _MERGE_WINDOW,
     value_bits: int = 64,
+    key_bound=None,
 ):
     """fact-dim join + GROUP BY aggregate for dimension tables too large
     for the VMEM compare kernel: sort facts (payloads ride free), merge-
@@ -566,10 +569,21 @@ def sorted_merge_join_aggregate(
     hint). When < 64 the filter mask packs into the value word, cutting
     the sort to two operands (measured v5e: 0.33 vs 0.21 Grows/s).
 
+    key_bound: optional static (lo, hi) bound on sortable_u64(fact_keys)
+    (planner column-stats hint — dictionary-id or narrowed join keys).
+    A span that fits 32 bits sorts as a uint32 key — the sort stage is
+    operand-width bound (~65% of this pipeline's wall time) — and
+    widens back before the window merge, so the merge kernel and the
+    dim side are unchanged.
+
     Returns (counts u64[K], sums u64[K])."""
     from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
 
     sk = sortable_u64(fact_keys)
+    key_lo = None
+    if key_bound is not None and (key_bound[1] - key_bound[0]) <= 0xFFFFFFFF:
+        key_lo = key_bound[0]
+        sk = (sk - jnp.uint64(key_lo)).astype(jnp.uint32)
     vals = fact_values.astype(jnp.uint64)
     if value_bits < 32:
         # narrow values: one u32 payload word (measured v5e: [u64, i32]
@@ -590,6 +604,10 @@ def sorted_merge_join_aggregate(
         sk_s, vals_s, mask_s = jax.lax.sort(
             [sk, vals, fact_mask.astype(jnp.uint8)], num_keys=1
         )
+    if key_lo is not None:
+        # restore the u64 sortable keys for the window merge (order is
+        # identical: the downcast is a monotonic bijection)
+        sk_s = sk_s.astype(jnp.uint64) + jnp.uint64(key_lo)
     gid = merge_join_gid(sk_s, dim_keys, dim_bucket, block, window)
     mask = (mask_s > 0) & (gid >= 0)
     return pallas_sum_count(

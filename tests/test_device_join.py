@@ -161,6 +161,45 @@ def test_sorted_merge_join_aggregate_parity():
     assert list(np.asarray(sums)) == list(exp_sums)
 
 
+def test_sorted_merge_join_key_bound_parity():
+    """Bounded fact keys sort as uint32 (key_bound hint) — results must
+    match the unbounded route exactly, including value_bits packing."""
+    from eventql_tpu.kernels.join import sorted_merge_join_aggregate
+
+    rng = np.random.default_rng(13)
+    n_dim, n_fact, K = 3000, 30000, 32
+    base = 7_000_000_000  # keys > 2^32: only the SPAN must fit
+    dim_keys = rng.permutation(
+        np.arange(n_dim, dtype=np.uint64) * 977 + base
+    )
+    dim_bucket = rng.integers(0, K, n_dim).astype(np.int32)
+    fact_keys = (
+        rng.integers(0, n_dim, n_fact).astype(np.uint64) * 977 + base
+    )
+    fact_vals = rng.integers(0, 1000, n_fact).astype(np.uint64)
+    fact_mask = rng.random(n_fact) < 0.8
+    lo, hi = int(fact_keys.min()), int(fact_keys.max())
+
+    for vb in (64, 16):
+        counts, sums = sorted_merge_join_aggregate(
+            jnp.asarray(fact_keys),
+            jnp.asarray(fact_vals),
+            jnp.asarray(fact_mask),
+            jnp.asarray(dim_keys),
+            jnp.asarray(dim_bucket),
+            K,
+            block=1024,
+            window=512,
+            value_bits=vb,
+            key_bound=(lo, hi),
+        )
+        exp_counts, exp_sums = _numpy_join_agg(
+            fact_keys, fact_vals, fact_mask, dim_keys, dim_bucket, K
+        )
+        assert list(np.asarray(counts)) == list(exp_counts), vb
+        assert list(np.asarray(sums)) == list(exp_sums), vb
+
+
 def test_sorted_merge_join_overflow_fallback():
     """Heavy skew: all facts hit one key so a block spans < window dims,
     BUT a tiny window + huge dim span in one block forces the
