@@ -104,6 +104,7 @@ def distributed_topk(
     payload_index,
     k: int,
     axis: str = "shards",
+    key_bound=None,
 ):
     """Distributed ORDER BY ... LIMIT k: per-shard top-k (lax.top_k on
     the pre-transformed key), all-gather of the k·P candidates over
@@ -112,10 +113,17 @@ def distributed_topk(
     fully-materialized coordinator sort (reference: sql/statements/
     select/orderby.cc:58-168 + streamed remote cursors).
 
-    sort_key: uint64 keys (larger = earlier in output), sharded.
+    sort_key: uint64 keys (larger = earlier in output), sharded. A
+      statically-bounded key (key_bound=(lo, hi) with a 32-bit span)
+      runs the per-shard top_k and the candidate all-gather at uint32
+      width — same monotonic-bijection argument as distributed_sort.
     payload_index: int64 global row ids, sharded.
-    Returns (keys[k], row_ids[k]) replicated.
+    Returns (keys[k], row_ids[k]) replicated (uint64 keys).
     """
+    key_lo = None
+    if key_bound is not None and (key_bound[1] - key_bound[0]) <= 0xFFFFFFFF:
+        key_lo = key_bound[0]
+        sort_key = (sort_key - jnp.uint64(key_lo)).astype(jnp.uint32)
 
     @functools.partial(
         jax.shard_map,
@@ -133,7 +141,10 @@ def distributed_topk(
         f_vals, f_pos = jax.lax.top_k(all_vals, k)
         return f_vals, all_idx[f_pos]
 
-    return step(sort_key, payload_index)
+    f_vals, f_idx = step(sort_key, payload_index)
+    if key_lo is not None:
+        f_vals = f_vals.astype(jnp.uint64) + jnp.uint64(key_lo)
+    return f_vals, f_idx
 
 
 def distributed_pallas_sum_count(

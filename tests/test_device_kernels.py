@@ -132,6 +132,15 @@ def test_distributed_topk():
     expected = np.argsort(-vals)[:10]
     assert (top_idx == expected).all()
 
+    # bounded keys (rank-encoded, span < 2^32) ride uint32 through the
+    # per-shard top_k and all-gather; returned keys restore to uint64
+    ranks = np.argsort(np.argsort(keys)).astype(np.uint64)
+    rk_d = shard_table(mesh, [ranks])[0]
+    bk, bi = distributed_topk(mesh, rk_d, idx_d, 10, key_bound=(0, n - 1))
+    assert np.asarray(bk).dtype == np.uint64
+    assert (np.asarray(bi) == expected).all()
+    assert (np.asarray(bk) == ranks[expected]).all()
+
 
 def test_fast_topk_histogram_threshold():
     """Histogram-threshold top-k is exact, ordered, and falls back on
