@@ -135,12 +135,15 @@ def _narrow_np(c: Column) -> "np.ndarray":
                 out = data.astype(np.int16)
             elif -(1 << 31) <= mn and mx < (1 << 31):
                 out = data.astype(np.int32)
-        elif data.dtype == np.int32:
+        elif data.dtype == np.int32 and c.stype == SType.STRING:
             # STRING dictionary ids: ids are [0, K) by construction
             # (relation.from_strings / dictionary unification), so a
             # dictionary that fits 15 bits streams as int16 — half the
             # scan bytes for string-keyed filters/sorts/groupbys.
             # jax_expr._widen restores int32 inside the traced program.
+            # The stype gate enforces the dictionary-id invariant: a
+            # future non-string int32 physical column must NOT take
+            # this branch implicitly.
             mn, mx = int(data.min()), int(data.max())
             if -(1 << 15) <= mn and mx < (1 << 15):
                 out = data.astype(np.int16)

@@ -117,13 +117,23 @@ def distributed_topk(
       statically-bounded key (key_bound=(lo, hi) with a 32-bit span)
       runs the per-shard top_k and the candidate all-gather at uint32
       width — same monotonic-bijection argument as distributed_sort.
+      With key_bound set, EVERY key value — including sentinel keys of
+      filtered/excluded rows — must lie within [lo, hi]: out-of-range
+      keys are clamped to the bound before the downcast (a key below
+      lo would otherwise wrap modularly to a large uint32 and win the
+      top-k silently; clamping sinks it to the bound's floor instead,
+      matching the single-chip route's keys-forced-to-minimum
+      convention).
     payload_index: int64 global row ids, sharded.
     Returns (keys[k], row_ids[k]) replicated (uint64 keys).
     """
     key_lo = None
     if key_bound is not None and (key_bound[1] - key_bound[0]) <= 0xFFFFFFFF:
         key_lo = key_bound[0]
-        sort_key = (sort_key - jnp.uint64(key_lo)).astype(jnp.uint32)
+        clamped = jnp.clip(
+            sort_key, jnp.uint64(key_bound[0]), jnp.uint64(key_bound[1])
+        )
+        sort_key = (clamped - jnp.uint64(key_lo)).astype(jnp.uint32)
 
     @functools.partial(
         jax.shard_map,
@@ -469,7 +479,11 @@ _SORTKEY_DTYPE_BOUNDS = {
 
 
 def _lex_lt(a_tuple, b_tuple):
-    """Elementwise lexicographic a < b over tuples of uint64 arrays."""
+    """Elementwise lexicographic a < b over tuples of same-dtype
+    unsigned arrays (u16/u32/u64 per key position — key_bounds narrows
+    each position independently, so dtypes may differ ACROSS positions
+    but both sides of a compare-split pair always share the dtype at
+    each position; never mix widths per side)."""
     lt = jnp.zeros(a_tuple[0].shape, dtype=jnp.bool_)
     eq = jnp.ones(a_tuple[0].shape, dtype=jnp.bool_)
     for a, b in zip(a_tuple, b_tuple):
