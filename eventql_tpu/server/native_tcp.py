@@ -133,6 +133,13 @@ def read_lenencstr(buf: bytes, pos: int) -> Tuple[bytes, int]:
     return buf[pos : pos + n], pos + n
 
 
+# frame size limits (reference: transport/native/connection.h:34-35 —
+# kMaxFrameSize 256 MB hard cap on any received frame, kMaxFrameSizeSoft
+# 32 MB at which the server flushes a result frame mid-statement)
+MAX_FRAME_SIZE = 256 * 1024 * 1024
+MAX_FRAME_SIZE_SOFT = 32 * 1024 * 1024
+
+
 def _send_frame(sock, opcode: int, flags: int, payload: bytes):
     sock.sendall(struct.pack(">HHI", opcode, flags, len(payload)) + payload)
 
@@ -150,6 +157,10 @@ def _recv_exact(sock, n: int) -> bytes:
 def _recv_frame(sock) -> Tuple[int, int, bytes]:
     header = _recv_exact(sock, 8)
     opcode, flags, length = struct.unpack(">HHI", header)
+    if length > MAX_FRAME_SIZE:
+        # reference: connection_tcp.cc:151 closes the connection on an
+        # oversized frame rather than attempting to buffer it
+        raise ConnectionError("frame too large")
     payload = _recv_exact(sock, length) if length else b""
     return opcode, flags, payload
 
@@ -189,13 +200,20 @@ class NativeTCPServer:
 
     def start(self):
         outer = self
+        self._active_conns = set()
+        self._conns_lock = threading.Lock()
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                with outer._conns_lock:
+                    outer._active_conns.add(self.request)
                 try:
                     outer._handle_connection(self.request)
                 except (ConnectionError, OSError):
                     pass
+                finally:
+                    with outer._conns_lock:
+                        outer._active_conns.discard(self.request)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -216,6 +234,21 @@ class NativeTCPServer:
         if self._server:
             self._server.shutdown()
             self._server.server_close()
+            # a stopped server must stop SERVING, not just listening:
+            # peers holding pooled connections would otherwise keep
+            # getting responses from live handler threads
+            with self._conns_lock:
+                conns = list(self._active_conns)
+                self._active_conns.clear()
+            for s in conns:
+                try:
+                    s.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
+                try:
+                    s.close()
+                except OSError:
+                    pass
 
     # server-side idle timeout (reference: server.c2s_idle_timeout)
     IDLE_TIMEOUT = 300.0
@@ -313,15 +346,27 @@ class NativeTCPServer:
         pos = 0
         query, pos = read_lenencstr(payload, pos)
         qflags, pos = read_varint(payload, pos)
-        _maxrows, pos = read_varint(payload, pos)
+        maxrows, pos = read_varint(payload, pos)
+        if maxrows == 0:
+            # reference parity: ops/query.cc:64-66 (0 means 1, not
+            # unlimited — the reference C client sends 10)
+            maxrows = 1
 
         send_lock = threading.Lock()
         done = threading.Event()
+        # heartbeats are only emitted while a statement EXECUTES —
+        # never while result pages stream or while blocked on
+        # CONTINUE/NEXT (reference: the heartbeat callback fires from
+        # inside query execution, ops/query.cc:68-71) — so streaming
+        # sends cannot interleave with a heartbeat frame mid-write
+        executing = threading.Event()
         progress = {"done": 0, "total": 1, "t0": time.monotonic()}
         want_progress = bool(qflags & QUERY_SENDPROGRESS)
 
         def heartbeats():
             while not done.wait(self.HEARTBEAT_INTERVAL):
+                if not executing.is_set():
+                    continue
                 try:
                     with send_lock:
                         if want_progress:
@@ -354,6 +399,7 @@ class NativeTCPServer:
         from eventql_tpu.utils.stats import evqld_stats
 
         evqld_stats().num_queries.incr()
+        executing.set()
         try:
             provider = (
                 self.table_service
@@ -363,10 +409,6 @@ class NativeTCPServer:
             txn = self.runtime.new_transaction(provider)
             plan = self.runtime.build_query_plan(txn, query.decode("utf-8"))
             progress["total"] = max(1, plan.num_queries)
-            results = []
-            for i in range(plan.num_queries):
-                results.append(plan.execute(i))
-                progress["done"] = i + 1
         except SQLError as e:
             done.set()
             hb.join()
@@ -377,51 +419,115 @@ class NativeTCPServer:
                 write_lenencstr(e.message.encode("utf-8")),
             )
             return
-        done.set()
-        hb.join()
 
-        num = len(results)
-        for i, result in enumerate(results):
-            pending = i + 1 < num
-            self._send_result(sock, result, pending)
-            if pending:
-                # wait for QUERY_NEXT (reference: ops/query.cc:196-230)
-                opcode, _f, _p = _recv_frame(sock)
-                if opcode == OP_QUERY_DISCARD:
+        # statements execute lazily, one at a time, with each result
+        # streamed in maxrows-row frames before the next statement runs
+        # (reference: ops/query.cc:135-230 — the row loop flushes a
+        # QUERY_RESULT frame whenever rowcount exceeds maxrows or row
+        # bytes exceed the 32 MB soft cap, then blocks on
+        # QUERY_CONTINUE/QUERY_DISCARD before producing more rows)
+        num = plan.num_queries
+        try:
+            for i in range(num):
+                executing.set()
+                try:
+                    result = plan.execute(i)
+                except SQLError as e:
+                    executing.clear()
+                    with send_lock:
+                        _send_frame(
+                            sock,
+                            OP_ERROR,
+                            F_ENDOFREQUEST,
+                            write_lenencstr(e.message.encode("utf-8")),
+                        )
                     return
-                if opcode != OP_QUERY_NEXT:
-                    _send_frame(
-                        sock,
-                        OP_ERROR,
-                        F_ENDOFREQUEST,
-                        write_lenencstr(b"unexpected opcode"),
-                    )
-                    return
+                progress["done"] = i + 1
+                # barrier: wait out any in-flight heartbeat send, then
+                # stream lock-free (the heartbeat thread won't send
+                # again until executing is re-set)
+                executing.clear()
+                with send_lock:
+                    pass
+                pending = i + 1 < num
+                self._stream_result(sock, result, pending, maxrows)
+                if pending:
+                    # wait for QUERY_NEXT (reference: ops/query.cc:196-230)
+                    opcode, _f, _p = _recv_frame(sock)
+                    if opcode == OP_QUERY_DISCARD:
+                        return
+                    if opcode != OP_QUERY_NEXT:
+                        _send_frame(
+                            sock,
+                            OP_ERROR,
+                            F_ENDOFREQUEST,
+                            write_lenencstr(b"unexpected opcode"),
+                        )
+                        return
+        finally:
+            done.set()
+            hb.join()
 
-    def _send_result(self, sock, result, pending: bool):
-        # reference: QueryResultFrame::writeTo (frames/query_result.cc)
-        qflags = QR_HASCOLNAMES | QR_HASSTATS
-        if not pending:
-            qflags |= QR_COMPLETE
-        if pending:
-            qflags |= QR_PENDINGSTMT
+    def _result_header(self, result, qflags: int, nrows: int) -> bytearray:
+        # every frame re-sends column names + stats (reference:
+        # frames/query_result.cc:63-97 sets HASCOLNAMES|HASSTATS on
+        # each writeTo, not just the first)
         body = bytearray()
         body += write_varint(qflags)
         body += write_varint(result.num_columns)
-        body += write_varint(result.num_rows)
+        body += write_varint(nrows)
         for _ in range(4):  # stats: rows_modified/scanned, bytes, runtime
             body += write_varint(0)
         for c in result.columns:
             body += write_lenencstr(c.encode("utf-8"))
+        return body
+
+    def _stream_result(self, sock, result, pending: bool, maxrows: int):
+        """Stream one statement's rows as flow-controlled QUERY_RESULT
+        frames; returns True when the statement's final (COMPLETE)
+        frame went out. A QUERY_DISCARD between pages abandons the
+        remaining rows of THIS statement only — the final frame still
+        goes out (with the zero rows accumulated since the flush) and
+        multi-statement handling proceeds, exactly like the reference's
+        cont=false break (ops/query.cc:160-193).
+
+        Frame boundaries mirror the reference: a row is always appended
+        first, THEN the frame flushes when its row count EXCEEDS
+        maxrows or its bytes exceed the 32 MB soft cap — so paged
+        frames carry maxrows+1 rows (ops/query.cc:150-158)."""
+        data = bytearray()
+        nrows = 0
         for row in result.rows:
             for cell in row:
-                body += write_lenencstr(cell.encode("utf-8"))
-        _send_frame(
-            sock,
-            OP_QUERY_RESULT,
-            F_ENDOFREQUEST if not pending else 0,
-            bytes(body),
-        )
+                data += write_lenencstr(cell.encode("utf-8"))
+            nrows += 1
+            if nrows > maxrows or len(data) > MAX_FRAME_SIZE_SOFT:
+                body = self._result_header(
+                    result, QR_HASCOLNAMES | QR_HASSTATS, nrows
+                )
+                body += data
+                _send_frame(sock, OP_QUERY_RESULT, 0, bytes(body))
+                data = bytearray()
+                nrows = 0
+                # block until the client pulls the next page
+                # (reference: ops/query.cc:160-193)
+                opcode, _f, _p = _recv_frame(sock)
+                if opcode == OP_QUERY_DISCARD:
+                    break
+                if opcode != OP_QUERY_CONTINUE:
+                    # reference: unexpected opcode closes the connection
+                    sock.close()
+                    raise ConnectionError("unexpected opcode")
+        qflags = QR_HASCOLNAMES | QR_HASSTATS | QR_COMPLETE
+        if pending:
+            qflags |= QR_PENDINGSTMT
+        body = self._result_header(result, qflags, nrows)
+        body += data
+        # ENDOFREQUEST rides every statement-final frame (reference:
+        # query_result.cc:91-97 — is_last_ sets it even with a pending
+        # statement)
+        _send_frame(sock, OP_QUERY_RESULT, F_ENDOFREQUEST, bytes(body))
+        return True
 
     def _handle_partialaggr(self, sock, payload):
         """Execute a shipped partial-aggregate plan against local tables
@@ -760,17 +866,28 @@ class NativeTCPClient:
         if opcode != OP_READY:
             raise SQLError(f"unexpected opcode in handshake: {opcode:#x}")
 
-    def query(self, query: str, local: bool = False, on_progress=None):
+    # result page size sent as the QUERY frame's maxrows: the server
+    # flushes a frame after batch_size+1 rows (reference flush quirk)
+    # and waits for our QUERY_CONTINUE — bounding both sides' memory
+    # (reference: ops/query.cc:150-193; the reference C client uses 10)
+    DEFAULT_BATCH_SIZE = 4096
+
+    def query(self, query: str, local: bool = False, on_progress=None,
+              batch_size: int = None):
         qflags = QUERY_LOCALONLY if local else 0
         if on_progress is not None:
             qflags |= QUERY_SENDPROGRESS
+        if batch_size is None:
+            batch_size = self.DEFAULT_BATCH_SIZE
         payload = (
             write_lenencstr(query.encode("utf-8"))
             + write_varint(qflags)
-            + write_varint(0)
+            + write_varint(batch_size)
         )
         _send_frame(self.sock, OP_QUERY, 0, payload)
         results = []
+        cur_columns: List[str] = []
+        cur_rows: List[List[str]] = []
         while True:
             opcode, flags, body = _recv_frame(self.sock)
             if opcode == OP_ERROR:
@@ -799,30 +916,33 @@ class NativeTCPClient:
                 continue
             if opcode != OP_QUERY_RESULT:
                 raise SQLError(f"unexpected opcode: {opcode:#x}")
-            qflags, pos = read_varint(body, 0)
+            qrflags, pos = read_varint(body, 0)
             ncols, pos = read_varint(body, pos)
             nrows, pos = read_varint(body, pos)
-            if qflags & QR_HASSTATS:
+            if qrflags & QR_HASSTATS:
                 for _ in range(4):
                     _v, pos = read_varint(body, pos)
-            columns = []
-            if qflags & QR_HASCOLNAMES:
+            if qrflags & QR_HASCOLNAMES:
+                cur_columns = []
                 for _ in range(ncols):
                     c, pos = read_lenencstr(body, pos)
-                    columns.append(c.decode("utf-8"))
-            rows = []
+                    cur_columns.append(c.decode("utf-8"))
             for _ in range(nrows):
                 row = []
                 for _ in range(ncols):
                     cell, pos = read_lenencstr(body, pos)
                     row.append(cell.decode("utf-8"))
-                rows.append(row)
-            results.append((columns, rows))
-            if qflags & QR_PENDINGSTMT:
+                cur_rows.append(row)
+            if not qrflags & QR_COMPLETE:
+                # partial page: pull the next one
+                _send_frame(self.sock, OP_QUERY_CONTINUE, 0, b"")
+                continue
+            results.append((cur_columns, cur_rows))
+            cur_columns, cur_rows = [], []
+            if qrflags & QR_PENDINGSTMT:
                 _send_frame(self.sock, OP_QUERY_NEXT, 0, b"")
                 continue
-            if qflags & QR_COMPLETE or flags & F_ENDOFREQUEST:
-                return results
+            return results
 
     def insert_json(self, table: str, records, local: bool = False):
         body = bytearray()

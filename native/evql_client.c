@@ -38,6 +38,16 @@
 #define OP_QUERY_RESULT 0x0007
 #define OP_QUERY_PROGRESS 0x000a
 #define OP_QUERY_NEXT 0x000b
+#define OP_QUERY_CONTINUE 0x0008
+#define OP_QUERY_DISCARD 0x0009
+
+/* reference: connection.h:34 kMaxFrameSize — a peer frame larger than
+ * 256 MB is a protocol violation, not something to buffer */
+#define MAX_FRAME_SIZE (256ul * 1024 * 1024)
+/* result page size when EVQL_CLIENT_OPT_ROWBUFLEN is unset (sent as
+ * the QUERY frame's maxrows; the server pages after batch_size+1 rows
+ * and waits for QUERY_CONTINUE — reference: ops/query.cc:150-193) */
+#define DEFAULT_BATCH_SIZE 4096
 
 #define F_ENDOFREQUEST 0x1
 
@@ -63,6 +73,7 @@ struct evql_client_s {
   size_t* row_lens;
   size_t* row_offsets; /* start offset of each row in payload */
   int pending_stmt;
+  int islast; /* current frame has QR_COMPLETE (no more pages) */
   int result_valid;
   /* options (evql_client_setopt) */
   uint64_t timeout_us;
@@ -155,6 +166,7 @@ static int recv_frame(int fd, uint16_t* opcode, uint16_t* flags,
   *len = ((size_t)hdr[4] << 24) | ((size_t)hdr[5] << 16) |
          ((size_t)hdr[6] << 8) | hdr[7];
   *payload = NULL;
+  if (*len > MAX_FRAME_SIZE) return -1;
   if (*len) {
     *payload = (unsigned char*)malloc(*len);
     if (!*payload) return -1;
@@ -329,6 +341,7 @@ static int parse_result(evql_client_t* client, unsigned char* payload,
   client->ncols = ncols;
   client->nrows = nrows;
   client->pending_stmt = (qflags & QR_PENDINGSTMT) ? 1 : 0;
+  client->islast = (qflags & QR_COMPLETE) ? 1 : 0;
   client->col_names = (char**)calloc(ncols ? ncols : 1, sizeof(char*));
   client->col_name_lens = (size_t*)calloc(ncols ? ncols : 1, sizeof(size_t));
   client->row_fields =
@@ -435,7 +448,9 @@ int evql_query(evql_client_t* client, const char* query_string,
   memcpy(buf + pos, query_string, qlen);
   pos += qlen;
   pos += varint_encode(qflags, buf + pos); /* flags */
-  pos += varint_encode(0, buf + pos); /* maxrows */
+  pos += varint_encode(/* maxrows: result page size */
+      client->batch_size ? client->batch_size : DEFAULT_BATCH_SIZE,
+      buf + pos);
   if (qflags & 0x1) {
     pos += varint_encode(dlen, buf + pos);
     memcpy(buf + pos, database, dlen);
@@ -456,7 +471,17 @@ int evql_fetch_row(evql_client_t* client, const char*** fields,
     set_error(client, "no result", 9);
     return -1;
   }
-  if (client->row_cursor >= client->nrows) return 0;
+  /* page exhausted but statement incomplete: pull the next page with
+   * QUERY_CONTINUE (reference: client.c evql_fetch_row's
+   * evql_client_query_continue loop) */
+  while (client->row_cursor >= client->nrows) {
+    if (client->islast) return 0; /* eof */
+    if (send_frame(client->fd, OP_QUERY_CONTINUE, 0, NULL, 0)) {
+      set_error(client, "send failed", 11);
+      return -1;
+    }
+    if (read_result(client)) return -1;
+  }
   unsigned char* payload = (unsigned char*)client->payload;
   size_t pos = client->row_offsets[client->row_cursor];
   for (size_t i = 0; i < client->ncols; i++) {
@@ -488,11 +513,28 @@ int evql_num_columns(evql_client_t* client, size_t* ncols) {
 
 int evql_discard_result(evql_client_t* client) {
   client->row_cursor = client->nrows;
+  if (client->result_valid && !client->islast) {
+    /* the server is blocked waiting for CONTINUE/DISCARD after a
+     * partial page — release it and swallow its final COMPLETE frame
+     * (reference server: ops/query.cc:160-193 DISCARD path) */
+    if (send_frame(client->fd, OP_QUERY_DISCARD, 0, NULL, 0)) {
+      set_error(client, "send failed", 11);
+      return -1;
+    }
+    if (read_result(client)) return -1;
+    client->row_cursor = client->nrows;
+  }
   return 0;
 }
 
 int evql_next_result(evql_client_t* client) {
   if (!client->result_valid) return -1;
+  if (!client->islast) {
+    /* reference: client.c evql_next_result errors until the current
+     * statement's pages are fully consumed or discarded */
+    set_error(client, "current query not finished yet", 30);
+    return -1;
+  }
   if (!client->pending_stmt) return 0;
   if (send_frame(client->fd, OP_QUERY_NEXT, 0, NULL, 0)) {
     set_error(client, "send failed", 11);

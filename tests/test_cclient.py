@@ -188,3 +188,65 @@ def test_embedded_server_c_api():
     )
     assert out.returncode == 0, out.stderr
     assert "embedded server smoke OK" in out.stdout
+
+
+def test_c_client_paged_fetch(server):
+    """fetch_row pages transparently with QUERY_CONTINUE when
+    ROWBUFLEN is smaller than the result (reference: client.c
+    evql_fetch_row → evql_client_query_continue)."""
+    import ctypes
+    import struct
+
+    lib = _lib()
+    lib.evql_client_setopt.restype = ctypes.c_int
+    lib.evql_client_setopt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_long,
+    ]
+
+    c = CClient("127.0.0.1", server.port)
+    c.query("CREATE TABLE pgc (t uint64, v uint64, PRIMARY KEY (t));")
+    for i in range(100):
+        c.query("INSERT INTO pgc (t, v) VALUES (%d, %d);" % (i, i * 3))
+    # page size 8 → 100 rows arrive over ~12 CONTINUE round-trips
+    val = struct.pack("<Q", 8)
+    assert lib.evql_client_setopt(c._c, 2, val, 8, 0) == 0  # ROWBUFLEN
+    results = c.query("select t, v from pgc order by t;")
+    assert len(results) == 1
+    cols, rows = results[0]
+    assert cols == ["t", "v"]
+    assert rows == [[str(i), str(i * 3)] for i in range(100)]
+    # connection still healthy afterwards
+    assert c.query("select 3 as x;")[0][1] == [["3"]]
+    c.close()
+
+
+def test_c_client_discard_mid_result(server):
+    """evql_discard_result releases a server blocked on CONTINUE and
+    leaves the connection usable."""
+    import ctypes
+    import struct
+
+    lib = _lib()
+    lib.evql_client_setopt.restype = ctypes.c_int
+    lib.evql_client_setopt.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_long,
+    ]
+    lib.evql_discard_result.restype = ctypes.c_int
+    lib.evql_discard_result.argtypes = [ctypes.c_void_p]
+    lib.evql_query.restype = ctypes.c_int
+
+    c = CClient("127.0.0.1", server.port)
+    c.query("CREATE TABLE pgd (t uint64, PRIMARY KEY (t));")
+    for i in range(40):
+        c.query("INSERT INTO pgd (t) VALUES (%d);" % i)
+    val = struct.pack("<Q", 4)
+    assert lib.evql_client_setopt(c._c, 2, val, 8, 0) == 0
+    rc = lib.evql_query(c._c, b"select t from pgd order by t;", b"", 0)
+    assert rc == 0
+    # first page holds 5 rows of 40; discard the rest mid-result
+    assert lib.evql_discard_result(c._c) == 0
+    # connection healthy: next query works
+    assert c.query("select 11 as x;")[0][1] == [["11"]]
+    c.close()
