@@ -170,7 +170,12 @@ class ClusterTableProvider(TableProvider):
         # its local rows and queries fan to all of them)
         self.cdir = cdir
         self.server_map = dict(server_map or {})
-        self._clients: Dict[Tuple[str, int], object] = {}
+        # pooled server-to-server connections, shared process-wide so
+        # per-request provider instances reuse sockets across queries
+        # (reference: TCPConnectionPool in db/database.cc:283-290)
+        from eventql_tpu.parallel.conn_pool import global_pool
+
+        self.pool = global_pool()
         self._rr = 0  # round-robin insert cursor
         # reference default: query_failed_shard_policy=tolerate
         # (evqld.cc:247) — queries return partial results with
@@ -178,17 +183,14 @@ class ClusterTableProvider(TableProvider):
         self.failed_shard_policy = failed_shard_policy
         self.num_failed_shards = 0
 
-    def _client(self, addr):
-        from eventql_tpu.server.native_tcp import NativeTCPClient
-
-        if addr not in self._clients:
-            self._clients[addr] = NativeTCPClient(addr[0], addr[1])
-        return self._clients[addr]
+    def _query(self, addr, sql: str):
+        """One local-only SQL request on a pooled connection."""
+        return self.pool.call(addr, lambda c: c.query(sql, local=True))
 
     def close(self):
-        for c in self._clients.values():
-            c.close()
-        self._clients.clear()
+        # the pool is process-shared; provider instances (one per
+        # request) must not tear it down
+        pass
 
     # table schema from the first worker that knows it
     def describe(self, table_name: str) -> Optional[TableInfo]:
@@ -196,11 +198,8 @@ class ClusterTableProvider(TableProvider):
 
         for addr in self.workers:
             try:
-                results = self._client(addr).query(
-                    f"describe `{table_name}`;", local=True
-                )
+                results = self._query(addr, f"describe `{table_name}`;")
             except (OSError, ConnectionError, SQLError):
-                self._clients.pop(addr, None)
                 continue
             _cols, rows = results[0]
             name_map = {v: k for k, v in _TYPENAMES.items()}
@@ -214,11 +213,10 @@ class ClusterTableProvider(TableProvider):
         names = set()
         for addr in self.workers:
             try:
-                results = self._client(addr).query("show tables;", local=True)
+                results = self._query(addr, "show tables;")
                 for row in results[0][1]:
                     names.add(row[0])
             except (OSError, ConnectionError, SQLError):
-                self._clients.pop(addr, None)
                 continue
         return [self.describe(n) for n in sorted(names)]
 
@@ -235,14 +233,11 @@ class ClusterTableProvider(TableProvider):
 
     def cluster_servers(self):
         """(name, status, addr) rows for CLUSTER SHOW SERVERS."""
-        from eventql_tpu.server.native_tcp import NativeTCPClient
 
         rows = []
         for host, port in self.workers:
             try:
-                c = NativeTCPClient(host, port)
-                up = c.ping()
-                c.close()
+                up = self.pool.call((host, port), lambda c: c.ping())
             except (OSError, SQLError):
                 up = False
             rows.append(
@@ -307,7 +302,7 @@ class ClusterTableProvider(TableProvider):
 
         sql = create_table_sql(node)
         for addr in self.workers:
-            self._client(addr).query(sql, local=True)
+            self._query(addr, sql)
 
         if self.cdir is not None and node.primary_key and self.server_map:
             pk = node.primary_key[0]
@@ -348,7 +343,7 @@ class ClusterTableProvider(TableProvider):
 
     def drop_table(self, table_name: str):
         for addr in self.workers:
-            self._client(addr).query(f"drop table `{table_name}`;", local=True)
+            self._query(addr, f"drop table `{table_name}`;")
 
     def insert_json(self, table_name: str, json_data: str):
         import json as _json
@@ -357,7 +352,10 @@ class ClusterTableProvider(TableProvider):
         if meta is None:
             addr = self.workers[self._rr % len(self.workers)]
             self._rr += 1
-            self._client(addr).insert_json(table_name, [json_data], local=True)
+            self.pool.call(
+                addr,
+                lambda c: c.insert_json(table_name, [json_data], local=True),
+            )
             return
 
         record = _json.loads(json_data)
@@ -374,11 +372,15 @@ class ClusterTableProvider(TableProvider):
             if addr is None:
                 continue
             try:
-                client = self._client(addr)
-                client.insert_json(table_name, [json_data], local=True)
+                self.pool.call(
+                    addr,
+                    lambda c: c.insert_json(
+                        table_name, [json_data], local=True
+                    ),
+                )
                 nconf += 1
             except (OSError, SQLError, ConnectionError):
-                self._clients.pop(addr, None)
+                pass
         required = (len(entry.servers) + 1) // 2
         if nconf < required:
             raise RuntimeError_(
@@ -405,7 +407,6 @@ class ClusterTableProvider(TableProvider):
         from eventql_tpu.parallel.partitioned import _concat_columns
         from eventql_tpu.plan.coder import encode_plan
         from eventql_tpu.plan.exprs import ColumnReferenceNode
-        from eventql_tpu.server.native_tcp import NativeTCPClient
 
         info = self.describe(table_name)
         if info is None:
@@ -424,11 +425,10 @@ class ClusterTableProvider(TableProvider):
         plan_data = encode_plan(scan)
 
         def fetch(addr, payload):
-            client = NativeTCPClient(addr[0], addr[1])
-            try:
-                return relation_from_bytes(client.query_remote(payload))
-            finally:
-                client.close()
+            return self.pool.call(
+                addr,
+                lambda c: relation_from_bytes(c.query_remote(payload)),
+            )
 
         shards = self._per_partition(
             table_name, plan_data, fetch, scan_key="keyrange"
@@ -525,7 +525,6 @@ class ClusterTableProvider(TableProvider):
         from eventql_tpu.exec.operators import _order_relation
         from eventql_tpu.parallel.partitioned import _concat_columns
         from eventql_tpu.plan.coder import encode_plan
-        from eventql_tpu.server.native_tcp import NativeTCPClient
 
         inner = node.table
         order_specs = None
@@ -544,11 +543,10 @@ class ClusterTableProvider(TableProvider):
         plan_data = encode_plan(shipped)
 
         def fetch(addr, payload):
-            client = NativeTCPClient(addr[0], addr[1])
-            try:
-                return relation_from_bytes(client.query_remote(payload))
-            finally:
-                client.close()
+            return self.pool.call(
+                addr,
+                lambda c: relation_from_bytes(c.query_remote(payload)),
+            )
 
         shards = self._per_partition(
             scan.table_name, plan_data, fetch, scan_key="walk"
@@ -573,7 +571,6 @@ class ClusterTableProvider(TableProvider):
         merge their partials (GroupByMerge)."""
         from eventql_tpu.exec.operators import _merge_partials
         from eventql_tpu.plan.coder import encode_plan
-        from eventql_tpu.server.native_tcp import NativeTCPClient
 
         if not _plan_distributable(node):
             return None
@@ -584,11 +581,9 @@ class ClusterTableProvider(TableProvider):
         template = _make_template_partial(node)
 
         def fetch(addr, payload):
-            client = NativeTCPClient(addr[0], addr[1])
-            try:
-                raw = client.query_partialaggr(payload)
-            finally:
-                client.close()
+            raw = self.pool.call(
+                addr, lambda c: c.query_partialaggr(payload)
+            )
             return partial_from_bytes(raw, template)
 
         partials = self._per_partition(
