@@ -144,15 +144,17 @@ class LSMTable(MemoryTable):
         return sorted(segs)
 
     # -- writes ---------------------------------------------------------
-    def insert_row(self, row: Dict[str, SValue], obj=None):
-        super().insert_row(row, obj=obj)
+    def insert_row(self, row: Dict[str, SValue], obj=None, version=None):
+        out = super().insert_row(row, obj=obj, version=version)
         if self.arena_rows() >= self.arena_flush_rows:
             self.commit()
+        return out
 
-    def insert_batch(self, rel):
-        super().insert_batch(rel)
+    def insert_batch(self, rel, versions=None):
+        out = super().insert_batch(rel, versions=versions)
         if self.arena_rows() >= self.arena_flush_rows:
             self.commit()
+        return out
 
     def commit(self):
         """Flush the arena to an immutable segment
@@ -175,6 +177,21 @@ class LSMTable(MemoryTable):
             rel = MemoryTable.to_relation(self)
             write_cstable(tmp, rel)
         os.replace(tmp, os.path.join(self.dir, seg_name))
+        # sibling pk→version index: stale-record checks on later
+        # inserts resolve against flushed segments without reading them
+        # (reference: LSMTableIndex written at commit,
+        # partition_writer.cc:269-348 + tablet_index.cc)
+        if self.primary_key and self._arena_index:
+            from eventql_tpu.db.tablet_index import (
+                index_path_for,
+                write_index,
+            )
+
+            write_index(
+                index_path_for(os.path.join(self.dir, seg_name)),
+                self._arena_index,
+            )
+        self._arena_index = {}
         self._segments.append(seg_name)
         self.rows = []
         self.objs = []
@@ -187,9 +204,59 @@ class LSMTable(MemoryTable):
         to .trash for the GC sweep, like dereferenced segments)."""
         super().truncate()
         for seg in self._segments:
+            self._drop_segment_index(seg)
             _trash_file(self.dir, seg)
         self._segments = []
         self._segment_readers = {}
+
+    # -- pk → version indexes -------------------------------------------
+    def _drop_segment_index(self, seg: str):
+        from eventql_tpu.db.tablet_index import (
+            INDEX_SUFFIX,
+            global_index_cache,
+            index_path_for,
+        )
+
+        path = index_path_for(os.path.join(self.dir, seg))
+        global_index_cache().invalidate(path)
+        if os.path.exists(path):
+            _trash_file(self.dir, seg + INDEX_SUFFIX)
+
+    def _segment_index(self, seg: str):
+        from eventql_tpu.db.tablet_index import (
+            global_index_cache,
+            index_path_for,
+        )
+
+        return global_index_cache().lookup(
+            index_path_for(os.path.join(self.dir, seg))
+        )
+
+    def _head_versions(self, rec_ids):
+        """Arena versions plus every segment index (reference:
+        partition_writer.cc:113-165 walks lsm_tables newest→oldest
+        through the index cache)."""
+        head = super()._head_versions(rec_ids)
+        for seg in reversed(self._segments):
+            idx = self._segment_index(seg)
+            if idx is not None:
+                head = idx.lookup_max(rec_ids, head)
+        return head
+
+    def _merged_index_map(self):
+        """Union of all segment indexes (max version per id) — the new
+        index for a compacted segment."""
+        merged = {}
+        for seg in self._segments:
+            idx = self._segment_index(seg)
+            if idx is None:
+                continue
+            for i in range(len(idx.ids)):
+                rid = bytes(idx.ids[i])
+                v = int(idx.versions[i])
+                if v > merged.get(rid, 0):
+                    merged[rid] = v
+        return merged
 
     def compact(self):
         """Fold all segments into one major segment with upsert
@@ -199,7 +266,9 @@ class LSMTable(MemoryTable):
         if self.has_repeated:
             return self._compact_nested()
         rel = self.to_relation()
+        merged_idx = self._merged_index_map() if self.primary_key else {}
         for seg in self._segments:
+            self._drop_segment_index(seg)
             _trash_file(self.dir, seg)
         self._segments = []
         if rel.num_rows:
@@ -207,6 +276,16 @@ class LSMTable(MemoryTable):
             tmp = os.path.join(self.dir, seg_name + ".tmp")
             write_cstable(tmp, rel)
             os.replace(tmp, os.path.join(self.dir, seg_name))
+            if merged_idx:
+                from eventql_tpu.db.tablet_index import (
+                    index_path_for,
+                    write_index,
+                )
+
+                write_index(
+                    index_path_for(os.path.join(self.dir, seg_name)),
+                    merged_idx,
+                )
             self._segments = [seg_name]
         self._relation_cache = None
 
@@ -248,7 +327,9 @@ class LSMTable(MemoryTable):
         for m in leaf_metas(self.column_defs):
             dec = reader.decode_column(m.path)
             streams[m.path] = (dec.rlvls, dec.dlvls, dec.values, m)
+        merged_idx = self._merged_index_map() if self.primary_key else {}
         for seg in self._segments:
+            self._drop_segment_index(seg)
             _trash_file(self.dir, seg)
             self._segment_readers.pop(seg, None)
         self._segments = []
@@ -257,6 +338,16 @@ class LSMTable(MemoryTable):
             tmp = os.path.join(self.dir, seg_name + ".tmp")
             _write_nested_segment(tmp, streams, reader.num_rows)
             os.replace(tmp, os.path.join(self.dir, seg_name))
+            if merged_idx:
+                from eventql_tpu.db.tablet_index import (
+                    index_path_for,
+                    write_index,
+                )
+
+                write_index(
+                    index_path_for(os.path.join(self.dir, seg_name)),
+                    merged_idx,
+                )
             self._segments = [seg_name]
         self._relation_cache = None
         self._reader_cache = None
@@ -295,10 +386,12 @@ class LSMTable(MemoryTable):
             if pks is None:  # no primary key: keep everything
                 keep = np.ones(reader.num_rows, dtype=bool)
             else:
+                # reverse scan: within a source, later rows are newer
+                # (same argument as _merge_upsert)
                 keep = np.zeros(len(pks), dtype=bool)
-                for i, key in enumerate(pks):
-                    if key not in seen:
-                        seen.add(key)
+                for i in range(len(pks) - 1, -1, -1):
+                    if pks[i] not in seen:
+                        seen.add(pks[i])
                         keep[i] = True
             with_keep.append((reader, keep))
 
@@ -376,8 +469,12 @@ class LSMTable(MemoryTable):
         return Relation(names, cols, n)
 
     def _merge_upsert(self, parts_newest_first: List[Relation]) -> Relation:
-        """Newest-first scan keeping the first occurrence of each
-        primary key (the reference's seen-id upsert filter)."""
+        """Newest-first scan keeping one row per primary key (the
+        reference's seen-id upsert filter). Within a part, LATER rows
+        are newer (append-order arenas flush in insertion order), so
+        each part scans in reverse — a same-segment upsert keeps the
+        newest write, matching the reference where the arena replaces
+        records in place before the flush."""
         keep_parts: List[Relation] = []
         seen = set()
         pk_idx = [
@@ -385,15 +482,15 @@ class LSMTable(MemoryTable):
             for k in self.primary_key
         ]
         for rel in parts_newest_first:
+            pk_cols = [rel.columns[i] for i in pk_idx]
             keep = []
-            for r in range(rel.num_rows):
-                key = tuple(
-                    rel.columns[i].value_at(r).payload() for i in pk_idx
-                )
+            for r in range(rel.num_rows - 1, -1, -1):
+                key = tuple(c.value_at(r).payload() for c in pk_cols)
                 if key in seen:
                     continue
                 seen.add(key)
                 keep.append(r)
+            keep.reverse()  # restore insertion order within the part
             keep_parts.append(rel.gather(np.array(keep, dtype=np.int64)))
         # output order: oldest part first, insertion order within
         return _concat_relations(list(reversed(keep_parts)))

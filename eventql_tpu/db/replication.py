@@ -198,6 +198,19 @@ class ReplicationWorker:
                             _np.array(missing, dtype=_np.int64)
                         )
                         records = from_relation(subset, pk_names=[pk])
+                        # ship the true head version per record so the
+                        # peer's write-time version check makes replays
+                        # no-ops (records with no tracked version fall
+                        # back to 1: newer than absent (0), equal on
+                        # replay)
+                        local_t = getattr(
+                            self.table_service, "tables", {}
+                        ).get(table_name)
+                        if local_t is not None:
+                            records.record_versions = [
+                                max(1, local_t.head_version(rid))
+                                for rid in records.record_ids
+                            ]
                         client.repl_insert(
                             table_name, entry.partition_id, records
                         )

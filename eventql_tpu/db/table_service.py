@@ -78,6 +78,12 @@ class MemoryTable:
         self.rows: List[Dict[str, SValue]] = []
         # raw record objects (for Dremel shredding of repeated fields)
         self.objs: List[dict] = []
+        # arena primary-key index: record id (SHA1 of the packed pk) →
+        # newest version among arena rows. Consulted at insert time so
+        # stale/duplicate records (replayed replication pushes, client
+        # retries) drop at WRITE time (reference:
+        # partition_writer.cc:105-199 + PartitionArena's version map)
+        self._arena_index: Dict[bytes, int] = {}
         # columnar arena batches (flat tables only): whole Relations
         # appended by the native batch-insert path — the TPU-native
         # arena representation (the reference's analog is the
@@ -97,12 +103,58 @@ class MemoryTable:
     def has_repeated(self) -> bool:
         return any(c[2] for c in self.columns)
 
+    # -- record versions ------------------------------------------------
+    def _record_id_row(self, row: Dict[str, SValue]) -> bytes:
+        """SHA1 of the packed primary key — identical to the wire
+        record ids in ShreddedRecordList.from_relation so replication
+        pushes and local inserts agree on identity (reference:
+        db/table_service.cc:795-837)."""
+        import hashlib
+
+        from eventql_tpu.db.shredded_record_list import _wire_str
+
+        parts = []
+        for k in self.primary_key:
+            v = row.get(k)
+            parts.append(
+                b"" if v is None or v.is_null else _wire_str(v.payload())
+            )
+        return hashlib.sha1(b"\x00".join(parts)).digest()
+
+    def _head_versions(self, rec_ids: List[bytes]) -> "np.ndarray":
+        """Newest known version per record id (0 = unknown). The LSM
+        tier extends this with the per-segment index lookups."""
+        return np.array(
+            [self._arena_index.get(r, 0) for r in rec_ids], np.uint64
+        )
+
+    def head_version(self, rec_id: bytes) -> int:
+        return int(self._head_versions([rec_id])[0])
+
     # -- mutation -------------------------------------------------------
-    def insert_row(self, row: Dict[str, SValue], obj: Optional[dict] = None):
+    def insert_row(
+        self,
+        row: Dict[str, SValue],
+        obj: Optional[dict] = None,
+        version: Optional[int] = None,
+    ) -> bool:
+        """Insert one record; returns False when the record is stale
+        (its version is not newer than the head version for its primary
+        key) and was dropped at write time, True otherwise (reference:
+        partition_writer.cc:169-187 record_flags_skip)."""
         known = {c[0] for c in self.columns}
         for cname in row:
             if cname not in known:
                 raise RuntimeError_(f"column not found: '{cname}'")
+        if self.primary_key:
+            from eventql_tpu.db.tablet_index import next_record_version
+
+            rid = self._record_id_row(row)
+            if version is None:
+                version = next_record_version()
+            if version <= self.head_version(rid):
+                return False
+            self._arena_index[rid] = version
         self.rows.append(row)
         self.mutation_count += 1
         if obj is None:
@@ -111,15 +163,75 @@ class MemoryTable:
         self.objs.append(obj)
         self._relation_cache = None
         self._reader_cache = None
+        return True
 
     def arena_rows(self) -> int:
         """Unflushed row count: dict rows + columnar batches."""
         return len(self.rows) + sum(b.num_rows for b in self._batches)
 
-    def insert_batch(self, rel: Relation):
+    def _batch_record_ids(self, rel: Relation) -> List[bytes]:
+        """Record ids for a whole batch, with the wire-string encoding
+        vectorized per column (the per-row SValue path costs ~10µs/row;
+        this is the insert hot path — reference computes ids in C++,
+        table_service.cc:795-837)."""
+        import hashlib
+
+        from eventql_tpu.db.shredded_record_list import _wire_str
+
+        cols_bytes = []
+        for k in self.primary_key:
+            c = rel.columns[rel.names.index(k)]
+            n = rel.num_rows
+            if c.stype == SType.STRING:
+                enc = c.dictionary[c.data]
+                if not c.valid.all():
+                    enc = enc.copy()
+                    enc[~c.valid] = b""
+            elif c.stype in (SType.UINT64, SType.TIMESTAMP64,
+                             SType.INT64):
+                # decimal encoding identical to str(int(v))
+                enc = np.char.encode(c.data.astype("U21")).astype(object)
+                if not c.valid.all():
+                    enc[~c.valid] = b""
+            elif c.stype == SType.BOOL:
+                enc = np.where(
+                    c.valid & c.data.astype(bool),
+                    np.array(b"true", object),
+                    np.where(
+                        c.valid, np.array(b"false", object),
+                        np.array(b"", object),
+                    ),
+                )
+            else:
+                # FLOAT64/NIL keys: per-row repr fallback (rare as pk)
+                enc = np.array(
+                    [
+                        _wire_str(c.value_at(i).payload())
+                        if c.valid[i] else b""
+                        for i in range(n)
+                    ],
+                    dtype=object,
+                )
+            cols_bytes.append(enc)
+        if len(cols_bytes) == 1:
+            payloads = cols_bytes[0]
+        else:
+            payloads = cols_bytes[0]
+            for extra in cols_bytes[1:]:
+                payloads = payloads + b"\x00" + extra
+        sha1 = hashlib.sha1
+        return [sha1(p).digest() for p in payloads]
+
+    def insert_batch(self, rel: Relation, versions=None) -> int:
         """Append a columnar batch (flat tables only). Pending dict
         rows are folded into a batch first so scan order stays exactly
-        insertion order."""
+        insertion order.
+
+        On a primary-keyed table each record gets a version (explicit
+        `versions`, or a fresh monotone timestamp block) and records
+        whose version is not newer than the head version for their pk
+        drop at write time (reference: partition_writer.cc:166-191).
+        Returns the number of rows actually inserted."""
         if self.has_repeated:
             raise RuntimeError_(
                 "batch insert requires a flat schema: "
@@ -127,6 +239,34 @@ class MemoryTable:
             )
         if list(rel.names) != [c[0] for c in self.columns]:
             raise RuntimeError_("batch column mismatch")
+        if self.primary_key and rel.num_rows:
+            rids = self._batch_record_ids(rel)
+            if versions is None:
+                # fresh inserts always have version > head; skip the
+                # filter entirely and only update the arena index
+                from eventql_tpu.db.tablet_index import (
+                    next_record_version_block,
+                )
+
+                base = next_record_version_block(rel.num_rows)
+                self._arena_index.update(
+                    zip(rids, range(base, base + rel.num_rows))
+                )
+            else:
+                head = self._head_versions(rids)
+                keep = []
+                pending: Dict[bytes, int] = {}
+                for i, rid in enumerate(rids):
+                    v = int(versions[i])
+                    if v <= max(int(head[i]), pending.get(rid, 0)):
+                        continue
+                    pending[rid] = v
+                    keep.append(i)
+                if len(keep) < rel.num_rows:
+                    rel = rel.gather(np.array(keep, dtype=np.int64))
+                self._arena_index.update(pending)
+                if not rel.num_rows:
+                    return 0
         if self.rows:
             self._batches.append(self._rows_relation())
             self.rows = []
@@ -135,6 +275,7 @@ class MemoryTable:
         self.mutation_count += 1
         self._relation_cache = None
         self._reader_cache = None
+        return rel.num_rows
 
     def truncate(self):
         """Drop every row but keep the schema (partition unload:
@@ -142,6 +283,7 @@ class MemoryTable:
         self.rows = []
         self.objs = []
         self._batches = []
+        self._arena_index = {}
         self.mutation_count += 1
         self._relation_cache = None
         self._reader_cache = None
@@ -263,6 +405,14 @@ class MemoryTable:
         if self.rows or not parts:
             parts.append(self._rows_relation())
         rel = parts[0] if len(parts) == 1 else _concat_arena(parts)
+        if self.primary_key and not self.has_repeated:
+            # primary-key upsert visibility: the newest write for a key
+            # wins. Versions are monotone with arena position (the
+            # insert path drops out-of-order versions), so keep-last by
+            # position resolves exactly (reference: the arena replaces
+            # records in place on update, partition_arena.cc — here the
+            # arena is append-only and the read view dedups instead)
+            rel = _dedup_keep_last(rel, self.primary_key)
         self._relation_cache = rel
         return rel
 
@@ -364,16 +514,18 @@ class TableService(TableProvider):
             row[cname] = _coerce(val, schema[cname])
         table.insert_row(row)
 
-    def insert_json(self, table_name: str, json_str: str):
+    def insert_json(self, table_name: str, json_str: str, version=None):
         try:
             obj = json.loads(json_str)
         except json.JSONDecodeError as e:
             raise RuntimeError_(f"invalid JSON: {e}")
         if not isinstance(obj, dict):
             raise RuntimeError_("JSON insert requires an object")
-        self._insert_obj(table_name, obj)
+        self._insert_obj(table_name, obj, version=version)
 
-    def insert_json_batch(self, table_name: str, records_json: bytes) -> int:
+    def insert_json_batch(
+        self, table_name: str, records_json: bytes, versions=None
+    ) -> int:
         """Insert a JSON ARRAY of records in one native pass (the
         reference's insert path is C++ end to end: JSON parse +
         column shredding into ShreddedRecordList batches,
@@ -405,14 +557,16 @@ class TableService(TableProvider):
                 nrows, cols = e.partial
                 if nrows:
                     table.insert_batch(
-                        _shred_to_relation(names, stypes, cols, nrows)
+                        _shred_to_relation(names, stypes, cols, nrows),
+                        versions=versions[:nrows] if versions else None,
                     )
                 raise RuntimeError_(str(e))
             if out is not None:
                 nrows, cols = out
                 if nrows:
-                    table.insert_batch(
-                        _shred_to_relation(names, stypes, cols, nrows)
+                    return table.insert_batch(
+                        _shred_to_relation(names, stypes, cols, nrows),
+                        versions=versions,
                     )
                 return nrows
 
@@ -424,13 +578,18 @@ class TableService(TableProvider):
             raise RuntimeError_(f"invalid JSON: {e}")
         if not isinstance(objs, list):
             raise RuntimeError_("JSON batch insert requires an array")
-        for obj in objs:
+        inserted = 0
+        for i, obj in enumerate(objs):
             if not isinstance(obj, dict):
                 raise RuntimeError_("JSON insert requires an object")
-            self._insert_obj(table_name, obj)
-        return len(objs)
+            if self._insert_obj(
+                table_name, obj,
+                version=versions[i] if versions else None,
+            ):
+                inserted += 1
+        return inserted
 
-    def _insert_obj(self, table_name: str, obj: dict):
+    def _insert_obj(self, table_name: str, obj: dict, version=None):
         flat = {}
         table = self.tables.get(table_name)
         if table is None:
@@ -459,7 +618,7 @@ class TableService(TableProvider):
         row = {}
         for k, v in flat.items():
             row[k] = _coerce(_from_json(v), schema[k])
-        table.insert_row(row, obj=obj)
+        return table.insert_row(row, obj=obj, version=version)
 
     # -- TableProvider interface ---------------------------------------
     def describe(self, table_name: str) -> Optional[TableInfo]:
@@ -504,6 +663,46 @@ def _concat_arena(parts: List[Relation]) -> Relation:
         for i in range(len(names))
     ]
     return Relation(names, cols, sum(p.num_rows for p in parts))
+
+
+def _dedup_keep_last(rel: Relation, pk_names: List[str]) -> Relation:
+    """Keep the LAST row for each primary key, preserving the relative
+    order of kept rows — vectorized (lexsort + group-boundary scan), no
+    per-row Python on the read path. String keys compare by dictionary
+    id, which is consistent within one concatenated relation."""
+    n = rel.num_rows
+    if n == 0:
+        return rel
+    key_arrays = []
+    for k in pk_names:
+        c = rel.columns[rel.names.index(k)]
+        d = c.data
+        if d.dtype == np.bool_:
+            d = d.astype(np.uint8)
+        elif d.dtype == np.float64:
+            # bit-pattern equality: exact for every non-NaN float key
+            d = d.view(np.uint64)
+        key_arrays.append(d)
+        key_arrays.append(c.valid)  # NULL keys stay distinct from 0
+    rows = np.arange(n)
+    # lexsort: last key is the primary sort key; the row index as the
+    # least significant key makes groups ascend by position
+    order = np.lexsort((rows,) + tuple(reversed(key_arrays)))
+    new_group = np.zeros(n, dtype=bool)
+    new_group[0] = True
+    for k in key_arrays:
+        ks = k[order]
+        np.logical_or(
+            new_group[1:], ks[1:] != ks[:-1], out=new_group[1:]
+        )
+    if new_group.all():
+        return rel  # no duplicate keys at all (the common case)
+    last_of_group = np.empty(n, dtype=bool)
+    last_of_group[:-1] = new_group[1:]
+    last_of_group[-1] = True
+    keep = np.zeros(n, dtype=bool)
+    keep[order[last_of_group]] = True
+    return rel.gather(np.flatnonzero(keep))
 
 
 def _shred_to_relation(names, stypes, shred_cols, nrows: int) -> Relation:

@@ -694,8 +694,14 @@ class NativeTCPServer:
             rows = to_row_dicts(records, schema=schema)
             import json as _json
 
+            # record versions ride the wire so a REPLAYED push is a
+            # write-time no-op: every record's version equals the local
+            # head version and drops (reference:
+            # partition_writer.cc:169-187 record_flags_skip)
             self.table_service.insert_json_batch(
-                tname, _json.dumps(rows).encode()
+                tname,
+                _json.dumps(rows).encode(),
+                versions=records.record_versions or None,
             )
         except (SQLError, ValueError) as e:
             _send_frame(

@@ -18,21 +18,29 @@ def svc():
         CreateTableNode(
             "events",
             [
+                ColumnDefinition("id", "UINT64"),
                 ColumnDefinition("user", "STRING"),
                 ColumnDefinition("value", "UINT64"),
             ],
-            ["user"],
+            # the pk must be unique per row: duplicate-pk inserts are
+            # upserts (newest wins), matching the reference's
+            # record-version semantics
+            ["id"],
             None,
             [],
         )
     )
-    for user, value in [
+    for i, (user, value) in enumerate([
         ("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5), ("a", 6),
-    ]:
+    ]):
         ts.insert(
             "events",
-            ["user", "value"],
-            [SValue.new_string(user), SValue.new_uint64(value)],
+            ["id", "user", "value"],
+            [
+                SValue.new_uint64(i),
+                SValue.new_string(user),
+                SValue.new_uint64(value),
+            ],
         )
     return ts
 

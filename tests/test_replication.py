@@ -120,8 +120,16 @@ def test_split_scopes_queries(cluster3):
     plan = rt.build_query_plan(txn, "select count(1) from ev;")
     assert plan.execute(0).rows == [["10"]]
 
-    # inserts after the split route by the new ranges
-    p2.insert_json("ev", json.dumps({"t": 7, "v": 1}))
+    # inserts after the split route by the new ranges (a NEW key —
+    # re-inserting an existing pk is an upsert and wouldn't change the
+    # count, matching the reference's record-version semantics)
+    p2.insert_json("ev", json.dumps({"t": 27, "v": 1}))
+    txn = rt.new_transaction(p2)
+    assert rt.build_query_plan(txn, "select count(1) from ev;").execute(
+        0
+    ).rows == [["11"]]
+    # and an existing-pk insert upserts in place: count unchanged
+    p2.insert_json("ev", json.dumps({"t": 7, "v": 9}))
     txn = rt.new_transaction(p2)
     assert rt.build_query_plan(txn, "select count(1) from ev;").execute(
         0
@@ -473,9 +481,11 @@ def test_gc_trash_sweep(tmp_path):
     assert nsegs >= 3
     table.compact()
     trash = os.path.join(str(tmp_path), "ev", ".trash")
-    assert len(os.listdir(trash)) == nsegs  # superseded segments trashed
+    # superseded segments AND their pk-version index files trashed
+    trashed = os.listdir(trash)
+    assert len([f for f in trashed if f.endswith(".cst")]) == nsegs
     removed = collect_garbage(str(tmp_path))
-    assert removed == nsegs
+    assert removed == len(trashed)
     assert os.listdir(trash) == []
     # data intact after GC
     txn = rt.new_transaction(svc)
