@@ -1185,10 +1185,33 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
         and dims.num_rows <= MAX_COMPARE_DIMS
         and dim_fingerprints_unique(dim_keys_h)
     )
+    # big-dim tier: the sort-merge pipeline replaces the searchsorted/
+    # gather fallback above MAX_COMPARE_DIMS (and under fingerprint
+    # collisions) — facts sort once with every needed stream riding as
+    # payload, the window-merge computes gids in sorted order, and the
+    # aggregation is order-free so the sort is never undone
+    # (kernels/join.py sorted_merge pipeline, 0.221 Grows/s measured vs
+    # 0.004-0.14 for searchsorted+gather; reference: hash_join.cc:29-33
+    # has no dim-size cliff). Presentation order still matches the
+    # host's first-surviving-pair order via a min-base-row aggregate.
+    # EVENTQL_TPU_MERGE_JOIN=1 forces the merge tier (CPU-interpret
+    # differential tests); =0 disables it (fallback comparison runs)
+    merge_env = os.environ.get("EVENTQL_TPU_MERGE_JOIN")
+    use_merge = (
+        not use_compare
+        and n < (1 << 31)
+        and (
+            merge_env == "1"
+            or (merge_env != "0" and jax.default_backend() == "tpu")
+        )
+    )
     dim_keys_d = jnp.asarray(dim_keys_h)
     dim_bucket_d = jnp.asarray(dim_bucket_h.astype(np.int32))
 
     def program():
+        from eventql_tpu.kernels.groupby import sortable_u64
+        from eventql_tpu.kernels.join import merge_join_gid
+
         scan_cols = [
             jax_expr.compile_expr(sl.expr, in_cols, n)
             for sl in scan.select_list
@@ -1200,16 +1223,7 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
             mask &= jax_expr.compile_expr(where_base, scan_cols, n).data
 
         fact_keys = scan_cols[bref[1]].data.astype(jnp.uint64)
-        if use_compare:
-            gid = pallas_dim_join_gid(fact_keys, dim_keys_d, dim_bucket_d)
-            matched = gid >= 0
-            gid = jnp.maximum(gid, 0)
-        else:
-            sk, perm = build_side(dim_keys_d)
-            idx, matched = dim_join_gather(sk, perm, fact_keys)
-            gid = dim_bucket_d[jnp.maximum(idx, 0)]
 
-        m = mask & matched
         vals, kinds = [], []
         positions = []
         distinct_vals = []
@@ -1232,8 +1246,63 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
             vals = [jnp.zeros((n,), jnp.uint64)]
             kinds = ["count"]
 
+        if use_compare:
+            gid = pallas_dim_join_gid(fact_keys, dim_keys_d, dim_bucket_d)
+            matched = gid >= 0
+            gid = jnp.maximum(gid, 0)
+            m = mask & matched
+            iota = jnp.arange(n, dtype=jnp.uint64)
+        elif use_merge:
+            # sort facts once; every aggregate input stream (plus the
+            # mask and the base row index for presentation order)
+            # rides as a sort payload
+            sk = sortable_u64(fact_keys)
+            packed_iota = (
+                (jnp.arange(n, dtype=jnp.uint32) << jnp.uint32(1))
+                | mask.astype(jnp.uint32)
+            )
+            # value streams ride the sort BIT-EXACTLY: floats bitcast
+            # to u64 for the exchange and bitcast back after
+            val_dtypes = [v.dtype for v in vals]
+            riders = [
+                jax.lax.bitcast_convert_type(v, jnp.uint64)
+                if jnp.issubdtype(v.dtype, jnp.floating)
+                else v.astype(jnp.uint64)
+                for v in vals
+            ]
+            ops = [sk] + riders + list(distinct_vals) + [packed_iota]
+            sorted_ops = jax.lax.sort(ops, num_keys=1)
+            sk_s = sorted_ops[0]
+            nvals = len(vals)
+            vals = [
+                jax.lax.bitcast_convert_type(s, dt)
+                if jnp.issubdtype(dt, jnp.floating)
+                else s.astype(dt)
+                for s, dt in zip(sorted_ops[1 : 1 + nvals], val_dtypes)
+            ]
+            distinct_vals = list(sorted_ops[1 + nvals : -1])
+            packed_s = sorted_ops[-1]
+            mask = (packed_s & jnp.uint32(1)).astype(jnp.bool_)
+            iota = (packed_s >> jnp.uint32(1)).astype(jnp.uint64)
+            gid = merge_join_gid(sk_s, dim_keys_d, dim_bucket_d)
+            m = mask & (gid >= 0)
+            gid = jnp.maximum(gid, 0)
+        else:
+            sk, perm = build_side(dim_keys_d)
+            idx, matched = dim_join_gather(sk, perm, fact_keys)
+            gid = dim_bucket_d[jnp.maximum(idx, 0)]
+            m = mask & matched
+            iota = jnp.arange(n, dtype=jnp.uint64)
+
+        # min base-row-index per bucket drives presentation order —
+        # identical to first_idx in base order whether or not the rows
+        # were sorted (inner join on unique dim keys: first surviving
+        # pair = the bucket's smallest base row index)
+        vals.append(iota)
+        kinds.append("min")
+
         key = (gid.astype(jnp.uint64),)
-        gk, main_out, first_idx, ng = masked_grouped_aggregate(
+        gk, main_out, _first_idx, ng = masked_grouped_aggregate(
             m, key, tuple(vals), tuple(kinds)
         )
         from eventql_tpu.kernels.groupby import (
@@ -1248,9 +1317,9 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
             main_out[idx] if which == "main" else distinct_out[idx]
             for which, idx in positions
         )
-        return gk[0], aggs_out, first_idx, ng
+        return gk[0], aggs_out, main_out[-1], ng
 
-    gk, aggs_out, first_idx, ng = jax.jit(program)()
+    gk, aggs_out, first_base, ng = jax.jit(program)()
     ng = int(ng)
 
     # present buckets in first-surviving-pair order (base-row-major,
@@ -1258,7 +1327,7 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
     from eventql_tpu.exec.relation import dtype_for
     from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
 
-    first_h = np.asarray(first_idx[:ng])
+    first_h = np.asarray(first_base[:ng])
     order = np.argsort(first_h, kind="stable")
     buckets = np.asarray(gk[:ng]).astype(np.int64)[order]
 
