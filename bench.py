@@ -530,24 +530,120 @@ def bench_scaling():
             for p in procs:
                 p.wait()
 
-    t1 = measure(1)
-    tw = measure(w)
-    # weak scaling: ideal is tw == t1; clamp out scheduler noise on
-    # small boxes (workers and coordinator share the host's cores, so
-    # this is a lower bound on multi-host scaling where each worker
-    # owns its machine)
-    efficiency = min(1.0, t1 / tw)
-    rows_per_sec = w * rows / tw
+    # full weak-scaling curve, UNCLAMPED efficiencies (the workers and
+    # coordinator share this host's cores, so points past the core
+    # count measure oversubscription, not distributed overhead — the
+    # raw times and host_cpus are recorded so the reader can judge;
+    # true multi-host scaling needs machines this image doesn't have)
+    import sys as _sys
+
+    curve_ws = [
+        int(x)
+        for x in os.environ.get(
+            "BENCH_WORKER_CURVE", f"1,2,{w}" if w > 2 else "1,2"
+        ).split(",")
+    ]
+    curve_ws = sorted(set(curve_ws))
+    times = {}
+    for ww in curve_ws:
+        times[ww] = measure(ww)
+    t1 = times[curve_ws[0]] * curve_ws[0]  # per-worker-normalized base
+    curve = []
+    for ww in curve_ws:
+        eff = times[curve_ws[0]] / times[ww]  # weak: ideal flat time
+        curve.append(
+            {
+                "workers": ww,
+                "t_s": round(times[ww], 4),
+                "rows_per_sec": round(ww * rows / times[ww], 1),
+                "weak_scaling_efficiency": round(eff, 4),
+            }
+        )
+        print(
+            f"# workers={ww} t={times[ww]:.4f}s "
+            f"eff={eff:.4f} (unclamped)",
+            file=_sys.stderr,
+        )
+    wmax = curve_ws[-1]
+    efficiency = times[curve_ws[0]] / times[wmax]
+    rows_per_sec = wmax * rows / times[wmax]
     print(
         json.dumps(
             {
-                "metric": f"distributed_groupby_weak_scaling_{w}_workers",
+                "metric": f"distributed_groupby_weak_scaling_{wmax}_workers",
                 "value": round(rows_per_sec, 1),
                 "unit": "rows/s",
                 "vs_baseline": round(efficiency / 0.8, 4),
                 "weak_scaling_efficiency": round(efficiency, 4),
-                "t_1_worker_s": round(t1, 4),
-                f"t_{w}_workers_s": round(tw, 4),
+                "curve": curve,
+                "host_cpus": os.cpu_count(),
+            }
+        )
+    )
+
+
+def bench_scaling_ici():
+    """ICI-tier weak-scaling curve on the virtual CPU mesh: 1/2/4/8
+    devices, fixed per-shard rows, for the three distributed ops
+    (groupby / full sort / top-k). Each point runs in a subprocess
+    (device count is process-global). Efficiencies are UNCLAMPED; on
+    this host the virtual devices share os.cpu_count() real cores, so
+    points past the core count measure XLA's thread-pool
+    oversubscription plus the collectives' algorithmic scaling (sort's
+    compare-split network grows log²P — the only op whose ideal weak
+    time is NOT flat). Real ICI scaling needs chips this image doesn't
+    have; the dryrun + this curve validate the program structure."""
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    n_per_shard = int(os.environ.get("BENCH_ICI_ROWS_PER_SHARD", 1 << 20))
+    ops = os.environ.get("BENCH_ICI_OPS", "groupby,sort,topk").split(",")
+    dev_counts = [
+        int(x)
+        for x in os.environ.get("BENCH_ICI_DEVICES", "1,2,4,8").split(",")
+    ]
+    curves = {}
+    for op in ops:
+        pts = []
+        for nd in dev_counts:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo_root, "scripts", "bench_ici_worker.py"),
+                    str(nd), op, str(n_per_shard),
+                ],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "PYTHONPATH": repo_root},
+            )
+            t = float(out.stdout.strip().splitlines()[-1])
+            eff = (pts[0]["t_s"] / t) if pts else 1.0
+            pts.append(
+                {
+                    "devices": nd,
+                    "t_s": round(t, 4),
+                    "rows_per_sec": round(nd * n_per_shard / t, 1),
+                    "weak_scaling_efficiency": round(eff, 4),
+                }
+            )
+            print(
+                f"# ici {op} devices={nd} t={t:.4f}s eff={eff:.4f}"
+                f" (unclamped)",
+                file=sys.stderr,
+            )
+        curves[op] = pts
+    # headline: groupby 8-device efficiency vs the >=0.8 target
+    head = curves.get("groupby", list(curves.values())[0])
+    eff8 = head[-1]["weak_scaling_efficiency"]
+    print(
+        json.dumps(
+            {
+                "metric": "ici_weak_scaling_8dev_groupby",
+                "value": head[-1]["rows_per_sec"],
+                "unit": "rows/s",
+                "vs_baseline": round(eff8 / 0.8, 4),
+                "weak_scaling_efficiency": eff8,
+                "curves": curves,
                 "host_cpus": os.cpu_count(),
             }
         )
@@ -926,6 +1022,8 @@ def main():
         return bench_join_bigdim()
     if cfg == "scaling":
         return bench_scaling()
+    if cfg == "scaling_ici":
+        return bench_scaling_ici()
     if cfg == "skew":
         return bench_skew()
     if cfg == "multijoin":

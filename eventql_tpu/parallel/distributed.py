@@ -492,6 +492,49 @@ def _lex_lt(a_tuple, b_tuple):
     return lt, eq
 
 
+def _bitonic_merge_resort(keys_l, pays_l, nk, chunk=2048):
+    """Sort a BITONIC run ascending — the compare-split's kept half is
+    always bitonic (elementwise min/max over [asc ++ reversed-asc]
+    leaves each half bitonic), so the full lax.sort's log²(n) stage
+    network is wasted on it. Two phases, both TPU-layout friendly:
+
+      1. log2(n/chunk) vectorized compare-exchange rounds at distances
+         ≥ chunk/2 via reshape — the minor dimension never drops below
+         `chunk`, avoiding the relayout cliff of small-h rounds
+      2. the remaining per-chunk bitonic sub-runs sort in ONE
+         lax.sort over the transposed (chunk, n/chunk) view — the
+         colsort formulation (PERF.md round-3 probe: the only batched
+         sort shape XLA lowers at the bitonic stage-model rate), at
+         log²(chunk) stages instead of log²(n)
+
+    Requires a power-of-two run length (callers fall back to lax.sort
+    otherwise). Ties never swap, matching the compare-split's
+    keep-own-on-tie convention (final-phase ties may permute; the mesh
+    sort is documented unstable on full-key ties)."""
+    n = keys_l[0].shape[0]
+    arrs = list(keys_l) + list(pays_l)
+    m = n
+    while m > chunk:
+        h = m // 2
+        los = [a.reshape(-1, 2, h)[:, 0, :] for a in arrs]
+        his = [a.reshape(-1, 2, h)[:, 1, :] for a in arrs]
+        lt, eq = _lex_lt(tuple(los[:nk]), tuple(his[:nk]))
+        swap = ~(lt | eq)
+        arrs = [
+            jnp.stack(
+                [jnp.where(swap, hi, lo), jnp.where(swap, lo, hi)],
+                axis=1,
+            ).reshape(n)
+            for lo, hi in zip(los, his)
+        ]
+        m = h
+    if m > 1:
+        cols = [a.reshape(-1, m).T for a in arrs]
+        out = jax.lax.sort(cols, dimension=0, num_keys=nk)
+        arrs = [o.T.reshape(n) for o in out]
+    return tuple(arrs[:nk]), tuple(arrs[nk:])
+
+
 def distributed_sort(
     mesh: Mesh,
     sort_keys: Tuple[jax.Array, ...],
@@ -586,12 +629,20 @@ def distributed_sort(
         if n_shards == 1:
             return keys_l, pays_l
         rank = jax.lax.axis_index(axis)
+        n_local = keys_l[0].shape[0]
+        pow2_run = n_local & (n_local - 1) == 0
 
         k = 2
         while k <= n_shards:
             j = k // 2
             while j >= 1:
                 perm = [(i, i ^ j) for i in range(n_shards)]
+                # issue EVERY exchange up front — the payload permutes
+                # are independent of the key compare, so XLA's latency
+                # hiding overlaps their transfer with the key-side
+                # compare-split compute (BASELINE config 5's
+                # shuffle/compute overlap; the dependency chain forbids
+                # overlapping ACROSS stages)
                 o_keys = tuple(
                     jax.lax.ppermute(a, axis, perm) for a in keys_l
                 )
@@ -618,8 +669,16 @@ def distributed_sort(
                     jnp.where(take_mine, a, b)
                     for a, b in zip(pays_l, o_pays)
                 )
-                # the kept half is bitonic; restore ascending order
-                keys_l, pays_l = local_sort(keys_l, pays_l)
+                # the kept half is BITONIC: log2(n) merge rounds
+                # restore ascending order — the full lax.sort's
+                # log²(n) network is redundant here (measured 3-4x
+                # per-stage, PERF.md)
+                if pow2_run:
+                    keys_l, pays_l = _bitonic_merge_resort(
+                        keys_l, pays_l, nk
+                    )
+                else:
+                    keys_l, pays_l = local_sort(keys_l, pays_l)
                 j //= 2
             k *= 2
         return keys_l, pays_l
