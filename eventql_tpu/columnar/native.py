@@ -80,6 +80,22 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.POINTER(ctypes.c_uint32),
     ]
+    lib.evql_records_shred.restype = ctypes.c_void_p
+    lib.evql_records_shred.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.evql_shred_rids.restype = ctypes.c_int
+    lib.evql_shred_rids.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.evql_shred_status.restype = ctypes.c_int
     lib.evql_shred_status.argtypes = [ctypes.c_void_p]
     lib.evql_shred_nrows.restype = ctypes.c_uint64
@@ -158,6 +174,91 @@ class ShredError(Exception):
         self.rows_before_error = rows_before_error
         # (nrows, cols) of the successfully shredded prefix
         self.partial = partial
+
+
+def _extract_cols(lib, h, stypes, nrows):
+    cols = []
+    for i, st in enumerate(stypes):
+        nv = int(nrows)
+        valid = np.ctypeslib.as_array(
+            ctypes.cast(
+                lib.evql_shred_valid(h, i), ctypes.POINTER(ctypes.c_uint8)
+            ),
+            shape=(nv,),
+        ).copy() if nv else np.zeros(0, np.uint8)
+        if int(st) == 5:  # STRING
+            off = np.ctypeslib.as_array(
+                ctypes.cast(
+                    lib.evql_shred_stroff(h, i),
+                    ctypes.POINTER(ctypes.c_uint32),
+                ),
+                shape=(nv + 1,),
+            ).copy()
+            nbytes = int(off[-1]) if nv else 0
+            if nbytes:
+                raw = ctypes.string_at(lib.evql_shred_strbytes(h, i), nbytes)
+            else:
+                raw = b""
+            cols.append((off, raw, valid))
+        else:
+            vals = np.ctypeslib.as_array(
+                ctypes.cast(
+                    lib.evql_shred_num(h, i),
+                    ctypes.POINTER(ctypes.c_uint64),
+                ),
+                shape=(nv,),
+            ).copy() if nv else np.zeros(0, np.uint64)
+            cols.append((vals, valid))
+    return cols
+
+
+def records_shred(buf: bytes, count: int, names, stypes, pk_idx=None):
+    """Shred `count` lenenc-framed JSON records (a native-protocol
+    INSERT frame's record region) into typed columns, computing
+    primary-key record ids in the same pass when pk_idx is given.
+
+    Returns (nrows, cols, rids, complete):
+      nrows    — rows shredded (== count when complete)
+      cols     — per-column buffers, same layout as json_shred
+      rids     — list of 20-byte SHA1 record ids (None when pk_idx is
+                 None or a pk column type has no native wire encoding)
+      complete — False when a record needs the Python path (error,
+                 fallback value, malformed framing): the caller resumes
+                 at record index `nrows` with the per-record path,
+                 reproducing the exact Python error/conversion there
+    or None when the native library is unavailable."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    ncols = len(names)
+    name_arr = (ctypes.c_char_p * ncols)(
+        *[n.encode("utf-8") for n in names]
+    )
+    type_arr = (ctypes.c_uint32 * ncols)(*[int(t) for t in stypes])
+    h = lib.evql_records_shred(
+        buf, len(buf), count, ncols, name_arr, type_arr
+    )
+    if not h:
+        return None
+    try:
+        status = lib.evql_shred_status(h)
+        nrows = int(lib.evql_shred_nrows(h))
+        cols = _extract_cols(lib, h, stypes, nrows)
+        rids = None
+        if pk_idx is not None and nrows:
+            npk = len(pk_idx)
+            pk_arr = (ctypes.c_uint32 * npk)(*[int(i) for i in pk_idx])
+            out = np.zeros(nrows * 20, dtype=np.uint8)
+            ok = lib.evql_shred_rids(
+                h, npk, pk_arr,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if ok:
+                raw = out.tobytes()
+                rids = [raw[i * 20 : i * 20 + 20] for i in range(nrows)]
+        return nrows, cols, rids, status == 0
+    finally:
+        lib.evql_shred_free(h)
 
 
 def json_shred(json_bytes: bytes, names, stypes):

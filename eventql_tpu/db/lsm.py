@@ -150,8 +150,10 @@ class LSMTable(MemoryTable):
             self.commit()
         return out
 
-    def insert_batch(self, rel, versions=None):
-        out = super().insert_batch(rel, versions=versions)
+    def insert_batch(self, rel, versions=None, record_ids=None):
+        out = super().insert_batch(
+            rel, versions=versions, record_ids=record_ids
+        )
         if self.arena_rows() >= self.arena_flush_rows:
             self.commit()
         return out

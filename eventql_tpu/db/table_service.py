@@ -222,7 +222,8 @@ class MemoryTable:
         sha1 = hashlib.sha1
         return [sha1(p).digest() for p in payloads]
 
-    def insert_batch(self, rel: Relation, versions=None) -> int:
+    def insert_batch(self, rel: Relation, versions=None,
+                     record_ids=None) -> int:
         """Append a columnar batch (flat tables only). Pending dict
         rows are folded into a batch first so scan order stays exactly
         insertion order.
@@ -240,7 +241,11 @@ class MemoryTable:
         if list(rel.names) != [c[0] for c in self.columns]:
             raise RuntimeError_("batch column mismatch")
         if self.primary_key and rel.num_rows:
-            rids = self._batch_record_ids(rel)
+            # record_ids: precomputed by the native shredder's SHA1
+            # pass (columnar/native.py records_shred) — skips the
+            # python wire-string hashing on the insert hot path
+            rids = record_ids if record_ids is not None else \
+                self._batch_record_ids(rel)
             if versions is None:
                 # fresh inserts always have version > head; skip the
                 # filter entirely and only update the arena index
@@ -589,6 +594,65 @@ class TableService(TableProvider):
                 inserted += 1
         return inserted
 
+    def insert_records_wire(
+        self, table_name: str, region: bytes, count: int
+    ) -> int:
+        """Native-protocol INSERT hot path: shred `count` lenenc-framed
+        JSON records straight from the frame body in ONE native pass —
+        frame walk, JSON parse, typed conversion, AND primary-key SHA1
+        record ids all in C++ (reference: the whole insert path is C++,
+        db/table_service.cc:758-926). Falls back to the per-record
+        Python path for nested schemas, fallback values, or row errors
+        (resuming at the failing record so rows before it stand and
+        the error text matches the reference's per-record loop)."""
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        schema, _under_rep, record_prefixes = table.insert_meta()
+        native_ok = (
+            not table.has_repeated
+            and not record_prefixes
+            and not any(t == SType.INT64 for t in schema.values())
+        )
+        start = 0
+        inserted = 0
+        if native_ok:
+            from eventql_tpu.columnar import native
+
+            names = [c[0] for c in table.columns]
+            stypes = [c[1] for c in table.columns]
+            pk_idx = (
+                [names.index(k) for k in table.primary_key]
+                if table.primary_key
+                else None
+            )
+            out = native.records_shred(
+                region, count, names, stypes, pk_idx=pk_idx
+            )
+            if out is not None:
+                nrows, cols, rids, complete = out
+                if nrows:
+                    inserted += table.insert_batch(
+                        _shred_to_relation(names, stypes, cols, nrows),
+                        record_ids=rids,
+                    )
+                if complete:
+                    return inserted
+                start = nrows  # resume the tail with the Python path
+
+        # per-record Python path (tail after a native stop, or whole
+        # batch when native can't run)
+        pos = 0
+        for i in range(count):
+            ln, pos = _read_varint(region, pos)
+            rec = region[pos : pos + ln]
+            pos += ln
+            if i < start:
+                continue
+            if self.insert_json(table_name, rec.decode("utf-8")):
+                inserted += 1
+        return inserted
+
     def _insert_obj(self, table_name: str, obj: dict, version=None):
         flat = {}
         table = self.tables.get(table_name)
@@ -652,6 +716,18 @@ class TableService(TableProvider):
         if table is None:
             return None
         return table.get_reader()
+
+
+def _read_varint(buf: bytes, pos: int):
+    v = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, pos
 
 
 def _concat_arena(parts: List[Relation]) -> Relation:

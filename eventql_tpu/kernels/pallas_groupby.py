@@ -68,7 +68,11 @@ def _pick_k2(num_buckets: int, nlimbs: int) -> int:
     for cand in (32, 64, 128):
         k1 = -(-num_buckets // cand)
         cost = 2 * cand + 2 * r_act * k1
-        if best_cost is None or cost < best_cost:
+        # ties break toward the LARGER k2: fewer k1 mask rows measure
+        # faster at equal lane count (K=8192 r_act=1: k2=64 and 128
+        # both cost 384 lanes; 128 measured 8.3 vs 6.9 Grows/s —
+        # round-3 cost grid, scripts/probe_groupby_cost.py)
+        if best_cost is None or cost <= best_cost:
             best, best_cost = cand, cost
     return best
 

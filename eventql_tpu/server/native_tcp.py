@@ -631,32 +631,20 @@ class NativeTCPServer:
                 if hasattr(provider, "insert_json"):
                     target = provider
             evqld_stats().num_inserts.incr(count)
-            records = []
-            for _ in range(count):
-                rec, pos = read_lenencstr(payload, pos)
-                records.append(rec)
-            batched = False
             if target is self.table_service and hasattr(
-                target, "insert_json_batch"
+                target, "insert_records_wire"
             ):
-                # local store: one native shredding pass over the whole
-                # frame (the records are raw JSON objects — join them
-                # into one array without re-parsing)
-                try:
-                    target.insert_json_batch(
-                        table.decode("utf-8"),
-                        b"[" + b",".join(records) + b"]",
-                    )
-                    batched = True
-                except SQLError as e:
-                    if not str(e).startswith("invalid JSON"):
-                        raise
-                    # a malformed record poisons the joined array before
-                    # anything inserts; replay per record so valid rows
-                    # before the bad one land and the error text matches
-                    # the reference's per-record loop
-            if not batched:
-                for rec in records:
+                # local store: the rest of the frame (lenenc records)
+                # shreds in ONE native pass — frame walk, JSON parse,
+                # typed conversion, and pk record ids all in C++
+                # (reference: the insert path is C++ end to end,
+                # db/table_service.cc:758-926)
+                target.insert_records_wire(
+                    table.decode("utf-8"), payload[pos:], count
+                )
+            else:
+                for _ in range(count):
+                    rec, pos = read_lenencstr(payload, pos)
                     target.insert_json(
                         table.decode("utf-8"), rec.decode("utf-8")
                     )

@@ -444,6 +444,145 @@ int append_value(ColBuf& col, const Val& v, std::string& err) {
   }
 }
 
+// ---- one-record shredding (shared by the array and the wire-frame
+// drivers) -------------------------------------------------------------
+
+// Parse ONE JSON object from p and append it to out's columns.
+// Returns OK (row appended, out->nrows bumped) or ROW_ERROR/FALLBACK/
+// BAD_INPUT (no partial row left behind).
+static int shred_one_record(
+    P& p, Shred* out,
+    const std::unordered_map<std::string, uint32_t>& index,
+    std::vector<Val>& rowvals, std::vector<uint8_t>& present,
+    std::vector<uint32_t>& row_order) {
+  uint32_t ncols = (uint32_t)out->cols.size();
+  p.ws();
+  if (p.eof() || *p.s != '{') return BAD_INPUT;
+  ++p.s;
+  std::fill(present.begin(), present.end(), 0);
+  row_order.clear();
+  p.ws();
+  bool empty_obj = (!p.eof() && *p.s == '}');
+  if (empty_obj) ++p.s;
+  while (!empty_obj) {
+    p.ws();
+    if (p.eof() || *p.s != '"') return BAD_INPUT;
+    ++p.s;
+    std::string key;
+    if (!parse_string(p, key)) return BAD_INPUT;
+    p.ws();
+    if (p.eof() || *p.s != ':') return BAD_INPUT;
+    ++p.s;
+    auto it = index.find(key);
+    if (it == index.end()) {
+      out->error = "column not found: '" + key + "'";
+      return ROW_ERROR;
+    }
+    Val v;
+    if (!parse_value(p, v)) return BAD_INPUT;
+    rowvals[it->second] = v;  // duplicate key: last wins
+    if (!present[it->second]) row_order.push_back(it->second);
+    present[it->second] = 1;
+    p.ws();
+    if (p.eof()) return BAD_INPUT;
+    if (*p.s == ',') { ++p.s; continue; }
+    if (*p.s == '}') { ++p.s; break; }
+    return BAD_INPUT;
+  }
+  if (p.fallback) return FALLBACK;
+  // convert in JSON key order (error parity with the Python path),
+  // then nulls for missing columns
+  std::string err;
+  int rc = OK;
+  std::vector<uint32_t> done_cols;
+  for (uint32_t c : row_order) {
+    rc = append_value(out->cols[c], rowvals[c], err);
+    if (rc != OK) break;
+    done_cols.push_back(c);
+  }
+  if (rc == OK) {
+    Val nullv;
+    for (uint32_t c = 0; c < ncols; ++c) {
+      if (present[c]) continue;
+      append_value(out->cols[c], nullv, err);  // null never fails
+      done_cols.push_back(c);
+    }
+  }
+  if (rc != OK) {
+    for (uint32_t c : done_cols) {  // roll the partial row back
+      ColBuf& col = out->cols[c];
+      col.num.pop_back();
+      col.valid.pop_back();
+      col.stroff.pop_back();
+      col.strbytes.resize(col.stroff.back());
+    }
+    out->error = err;
+    return rc == FALLBACK ? FALLBACK : ROW_ERROR;
+  }
+  ++out->nrows;
+  return OK;
+}
+
+// ---- SHA-1 (record ids) ----------------------------------------------
+// Compact from-scratch SHA-1 (FIPS 180-1) for primary-key record ids —
+// ids must equal hashlib.sha1 over the same wire bytes so replication
+// pushes and local inserts agree on identity.
+
+static void sha1_digest(const uint8_t* data, size_t len, uint8_t out[20]) {
+  uint32_t h0 = 0x67452301u, h1 = 0xEFCDAB89u, h2 = 0x98BADCFEu,
+           h3 = 0x10325476u, h4 = 0xC3D2E1F0u;
+  uint64_t total_bits = (uint64_t)len * 8;
+  // message + 0x80 + zeros + 8-byte length, in 64-byte blocks
+  size_t padded = ((len + 8) / 64 + 1) * 64;
+  std::vector<uint8_t> buf(padded, 0);
+  memcpy(buf.data(), data, len);
+  buf[len] = 0x80;
+  for (int i = 0; i < 8; ++i)
+    buf[padded - 1 - i] = (uint8_t)(total_bits >> (8 * i));
+  uint32_t w[80];
+  for (size_t off = 0; off < padded; off += 64) {
+    const uint8_t* b = buf.data() + off;
+    for (int t = 0; t < 16; ++t)
+      w[t] = ((uint32_t)b[4 * t] << 24) | ((uint32_t)b[4 * t + 1] << 16) |
+             ((uint32_t)b[4 * t + 2] << 8) | (uint32_t)b[4 * t + 3];
+    for (int t = 16; t < 80; ++t) {
+      uint32_t x = w[t - 3] ^ w[t - 8] ^ w[t - 14] ^ w[t - 16];
+      w[t] = (x << 1) | (x >> 31);
+    }
+    uint32_t a = h0, bb = h1, c = h2, d = h3, e = h4;
+    for (int t = 0; t < 80; ++t) {
+      uint32_t f, k;
+      if (t < 20) {
+        f = (bb & c) | ((~bb) & d);
+        k = 0x5A827999u;
+      } else if (t < 40) {
+        f = bb ^ c ^ d;
+        k = 0x6ED9EBA1u;
+      } else if (t < 60) {
+        f = (bb & c) | (bb & d) | (c & d);
+        k = 0x8F1BBCDCu;
+      } else {
+        f = bb ^ c ^ d;
+        k = 0xCA62C1D6u;
+      }
+      uint32_t tmp = ((a << 5) | (a >> 27)) + f + e + k + w[t];
+      e = d;
+      d = c;
+      c = (bb << 30) | (bb >> 2);
+      bb = a;
+      a = tmp;
+    }
+    h0 += a; h1 += bb; h2 += c; h3 += d; h4 += e;
+  }
+  uint32_t hs[5] = {h0, h1, h2, h3, h4};
+  for (int i = 0; i < 5; ++i) {
+    out[4 * i] = (uint8_t)(hs[i] >> 24);
+    out[4 * i + 1] = (uint8_t)(hs[i] >> 16);
+    out[4 * i + 2] = (uint8_t)(hs[i] >> 8);
+    out[4 * i + 3] = (uint8_t)hs[i];
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -485,99 +624,11 @@ void* evql_json_shred(
   }
 
   for (;;) {
-    p.ws();
-    if (p.eof() || *p.s != '{') {
-      out->status = BAD_INPUT;
-      return out;
-    }
-    ++p.s;
-    // one record
-    std::fill(present.begin(), present.end(), 0);
-    row_order.clear();
-    p.ws();
-    bool empty_obj = (!p.eof() && *p.s == '}');
-    if (empty_obj) ++p.s;
-    while (!empty_obj) {
-      p.ws();
-      if (p.eof() || *p.s != '"') {
-        out->status = BAD_INPUT;
-        return out;
-      }
-      ++p.s;
-      std::string key;
-      if (!parse_string(p, key)) {
-        out->status = BAD_INPUT;
-        return out;
-      }
-      p.ws();
-      if (p.eof() || *p.s != ':') {
-        out->status = BAD_INPUT;
-        return out;
-      }
-      ++p.s;
-      auto it = index.find(key);
-      if (it == index.end()) {
-        // unknown column: Python raises before converting anything
-        // else in this row (walk2, table_service.py:288)
-        out->status = ROW_ERROR;
-        out->error = "column not found: '" + key + "'";
-        return out;
-      }
-      Val v;
-      if (!parse_value(p, v)) {
-        out->status = BAD_INPUT;
-        return out;
-      }
-      rowvals[it->second] = v;          // duplicate key: last wins
-      if (!present[it->second]) row_order.push_back(it->second);
-      present[it->second] = 1;
-      p.ws();
-      if (p.eof()) {
-        out->status = BAD_INPUT;
-        return out;
-      }
-      if (*p.s == ',') { ++p.s; continue; }
-      if (*p.s == '}') { ++p.s; break; }
-      out->status = BAD_INPUT;
-      return out;
-    }
-    if (p.fallback) {
-      out->status = FALLBACK;
-      return out;
-    }
-    // convert the record's values: present columns in JSON key order
-    // (Python raises on the first bad conversion in that order,
-    // table_service.py insert_json), then nulls for missing columns
-    std::string err;
-    int rc = OK;
-    std::vector<uint32_t> done_cols;
-    for (uint32_t c : row_order) {
-      rc = append_value(out->cols[c], rowvals[c], err);
-      if (rc != OK) break;
-      done_cols.push_back(c);
-    }
-    if (rc == OK) {
-      Val nullv;
-      for (uint32_t c = 0; c < ncols; ++c) {
-        if (present[c]) continue;
-        append_value(out->cols[c], nullv, err);  // null never fails
-        done_cols.push_back(c);
-      }
-    }
+    int rc = shred_one_record(p, out, index, rowvals, present, row_order);
     if (rc != OK) {
-      // roll the partial row back so every column has nrows entries
-      for (uint32_t c : done_cols) {
-        ColBuf& col = out->cols[c];
-        col.num.pop_back();
-        col.valid.pop_back();
-        col.stroff.pop_back();
-        col.strbytes.resize(col.stroff.back());
-      }
-      out->status = rc == FALLBACK ? FALLBACK : ROW_ERROR;
-      out->error = err;
+      out->status = rc;
       return out;
     }
-    ++out->nrows;
     p.ws();
     if (p.eof()) {
       out->status = BAD_INPUT;
@@ -595,6 +646,99 @@ void* evql_json_shred(
     out->status = BAD_INPUT;
   }
   return out;
+}
+
+// Shred `count` lenenc-framed JSON records straight from a native-
+// protocol INSERT frame body (varint record length + record bytes,
+// repeated — reference: transport/native/frames/insert.cc). Unlike
+// the array driver, an error or fallback mid-stream leaves the rows
+// BEFORE it fully shredded (status + nrows tell the caller where to
+// resume with the Python path), matching the reference's per-record
+// insert loop semantics.
+void* evql_records_shred(
+    const char* buf, uint64_t len, uint64_t count,
+    uint32_t ncols, const char* const* names, const uint32_t* types) {
+  Shred* out = new Shred();
+  out->cols.resize(ncols);
+  std::unordered_map<std::string, uint32_t> index;
+  for (uint32_t i = 0; i < ncols; ++i) {
+    out->cols[i].type = types[i];
+    out->cols[i].name = names[i];
+    out->cols[i].stroff.push_back(0);
+    index.emplace(names[i], i);
+  }
+  std::vector<Val> rowvals(ncols);
+  std::vector<uint8_t> present(ncols);
+  std::vector<uint32_t> row_order;
+
+  const char* s = buf;
+  const char* end = buf + len;
+  for (uint64_t r = 0; r < count; ++r) {
+    uint64_t rl = 0;
+    int shift = 0;
+    for (;;) {
+      if (s >= end) { out->status = BAD_INPUT; return out; }
+      uint8_t b = (uint8_t)*s++;
+      rl |= (uint64_t)(b & 0x7f) << shift;
+      shift += 7;
+      if (!(b & 0x80)) break;
+    }
+    if ((uint64_t)(end - s) < rl) { out->status = BAD_INPUT; return out; }
+    P p{s, s + rl};
+    int rc = shred_one_record(p, out, index, rowvals, present, row_order);
+    if (rc == OK) {
+      p.ws();
+      if (!p.eof()) rc = BAD_INPUT;  // junk after the record object
+    }
+    if (rc != OK) {
+      out->status = rc;
+      return out;  // nrows rows stand; caller resumes at record nrows
+    }
+    s += rl;
+  }
+  return out;
+}
+
+// Primary-key record ids for every shredded row: SHA1 of the
+// NUL-joined wire strings of the pk columns — bit-identical to
+// table_service._batch_record_ids / shredded_record_list.from_relation.
+// Returns 1 and fills out (nrows*20 bytes) on success; 0 when a pk
+// column's type has no native wire encoding (FLOAT64: Python computes).
+int evql_shred_rids(
+    void* h, uint32_t npk, const uint32_t* pk_cols, uint8_t* out20) {
+  Shred* sh = (Shred*)h;
+  for (uint32_t i = 0; i < npk; ++i) {
+    uint32_t t = sh->cols[pk_cols[i]].type;
+    if (t != T_UINT64 && t != T_TIMESTAMP64 && t != T_STRING &&
+        t != T_BOOL)
+      return 0;
+  }
+  std::string wire;
+  char numbuf[24];
+  for (uint64_t r = 0; r < sh->nrows; ++r) {
+    wire.clear();
+    for (uint32_t i = 0; i < npk; ++i) {
+      if (i) wire.push_back('\0');
+      const ColBuf& col = sh->cols[pk_cols[i]];
+      if (!col.valid[r]) continue;  // NULL pk component → empty
+      switch (col.type) {
+        case T_STRING:
+          wire.append(col.strbytes.data() + col.stroff[r],
+                      col.stroff[r + 1] - col.stroff[r]);
+          break;
+        case T_BOOL:
+          wire.append(col.num[r] ? "true" : "false");
+          break;
+        default: {  // UINT64 / TIMESTAMP64: decimal, str(int) parity
+          int n = snprintf(numbuf, sizeof(numbuf), "%llu",
+                           (unsigned long long)col.num[r]);
+          wire.append(numbuf, (size_t)n);
+        }
+      }
+    }
+    sha1_digest((const uint8_t*)wire.data(), wire.size(), out20 + 20 * r);
+  }
+  return 1;
 }
 
 int evql_shred_status(void* h) { return ((Shred*)h)->status; }

@@ -246,3 +246,93 @@ def test_http_insert_uses_batch_path(tmp_path):
         assert out["results"][0]["rows"] == [["a", "1"], ["b", "2"]]
     finally:
         server.stop()
+
+
+# -- wire-frame records driver (round 3: evql_records_shred) ----------------
+
+
+def _lenenc_records(records):
+    from eventql_tpu.server.native_tcp import write_lenencstr
+
+    return b"".join(write_lenencstr(r) for r in records), len(records)
+
+
+def _mk_kv():
+    return _mk([("k", "STRING"), ("v", "UINT64")], pk=["k"], name="ev")
+
+
+def test_records_wire_one_pass():
+    """insert_records_wire shreds lenenc-framed records natively with
+    pk record ids computed in the same pass."""
+    svc = _mk_kv()
+    recs = [
+        b'{"k": "r%d", "v": %d}' % (i, i * 3) for i in range(50)
+    ]
+    region, count = _lenenc_records(recs)
+    n = svc.insert_records_wire("ev", region, count)
+    assert n == 50
+    rel = svc.get_table_data("ev")
+    assert rel.num_rows == 50
+    # record ids landed in the arena index (pk = k)
+    t = svc.tables["ev"]
+    if t.primary_key:
+        assert len(t._arena_index) == 50
+
+
+def test_records_wire_tail_resume_on_row_error():
+    """A bad record mid-stream: rows before it stand, the error matches
+    the per-record Python path, rows after it never insert (reference
+    per-record loop semantics)."""
+    svc = _mk_kv()
+    recs = [
+        b'{"k": "a", "v": 1}',
+        b'{"k": "b", "v": 2}',
+        b'{"k": "c", "nope": 3}',  # unknown column
+        b'{"k": "d", "v": 4}',
+    ]
+    region, count = _lenenc_records(recs)
+    with pytest.raises(RuntimeError_, match="column not found: 'nope'"):
+        svc.insert_records_wire("ev", region, count)
+    rel = svc.get_table_data("ev")
+    assert rel.num_rows == 2  # a, b inserted; c errored; d never ran
+
+
+def test_records_wire_fallback_value_resumes_python():
+    """A value only Python converts (huge int) resumes on the Python
+    path at that record and still lands correctly."""
+    svc = _mk_kv()
+    recs = [
+        b'{"k": "a", "v": 1}',
+        b'{"k": "b", "v": 1e3}',  # float syntax for uint: python decides
+        b'{"k": "c", "v": 3}',
+    ]
+    region, count = _lenenc_records(recs)
+    n = svc.insert_records_wire("ev", region, count)
+    rel = svc.get_table_data("ev")
+    # whatever the native/python split, the merged result must equal
+    # the pure-python per-record path
+    svc2 = _mk_kv()
+    for r in recs:
+        svc2.insert_json("ev", r.decode())
+    rel2 = svc2.get_table_data("ev")
+    assert rel.num_rows == rel2.num_rows
+    for c1, c2 in zip(rel.columns, rel2.columns):
+        assert list(c1.valid) == list(c2.valid)
+        for i in range(rel.num_rows):
+            assert c1.value_at(i).payload() == c2.value_at(i).payload()
+
+
+def test_records_wire_rid_parity_with_python():
+    """Native SHA1 record ids == the Python wire-string ids (replication
+    pushes and local inserts must agree on identity)."""
+    svc = _mk_kv()
+    recs = [b'{"k": "key%d", "v": %d}' % (i, i) for i in range(20)]
+    region, count = _lenenc_records(recs)
+    svc.insert_records_wire("ev", region, count)
+    t = svc.tables["ev"]
+    if not t.primary_key:
+        return
+    rel = svc.get_table_data("ev")
+    py_ids = t._batch_record_ids(rel)
+    for rid in py_ids:
+        assert rid in t._arena_index
