@@ -100,18 +100,17 @@ def _fast_topk(sort_key: jax.Array, k: int, width: int) -> jax.Array:
     routes downcast — the narrow stream halves the histogram passes'
     HBM traffic)."""
     from eventql_tpu.kernels.extract import extract_ge
-    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+    from eventql_tpu.kernels.pallas_groupby import pallas_count
 
     n = sort_key.shape[0]
     nbuckets = 1 << PREFIX_BITS
-    zeros = jnp.zeros((n,), jnp.uint64)
     sdt = sort_key.dtype  # shift operand dtype
 
-    # level 1: top 12 bits
+    # level 1: top 12 bits — count-only kernel: no value stream from
+    # HBM and no limb plane (the histogram stages are this pipeline's
+    # measured bottleneck; pallas_count postdates the original design)
     p1 = (sort_key >> sdt.type(width - PREFIX_BITS)).astype(jnp.int32)
-    counts1, _ = pallas_sum_count(
-        jnp.ones((n,), bool), p1, zeros, nbuckets, value_bits=8
-    )
+    counts1 = pallas_count(jnp.ones((n,), bool), p1, nbuckets)
     T1, n_ge1 = _threshold_level(counts1, jnp.uint64(k))
     n_gt1 = n_ge1 - counts1[T1]  # rows strictly above bucket T1 (< k)
 
@@ -119,9 +118,7 @@ def _fast_topk(sort_key: jax.Array, k: int, width: int) -> jax.Array:
     p2 = (
         sort_key >> sdt.type(width - 2 * PREFIX_BITS)
     ).astype(jnp.int32) & (nbuckets - 1)
-    counts2, _ = pallas_sum_count(
-        p1 == T1, p2, zeros, nbuckets, value_bits=8
-    )
+    counts2 = pallas_count(p1 == T1, p2, nbuckets)
     k2 = jnp.uint64(k) - n_gt1  # still needed from bucket T1 (>= 1)
     T2, n_ge2 = _threshold_level(counts2, k2)
 
