@@ -1166,13 +1166,20 @@ def bench_groupby():
     clock = {"v5e": 0.94e9, "v5p": 1.75e9, "v4": 1.05e9, "v6e": 0.94e9}[
         os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     ]
-    # 1 op/cycle/lane is the conservative VPU model; int8 lanes pack up
-    # to 4 values, so the attainable roofline lies in [1x, 4x] of it —
-    # both bracket fractions are reported. vs_baseline keeps the
-    # STRICTEST denominator (the scatter-ideal HBM bound) so the
-    # headline fraction is never flattered; BASELINE.md explains why
-    # that tier is a hardware boundary (no per-lane scatter).
-    vpu_sol_1op = (1024 * clock) / lane_ops_per_row
+    # The old [1x int8-packed, 1 op/cycle] bracket is replaced by the
+    # round-3 MEASURED model (PERF.md "Round-3 roofline collapse",
+    # scripts/probe_groupby_cost.py): ns/row = β + α·lanes with
+    # α = 254 fs/lane-op, β = 0.040 ns/row, fit over 15 single-chunk
+    # configs (±30%). The attainable bound below is that model at this
+    # exact config; the isolated kernel itself measured 13.7 Grows/s at
+    # the headline config. vs_baseline keeps the STRICTEST denominator
+    # (the scatter-ideal HBM bound) so the headline fraction is never
+    # flattered; BASELINE.md explains why that tier is a hardware
+    # boundary (no per-lane scatter).
+    _ = clock  # kept for provenance of the superseded bracket model
+    alpha_s = 254e-15  # measured, s/lane-op
+    beta_s = 0.040e-9  # measured, s/row fixed
+    attainable = 1.0 / (beta_s + alpha_s * lane_ops_per_row)
     print(
         json.dumps(
             {
@@ -1180,10 +1187,12 @@ def bench_groupby():
                 "value": round(rows_per_sec, 1),
                 "unit": "rows/s",
                 "vs_baseline": round(rows_per_sec / hbm_sol, 4),
-                "vpu_roofline_fraction_bracket": [
-                    round(rows_per_sec / (4 * vpu_sol_1op), 4),
-                    round(rows_per_sec / vpu_sol_1op, 4),
-                ],
+                "vpu_attainable_rows_per_sec_measured_model": round(
+                    attainable, 1
+                ),
+                "fraction_of_attainable": round(
+                    rows_per_sec / attainable, 4
+                ),
                 "lane_ops_per_row_model": lane_ops_per_row,
             }
         )
