@@ -106,10 +106,17 @@ class MySQLConnection:
         return buf
 
     def _read_packet(self) -> bytes:
-        hdr = self._recv_exact(4)
-        length = int.from_bytes(hdr[:3], "little")
-        self._seq = (hdr[3] + 1) & 0xFF
-        return self._recv_exact(length) if length else b""
+        # MySQL splits payloads >= 16 MB - 1 across packets: a length
+        # of exactly 0xFFFFFF means a continuation packet follows (a
+        # trailing empty packet terminates an exact-multiple payload)
+        out = b""
+        while True:
+            hdr = self._recv_exact(4)
+            length = int.from_bytes(hdr[:3], "little")
+            self._seq = (hdr[3] + 1) & 0xFF
+            out += self._recv_exact(length) if length else b""
+            if length != 0xFFFFFF:
+                return out
 
     def _send_packet(self, payload: bytes):
         hdr = len(payload).to_bytes(3, "little") + bytes([self._seq])
@@ -169,7 +176,10 @@ class MySQLConnection:
         # reference's libmysqlclient path likewise assumes native auth
         if pkt and pkt[0] == 0xFE:
             raise ConnectionError(
-                "server requested an unsupported auth switch"
+                "server requested an unsupported auth switch (only "
+                "mysql_native_password is implemented; for MySQL 8's "
+                "caching_sha2_password default, create the import "
+                "user WITH mysql_native_password)"
             )
 
     def _err(self, pkt: bytes) -> MySQLError:

@@ -27,3 +27,15 @@ class RuntimeError_(SQLError):
 
 class NotImplementedError_(SQLError):
     kind = "NotImplementedError"
+
+
+class ProtocolDesyncError(SQLError):
+    """Client-side wire desync (unexpected opcode mid-conversation).
+
+    Unlike a server-reported OP_ERROR — which leaves the connection at
+    a clean frame boundary — a desync means unread frames may remain on
+    the socket, so the connection must NOT be returned to a pool
+    (reference closes the connection on unexpected opcodes,
+    transport/native/connection_tcp.cc)."""
+
+    kind = "IOError"

@@ -526,7 +526,7 @@ class TableService(TableProvider):
             raise RuntimeError_(f"invalid JSON: {e}")
         if not isinstance(obj, dict):
             raise RuntimeError_("JSON insert requires an object")
-        self._insert_obj(table_name, obj, version=version)
+        return self._insert_obj(table_name, obj, version=version)
 
     def insert_json_batch(
         self, table_name: str, records_json: bytes, versions=None

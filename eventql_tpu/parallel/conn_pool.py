@@ -171,11 +171,14 @@ class TCPConnectionPool:
         """Run `fn(client)` on a pooled (or fresh) connection to addr.
 
         The connection returns to the pool after a clean request —
-        including SQLError responses, after which the peer awaits the
-        next request — and is closed on transport errors. A transport
+        including server-reported SQLError responses, after which the
+        peer awaits the next request — and is closed on transport
+        errors AND on ProtocolDesyncError (unexpected opcode
+        mid-resultset leaves unread frames on the socket; pooling it
+        would feed stale frames to the next request). A transport
         error on a REUSED socket (peer closed it while pooled) retries
         exactly once on a fresh connection."""
-        from eventql_tpu.core.errors import SQLError
+        from eventql_tpu.core.errors import ProtocolDesyncError, SQLError
 
         if connect is None:
             from eventql_tpu.server.native_tcp import NativeTCPClient
@@ -188,8 +191,11 @@ class TCPConnectionPool:
             client = connect()
         try:
             out = fn(client)
+        except ProtocolDesyncError:
+            _close_quiet(client)
+            raise
         except SQLError:
-            # protocol-level error: the connection stays healthy
+            # server-reported error: the connection stays healthy
             self.checkin(addr, client)
             raise
         except (OSError, ConnectionError):
@@ -200,6 +206,9 @@ class TCPConnectionPool:
             client = connect()
             try:
                 out = fn(client)
+            except ProtocolDesyncError:
+                _close_quiet(client)
+                raise
             except SQLError:
                 self.checkin(addr, client)
                 raise

@@ -34,7 +34,7 @@ import threading
 import time
 from typing import List, Optional, Tuple
 
-from eventql_tpu.core.errors import SQLError
+from eventql_tpu.core.errors import ProtocolDesyncError, SQLError
 
 # opcodes (reference: eventql.h:71-100)
 OP_HELLO = 0x5E00
@@ -369,6 +369,14 @@ class NativeTCPServer:
                     continue
                 try:
                     with send_lock:
+                        # re-check under the lock: the main thread's
+                        # "clear executing, then take send_lock" barrier
+                        # only excludes heartbeats that observe the
+                        # cleared flag — a heartbeat that passed the
+                        # outer check before the clear must not send
+                        # once streaming may have begun
+                        if not executing.is_set():
+                            continue
                         if want_progress:
                             # reference: QUERY_PROGRESS frames while the
                             # query runs (ops/query.cc:91-126, frame
@@ -858,7 +866,7 @@ class NativeTCPClient:
             msg, _ = read_lenencstr(body, 0)
             raise SQLError(msg.decode())
         if opcode != OP_READY:
-            raise SQLError(f"unexpected opcode in handshake: {opcode:#x}")
+            raise ProtocolDesyncError(f"unexpected opcode in handshake: {opcode:#x}")
 
     # result page size sent as the QUERY frame's maxrows: the server
     # flushes a frame after batch_size+1 rows (reference flush quirk)
@@ -909,7 +917,7 @@ class NativeTCPClient:
             if opcode == OP_HEARTBEAT:
                 continue
             if opcode != OP_QUERY_RESULT:
-                raise SQLError(f"unexpected opcode: {opcode:#x}")
+                raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
             qrflags, pos = read_varint(body, 0)
             ncols, pos = read_varint(body, pos)
             nrows, pos = read_varint(body, pos)
@@ -953,7 +961,7 @@ class NativeTCPClient:
             msg, _ = read_lenencstr(payload, 0)
             raise SQLError(msg.decode())
         if opcode != OP_ACK:
-            raise SQLError(f"unexpected opcode: {opcode:#x}")
+            raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
 
     def repl_insert(self, table: str, partition_id: str, records,
                     database: str = ""):
@@ -972,7 +980,7 @@ class NativeTCPClient:
             msg, _ = read_lenencstr(payload, 0)
             raise SQLError(msg.decode())
         if opcode != OP_ACK:
-            raise SQLError(f"unexpected opcode: {opcode:#x}")
+            raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
 
     def query_partialaggr(self, plan_data: str) -> bytes:
         """Ship a partial-aggregate plan; returns serialized partial."""
@@ -987,7 +995,7 @@ class NativeTCPClient:
             msg, _ = read_lenencstr(payload, 0)
             raise SQLError(msg.decode())
         if opcode != OP_QUERY_PARTIALAGGR_RESULT:
-            raise SQLError(f"unexpected opcode: {opcode:#x}")
+            raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
         return payload
 
     def query_remote(self, plan_data: str) -> bytes:
@@ -1002,7 +1010,7 @@ class NativeTCPClient:
             msg, _ = read_lenencstr(payload, 0)
             raise SQLError(msg.decode())
         if opcode != OP_QUERY_REMOTE_RESULT:
-            raise SQLError(f"unexpected opcode: {opcode:#x}")
+            raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
         return payload
 
     def meta_request(self, opcode: int, request: dict):

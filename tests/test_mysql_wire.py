@@ -231,3 +231,41 @@ def test_mysql2evql_live_mode_end_to_end(mock_server):
         c.close()
     finally:
         server.stop()
+
+
+def test_read_packet_16mb_split():
+    """Payloads >= 0xFFFFFF bytes arrive split across packets; a length
+    of exactly 0xFFFFFF means a continuation follows (an empty trailing
+    packet terminates an exact-multiple payload)."""
+    from eventql_tpu.client.mysql_wire import MySQLConnection
+
+    class FakeSock:
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+
+        def recv(self, n):
+            out = self.data[self.pos : self.pos + n]
+            self.pos += len(out)
+            return out
+
+    conn = MySQLConnection.__new__(MySQLConnection)
+    big = bytes(range(256)) * 65536  # 16 MB even
+
+    def pkt(seq, payload):
+        return len(payload).to_bytes(3, "little") + bytes([seq]) + payload
+
+    # 16 MB payload: 0xFFFFFF chunk + 1-byte remainder
+    wire = pkt(0, big[:0xFFFFFF]) + pkt(1, big[0xFFFFFF:])
+    conn.sock = FakeSock(wire)
+    assert conn._read_packet() == big
+
+    # exact-0xFFFFFF payload: chunk + empty terminator
+    exact = big[:0xFFFFFF]
+    wire = pkt(0, exact) + pkt(1, b"")
+    conn.sock = FakeSock(wire)
+    assert conn._read_packet() == exact
+
+    # small payload unchanged
+    conn.sock = FakeSock(pkt(0, b"abc"))
+    assert conn._read_packet() == b"abc"

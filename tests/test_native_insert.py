@@ -336,3 +336,26 @@ def test_records_wire_rid_parity_with_python():
     py_ids = t._batch_record_ids(rel)
     for rid in py_ids:
         assert rid in t._arena_index
+
+
+def test_insert_json_returns_insert_status():
+    """insert_json propagates insert_row's bool so the wire fallback
+    path counts fallback rows correctly (advisor round-3 finding:
+    a missing `return` made every fallback insert count as 0)."""
+    svc = _mk([("id", "uint64"), ("v", "uint64")], pk=["id"])
+    assert svc.insert_json("t", json.dumps({"id": 1, "v": 10})) is True
+    # same pk with an older explicit version: stale, dropped
+    assert (
+        svc.insert_json("t", json.dumps({"id": 1, "v": 11}), version=1)
+        is False
+    )
+
+
+def test_records_wire_fallback_counts_rows():
+    """insert_records_wire's Python-fallback tail must count rows it
+    inserts (INT64 columns route around the native shredder)."""
+    svc = _mk([("id", "uint64"), ("v", "int64")], pk=["id"])
+    recs = [json.dumps({"id": i, "v": -i}).encode() for i in range(5)]
+    region, count = _lenenc_records(recs)
+    n = svc.insert_records_wire("t", region, count)
+    assert n == 5
