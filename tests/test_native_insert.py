@@ -352,10 +352,28 @@ def test_insert_json_returns_insert_status():
 
 
 def test_records_wire_fallback_counts_rows():
-    """insert_records_wire's Python-fallback tail must count rows it
-    inserts (INT64 columns route around the native shredder)."""
-    svc = _mk([("id", "uint64"), ("v", "int64")], pk=["id"])
-    recs = [json.dumps({"id": i, "v": -i}).encode() for i in range(5)]
+    """insert_records_wire's Python-fallback path must count rows it
+    inserts (nested-record schemas route around the native shredder)."""
+    svc = TableService()
+    svc.create_table(
+        CreateTableNode(
+            "n",
+            [
+                ColumnDefinition("k", "STRING"),
+                ColumnDefinition(
+                    "rec", "RECORD",
+                    subcolumns=[ColumnDefinition("x", "UINT64")],
+                ),
+            ],
+            [],
+            None,
+            [],
+        )
+    )
+    recs = [
+        json.dumps({"k": f"r{i}", "rec": {"x": i}}).encode()
+        for i in range(5)
+    ]
     region, count = _lenenc_records(recs)
-    n = svc.insert_records_wire("t", region, count)
+    n = svc.insert_records_wire("n", region, count)
     assert n == 5
