@@ -317,6 +317,109 @@ class LSMTable(MemoryTable):
         self._relation_cache = merged
         return merged
 
+    def stream_chunks(self, chunk_rows: int):
+        """Segment-at-a-time streaming source: yields the exact row
+        stream of to_relation() while holding at most ONE segment's
+        columns in memory (plus an O(distinct keys) seen-set for
+        primary-key visibility) — the bounded-memory cursor the
+        reference gets from pulling 1024-row batches through
+        LSMPartitionReader (sql/result_cursor.h:35-75,
+        transport/native/ops/query.cc:136-230).
+
+        With a primary key, visibility needs newer parts' keys before
+        older parts emit, so a first pass reads ONLY the pk columns of
+        each part (columnar segment layout makes that cheap) and builds
+        keep masks newest-first; the emission pass then walks parts
+        oldest-first, gathers the kept rows, and yields chunk_rows-row
+        slices."""
+        if (
+            self._relation_cache is not None
+            or self.has_repeated
+            or not self._segments
+        ):
+            # merged view already in RAM / nested path / arena-only:
+            # the memory-table slicer is already optimal
+            yield from MemoryTable.stream_chunks(self, chunk_rows)
+            return
+
+        # parts newest-first: arena (if any rows), then segments
+        # newest→oldest; None stands for the arena part
+        part_ids: List[Optional[str]] = []
+        if self.arena_rows():
+            part_ids.append(None)
+        part_ids += list(reversed(self._segments))
+
+        arena_rel = None
+        if part_ids and part_ids[0] is None:
+            # compute the arena view without poisoning to_relation's
+            # merged-view cache (MemoryTable.to_relation caches into
+            # the same slot)
+            saved = self._relation_cache
+            arena_rel = MemoryTable.to_relation(self)
+            self._relation_cache = saved
+
+        masks: Optional[List[np.ndarray]] = None
+        if self.primary_key:
+            pk_parts = []
+            for pid in part_ids:
+                if pid is None:
+                    pk_cols = [
+                        arena_rel.columns[arena_rel.names.index(k)]
+                        for k in self.primary_key
+                    ]
+                    pk_parts.append((pk_cols, arena_rel.num_rows))
+                else:
+                    pk_parts.append(self._segment_pk_columns(pid))
+            masks = self._upsert_keep_masks(pk_parts)
+
+        # emission: oldest part first (to_relation's output order)
+        for rev_i in range(len(part_ids) - 1, -1, -1):
+            pid = part_ids[rev_i]
+            rel = arena_rel if pid is None else self._read_segment(pid)
+            if masks is not None:
+                keep = masks[rev_i]
+                if not keep.all():
+                    rel = rel.gather(np.nonzero(keep)[0])
+            if rel.num_rows <= chunk_rows:
+                if rel.num_rows:
+                    yield rel
+                continue
+            for lo in range(0, rel.num_rows, chunk_rows):
+                hi = min(lo + chunk_rows, rel.num_rows)
+                yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+
+    def _segment_pk_columns(self, seg: str):
+        """Read ONLY the primary-key columns of a segment (pk-visibility
+        pre-pass for stream_chunks); schema-aligned like _read_segment."""
+        reader = CSTableReader(os.path.join(self.dir, seg))
+        n = reader.num_rows
+        from eventql_tpu.exec.relation import dtype_for
+
+        cols = []
+        for k in self.primary_key:
+            if reader.column_config(k) is not None:
+                cols.append(reader.flat_column(k))
+            else:
+                ctype = next(t for c, t, _r in self.columns if c == k)
+                if ctype == SType.STRING:
+                    cols.append(
+                        Column(
+                            SType.STRING,
+                            np.zeros(n, np.int32),
+                            np.zeros(n, bool),
+                            np.array([b""], dtype=object),
+                        )
+                    )
+                else:
+                    cols.append(
+                        Column(
+                            ctype,
+                            np.zeros(n, dtype=dtype_for(ctype)),
+                            np.zeros(n, bool),
+                        )
+                    )
+        return cols, n
+
     def _compact_nested(self):
         """Merge all nested segments through the composite Dremel reader
         (upsert-resolved) into one major segment."""
@@ -470,30 +573,47 @@ class LSMTable(MemoryTable):
                 )
         return Relation(names, cols, n)
 
-    def _merge_upsert(self, parts_newest_first: List[Relation]) -> Relation:
-        """Newest-first scan keeping one row per primary key (the
-        reference's seen-id upsert filter). Within a part, LATER rows
-        are newer (append-order arenas flush in insertion order), so
-        each part scans in reverse — a same-segment upsert keeps the
-        newest write, matching the reference where the arena replaces
-        records in place before the flush."""
-        keep_parts: List[Relation] = []
+    @staticmethod
+    def _upsert_keep_masks(pk_parts_newest_first) -> List[np.ndarray]:
+        """Newest-first upsert visibility (the reference's seen-id
+        filter): one bool mask per part marking the rows whose primary
+        key was not seen in any newer part nor in a later row of the
+        same part. Within a part, LATER rows are newer (append-order
+        arenas flush in insertion order), so each part scans in
+        reverse — a same-segment upsert keeps the newest write,
+        matching the reference where the arena replaces records in
+        place before the flush. Takes (pk_columns, num_rows) pairs so
+        callers can feed pk-only column reads (streaming pre-pass)."""
         seen = set()
-        pk_idx = [
-            [i for i, c in enumerate(self.columns) if c[0] == k][0]
-            for k in self.primary_key
-        ]
-        for rel in parts_newest_first:
-            pk_cols = [rel.columns[i] for i in pk_idx]
-            keep = []
-            for r in range(rel.num_rows - 1, -1, -1):
+        masks: List[np.ndarray] = []
+        for pk_cols, nrows in pk_parts_newest_first:
+            keep = np.zeros(nrows, dtype=bool)
+            for r in range(nrows - 1, -1, -1):
                 key = tuple(c.value_at(r).payload() for c in pk_cols)
                 if key in seen:
                     continue
                 seen.add(key)
-                keep.append(r)
-            keep.reverse()  # restore insertion order within the part
-            keep_parts.append(rel.gather(np.array(keep, dtype=np.int64)))
+                keep[r] = True
+            masks.append(keep)
+        return masks
+
+    def _merge_upsert(self, parts_newest_first: List[Relation]) -> Relation:
+        """Newest-first scan keeping one row per primary key (see
+        _upsert_keep_masks for the visibility rule)."""
+        pk_idx = [
+            [i for i, c in enumerate(self.columns) if c[0] == k][0]
+            for k in self.primary_key
+        ]
+        masks = self._upsert_keep_masks(
+            [
+                ([rel.columns[i] for i in pk_idx], rel.num_rows)
+                for rel in parts_newest_first
+            ]
+        )
+        keep_parts = [
+            rel.gather(np.nonzero(keep)[0])
+            for rel, keep in zip(parts_newest_first, masks)
+        ]
         # output order: oldest part first, insertion order within
         return _concat_relations(list(reversed(keep_parts)))
 

@@ -421,6 +421,18 @@ class MemoryTable:
         self._relation_cache = rel
         return rel
 
+    def stream_chunks(self, chunk_rows: int):
+        """Yield the table's rows as bounded Relation chunks, in the
+        exact row order of to_relation() — the streaming-cursor source
+        (reference: LSMPartitionReader pulls batches through the
+        operator tree, sql/result_cursor.h:35-75). A memory table's
+        data already lives in RAM; chunking here bounds the DOWNSTREAM
+        footprint (formatted result rows, wire frames)."""
+        rel = self.to_relation()
+        for lo in range(0, rel.num_rows, chunk_rows):
+            hi = min(lo + chunk_rows, rel.num_rows)
+            yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+
 
 class TableService(TableProvider):
     """Mutable catalog + store, usable directly as the engine's table
@@ -699,6 +711,15 @@ class TableService(TableProvider):
         if table is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
         return table.to_relation()
+
+    def get_table_chunks(self, table_name: str, chunk_rows: int):
+        """Bounded-memory chunk iterator over the table's rows (row
+        order identical to get_table_data); the streaming-cursor data
+        source (reference: result_cursor.h:35-75)."""
+        table = self.tables.get(table_name)
+        if table is None:
+            raise RuntimeError_(f"table not found: '{table_name}'")
+        return table.stream_chunks(chunk_rows)
 
     def table_version(self, table_name: str) -> str:
         """Data version keying persistent caches (reference analog: the

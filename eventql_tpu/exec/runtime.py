@@ -59,6 +59,16 @@ class RelationTableProvider(TableProvider):
             raise RuntimeError_(f"table not found: '{table_name}'")
         return rel
 
+    def get_table_chunks(self, table_name: str, chunk_rows: int):
+        """Chunked view for the streaming cursor (bounds the downstream
+        formatted-row footprint; the relation itself is in RAM)."""
+        import numpy as np
+
+        rel = self.get_table_data(table_name)
+        for lo in range(0, rel.num_rows, chunk_rows):
+            hi = min(lo + chunk_rows, rel.num_rows)
+            yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+
 
 class Transaction:
     def __init__(self, tables: TableProvider, query_cache=None, trace=None):
@@ -146,6 +156,28 @@ class QueryPlan:
         rel = self._execute_traced(node)
         result_columns = node.get_result_columns()
         return ResultList.from_relation(result_columns, rel)
+
+    def execute_stream(self, idx: int):
+        """Execute statement `idx` with bounded memory when its plan
+        shape allows: returns a StreamingResultList whose rows generator
+        pulls storage chunks through the row-local operators as the
+        transport consumes them (reference: ResultCursor,
+        sql/result_cursor.h:35-75); falls back to the materializing
+        execute() for blocking shapes (GROUP BY / ORDER BY / JOIN)."""
+        import os as _os
+
+        from eventql_tpu.exec import streaming
+
+        node = self.nodes[idx]
+        # differential-test escape hatch: force the materializing path
+        if _os.environ.get("EVENTQL_TPU_NO_STREAMING") == "1":
+            return self.execute(idx)
+        if streaming.streamable(node, self.txn):
+            return streaming.StreamingResultList(
+                node.get_result_columns(),
+                streaming.stream_node(node, self.txn),
+            )
+        return self.execute(idx)
 
     def _execute_traced(self, node):
         # XLA/Pallas profiler hook (survey §5 — the reference has no

@@ -400,19 +400,14 @@ class ClusterTableProvider(TableProvider):
 
         self.insert_json(table_name, _json.dumps(record))
 
-    def get_table_data(self, table_name: str) -> Relation:
-        """Pull a table's rows from every owner via QUERY_REMOTE — the
-        fallback tier for plan shapes that aren't partial-aggregatable
-        (reference: query_remote.cc streams the scanned rows back)."""
-        from eventql_tpu.parallel.partitioned import _concat_columns
+    def _scan_all_plan(self, table_name: str) -> str:
+        """Serialized trivial select-all scan to ship to each owner."""
         from eventql_tpu.plan.coder import encode_plan
         from eventql_tpu.plan.exprs import ColumnReferenceNode
 
         info = self.describe(table_name)
         if info is None:
             raise RuntimeError_(f"table not found: '{table_name}'")
-
-        # trivial select-all scan shipped to each worker
         scan = qn.SequentialScanNode(table_name, info.columns)
         for i, (cname, ctype) in enumerate(info.columns):
             scan.input_columns.append((cname, ctype))
@@ -422,16 +417,23 @@ class ClusterTableProvider(TableProvider):
                 )
             )
         scan.output_columns = [c[0] for c in info.columns]
-        plan_data = encode_plan(scan)
+        return encode_plan(scan)
 
-        def fetch(addr, payload):
-            return self.pool.call(
-                addr,
-                lambda c: relation_from_bytes(c.query_remote(payload)),
-            )
+    def _remote_fetch(self, addr, payload) -> Relation:
+        return self.pool.call(
+            addr,
+            lambda c: relation_from_bytes(c.query_remote(payload)),
+        )
 
+    def get_table_data(self, table_name: str) -> Relation:
+        """Pull a table's rows from every owner via QUERY_REMOTE — the
+        fallback tier for plan shapes that aren't partial-aggregatable
+        (reference: query_remote.cc streams the scanned rows back)."""
+        from eventql_tpu.parallel.partitioned import _concat_columns
+
+        plan_data = self._scan_all_plan(table_name)
         shards = self._per_partition(
-            table_name, plan_data, fetch, scan_key="keyrange"
+            table_name, plan_data, self._remote_fetch, scan_key="keyrange"
         )
 
         names = shards[0].names
@@ -441,23 +443,52 @@ class ClusterTableProvider(TableProvider):
         ]
         return Relation(names, cols, sum(sh.num_rows for sh in shards))
 
+    def get_table_chunks(self, table_name: str, chunk_rows: int):
+        """Partition-at-a-time streaming source: the coordinator holds
+        at most ONE partition's rows while a huge SELECT streams out
+        (reference: the scheduler pulls remote partitions through a
+        cursor one at a time, sql/scheduler.cc + result_cursor.h:35-75).
+        Row order equals get_table_data (jobs in placement order)."""
+        import numpy as np
+
+        plan_data = self._scan_all_plan(table_name)
+        jobs = self._partition_jobs(table_name, plan_data)
+        if jobs is None:
+            shard_iter = (
+                self._remote_fetch(addr, plan_data)
+                for addr in self.workers
+            )
+        else:
+            shard_iter = (
+                self._fetch_with_failover(job, self._remote_fetch)
+                for job in jobs
+            )
+        got_any = False
+        for shard in shard_iter:
+            if shard is None:  # tolerated failed shard
+                continue
+            got_any = True
+            if shard.num_rows <= chunk_rows:
+                if shard.num_rows:
+                    yield shard
+                continue
+            for lo in range(0, shard.num_rows, chunk_rows):
+                hi = min(lo + chunk_rows, shard.num_rows)
+                yield shard.gather(np.arange(lo, hi, dtype=np.int64))
+        if jobs is not None and not got_any:
+            raise SQLError("no live replica for any partition")
+
     # -- partition fan-out ---------------------------------------------
-    def _per_partition(self, table_name, plan_data, fetch, scan_key):
-        """Run `fetch(addr, payload)` once per partition (keyrange-scoped
-        plan, first live replica; failover down the placement list), or
-        once per worker when the table has no partition metadata."""
+    def _partition_jobs(self, table_name, plan_data):
+        """(entry, payload) jobs, one per partition with the plan's
+        seqscan scoped to the partition keyrange — or None when the
+        table has no partition metadata (whole-plan per worker)."""
         import copy
         import json as _json
 
         meta = self._table_metadata(table_name)
         if meta is None:
-            with concurrent.futures.ThreadPoolExecutor(
-                max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
-            ) as pool:
-                return list(
-                    pool.map(lambda a: fetch(a, plan_data), self.workers)
-                )
-
+            return None
         base = _json.loads(plan_data)
         jobs = []
         for entry in meta.entries:
@@ -468,6 +499,44 @@ class ClusterTableProvider(TableProvider):
                 target = target["table"]
             target["keyrange"] = [meta.partition_key, begin, end]
             jobs.append((entry, _json.dumps(d)))
+        return jobs
+
+    def _fetch_with_failover(self, job, fetch, host_sem=None):
+        """First live replica down the placement list; tolerate policy
+        returns None (reference: groupby.cc:511,622-628)."""
+        entry, payload = job
+        last_err = None
+        for sid in entry.servers:
+            addr = self._addr_of(sid)
+            if addr is None:
+                continue
+            try:
+                if host_sem is not None:
+                    with host_sem(addr):
+                        return fetch(addr, payload)
+                return fetch(addr, payload)
+            except (OSError, ConnectionError) as e:
+                last_err = e  # replica down: fail over to the next
+        if self.failed_shard_policy == "tolerate":
+            self.num_failed_shards += 1
+            return None
+        raise SQLError(
+            f"no live replica for partition {entry.partition_id}"
+            + (f" ({last_err})" if last_err else "")
+        )
+
+    def _per_partition(self, table_name, plan_data, fetch, scan_key):
+        """Run `fetch(addr, payload)` once per partition (keyrange-scoped
+        plan, first live replica; failover down the placement list), or
+        once per worker when the table has no partition metadata."""
+        jobs = self._partition_jobs(table_name, plan_data)
+        if jobs is None:
+            with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
+            ) as pool:
+                return list(
+                    pool.map(lambda a: fetch(a, plan_data), self.workers)
+                )
 
         # per-host in-flight cap (reference: TCPAsyncClient's
         # max_concurrent_tasks_per_host, client_tcp.h:109-231)
@@ -487,26 +556,7 @@ class ClusterTableProvider(TableProvider):
                 return sem
 
         def one(job):
-            entry, payload = job
-            last_err = None
-            for sid in entry.servers:
-                addr = self._addr_of(sid)
-                if addr is None:
-                    continue
-                try:
-                    with _host_sem(addr):
-                        return fetch(addr, payload)
-                except (OSError, ConnectionError) as e:
-                    last_err = e  # replica down: fail over to the next
-            if self.failed_shard_policy == "tolerate":
-                # partial results + failed-shard accounting
-                # (reference: groupby.cc:511,622-628)
-                self.num_failed_shards += 1
-                return None
-            raise SQLError(
-                f"no live replica for partition {entry.partition_id}"
-                + (f" ({last_err})" if last_err else "")
-            )
+            return self._fetch_with_failover(job, fetch, _host_sem)
 
         with concurrent.futures.ThreadPoolExecutor(
             max_workers=min(len(jobs), MAX_CONCURRENT_SHARDS)

@@ -311,26 +311,76 @@ class EventQLServer:
         if fmt not in ("json", "json_sse"):
             return self._text(h, 400, f"invalid format: {fmt}")
 
+        if fmt == "json":
+            try:
+                results = self._run_query(query)
+            except SQLError as e:
+                with self.stats.lock:
+                    self.stats.num_errors += 1
+                return self._json(h, 500, {"error": e.message})
+            return self._json(h, 200, {"results": results})
+
+        # json_sse: stream ONE `result` event whose JSON body is
+        # produced incrementally from the statement cursors — the wire
+        # bytes match the reference's one-event shape
+        # (json_sse_codec.cc:32-90) while server memory stays bounded
+        # for streamable statements (result_cursor.h:35-75). Errors
+        # before the event starts emit a `query_error` event
+        # (api_servlet.cc:1089-1096).
+        from eventql_tpu.utils.stats import evqld_stats
+
+        evqld_stats().num_queries.incr()
         try:
-            results = self._run_query(query)
+            txn = self.runtime.new_transaction(
+                self.query_provider_factory()
+            )
+            plan = self.runtime.build_query_plan(txn, query)
+            cursors = [
+                plan.execute_stream(i) for i in range(plan.num_queries)
+            ]
         except SQLError as e:
             with self.stats.lock:
                 self.stats.num_errors += 1
-            return self._json(h, 500, {"error": e.message})
+            sse = self._sse_begin(h)
+            sse("query_error", json.dumps({"error": e.message}))
+            return
 
-        if fmt == "json":
-            return self._json(h, 200, {"results": results})
-
-        # json_sse: stream `result` events (reference: json_sse_codec.cc)
         h.send_response(200)
         h.send_header("Content-Type", "text/event-stream")
         h.send_header("Cache-Control", "no-cache")
         h.end_headers()
-        data = json.dumps({"results": results})
-        h.wfile.write(b"event: result\n")
-        for line in data.split("\n"):
-            h.wfile.write(b"data: " + line.encode() + b"\n")
-        h.wfile.write(b"\n")
+        w = h.wfile.write
+        w(b"event: result\ndata: ")
+        # JSON separators match json.dumps defaults so the event body
+        # is byte-identical to the materialized encoding
+        w(b'{"results": [')
+        try:
+            for k, cur in enumerate(cursors):
+                if k:
+                    w(b", ")
+                w(b'{"type": "table", "columns": ')
+                w(json.dumps(cur.columns).encode())
+                w(b', "rows": [')
+                first = True
+                for row in cur.rows:
+                    if not first:
+                        w(b", ")
+                    first = False
+                    w(json.dumps(row).encode())
+                w(b"]}")
+            w(b"]}\n\n")
+            with self.stats.lock:
+                self.stats.num_queries += 1
+        except SQLError as e:
+            # lazy execution failed mid-event: terminate the (now
+            # malformed) result event and report the error as its own
+            # event so the client sees the failure
+            with self.stats.lock:
+                self.stats.num_errors += 1
+            w(b"\n\n")
+            w(b"event: query_error\ndata: ")
+            w(json.dumps({"error": e.message}).encode())
+            w(b"\n\n")
 
     def _handle_mapreduce(self, h, payload):
         # reference: transport/http/mapreduce_servlet.cc — job submit,

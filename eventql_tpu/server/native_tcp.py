@@ -439,7 +439,12 @@ class NativeTCPServer:
             for i in range(num):
                 executing.set()
                 try:
-                    result = plan.execute(i)
+                    # streamable shapes return a lazy cursor here and
+                    # execute chunk-by-chunk inside _stream_result
+                    # (bounded server memory, reference:
+                    # result_cursor.h:35-75); blocking shapes execute
+                    # eagerly and raise here
+                    result = plan.execute_stream(i)
                 except SQLError as e:
                     executing.clear()
                     with send_lock:
@@ -458,7 +463,20 @@ class NativeTCPServer:
                 with send_lock:
                     pass
                 pending = i + 1 < num
-                self._stream_result(sock, result, pending, maxrows)
+                try:
+                    self._stream_result(sock, result, pending, maxrows)
+                except SQLError as e:
+                    # lazy chunk execution failed mid-stream: the wire
+                    # is at a frame boundary (errors surface between
+                    # row appends, before any partial frame write), so
+                    # an ERROR frame ends the request cleanly
+                    _send_frame(
+                        sock,
+                        OP_ERROR,
+                        F_ENDOFREQUEST,
+                        write_lenencstr(e.message.encode("utf-8")),
+                    )
+                    return
                 if pending:
                     # wait for QUERY_NEXT (reference: ops/query.cc:196-230)
                     opcode, _f, _p = _recv_frame(sock)

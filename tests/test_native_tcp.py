@@ -120,6 +120,8 @@ def test_query_progress_frames():
                 )
                 return real.execute(0)
 
+            execute_stream = execute
+
         from eventql_tpu.exec.runtime import Runtime
 
         rt = Runtime()
