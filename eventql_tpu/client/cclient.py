@@ -100,10 +100,14 @@ class CClient:
             self._c = None
             raise CClientError(err)
 
-    def query(self, sql: str) -> List[Tuple[List[str], List[List[str]]]]:
+    def query(
+        self, sql: str, flags: int = 0
+    ) -> List[Tuple[List[str], List[List[str]]]]:
+        # flags: EVQL_QUERY_* bits (reference eventql.h:114-117;
+        # 0x4 = SENDPROGRESS enables QUERY_PROGRESS frames)
         lib = self._lib
         results = []
-        rc = lib.evql_query(self._c, sql.encode(), b"", 0)
+        rc = lib.evql_query(self._c, sql.encode(), b"", flags)
         if rc != 0:
             raise CClientError(lib.evql_client_geterror(self._c).decode())
         while True:

@@ -114,6 +114,9 @@ def _exec_ddl(node, txn) -> Relation:
     elif isinstance(node, qn.AlterTableNode):
         need("alter_table")(node)
     elif isinstance(node, qn.InsertIntoNode):
+        ctx = getattr(txn, "exec_ctx", None)
+        if ctx is not None:
+            ctx.count_modified(1)
         if node.json_data is not None:
             need("insert_json")(node.table_name, node.json_data)
         else:
@@ -160,10 +163,29 @@ def _exec_seqscan(node: qn.SequentialScanNode, txn) -> Relation:
         if needs_nested:
             from eventql_tpu.columnar.nested_scan import execute_nested_scan
 
-            return execute_nested_scan(node, reader)
+            out = execute_nested_scan(node, reader)
+            _count_scan(txn, reader.num_rows, 0)
+            return out
 
     table = txn.get_table_data(node.table_name)  # Relation of ALL table cols
     return _exec_seqscan_relation(node, table)
+
+
+def _scan_bytes(node: qn.SequentialScanNode, table: Relation) -> int:
+    """Bytes the scan reads: the input columns' physical buffers."""
+    by_name = dict(zip(table.names, table.columns))
+    total = 0
+    for cname, _ctype in node.input_columns:
+        c = by_name.get(cname)
+        if c is not None:
+            total += c.data.nbytes + c.valid.nbytes
+    return total
+
+
+def _count_scan(txn, rows: int, nbytes: int):
+    ctx = getattr(txn, "exec_ctx", None)
+    if ctx is not None:
+        ctx.count_scan(rows, nbytes)
 
 
 def _exec_seqscan_relation(node: qn.SequentialScanNode, table: Relation) -> Relation:

@@ -72,8 +72,13 @@ class RelationTableProvider(TableProvider):
 
 class Transaction:
     def __init__(self, tables: TableProvider, query_cache=None, trace=None):
+        from eventql_tpu.exec.exec_context import ExecutionContext
+
         self.tables = tables
         self.query_cache = query_cache
+        # per-query stats + shard progress (reference:
+        # sql/scheduler/execution_context.h:30-54)
+        self.exec_ctx = ExecutionContext()
         # per-operator timing (survey §5: the reference has no tracer —
         # this is the TPU build's addition): list of
         # (operator, depth, wall_seconds, output_rows) tuples, enabled
@@ -86,7 +91,16 @@ class Transaction:
         self._trace_depth = 0
 
     def get_table_data(self, table_name: str) -> Relation:
-        return self.tables.get_table_data(table_name)
+        rel = self.tables.get_table_data(table_name)
+        # every operator-layer table materialization is a scan for the
+        # query's stats (rows/bytes-scanned in QUERY_PROGRESS and
+        # QUERY_RESULT; the reference defines those wire fields but
+        # zeroes them, frames/query_progress.cc:63-70)
+        self.exec_ctx.count_scan(
+            rel.num_rows,
+            sum(c.data.nbytes + c.valid.nbytes for c in rel.columns),
+        )
+        return rel
 
     def trace_report(self) -> str:
         if not self.trace:

@@ -60,10 +60,15 @@ def _load_column(z, prefix: str) -> Column:
     )
 
 
-def partial_to_bytes(partial) -> bytes:
+def partial_to_bytes(partial, rows_scanned: int = 0) -> bytes:
     """Serialize a GroupByPartial — the analog of the reference's
-    (group key, accumulator savestate) rows (groupby.cc:438-472)."""
+    (group key, accumulator savestate) rows (groupby.cc:438-472).
+    `rows_scanned` rides along so the coordinator's QUERY_PROGRESS /
+    QUERY_RESULT stats aggregate true cluster-wide scan counts (the
+    reference defines these wire fields but zeroes them,
+    frames/query_progress.cc:63-70)."""
     arrays = {"n_groups": np.array(partial.n_groups)}
+    arrays["rows_scanned"] = np.array(int(rows_scanned))
     arrays["n_keys"] = np.array(len(partial.key_cols))
     for i, k in enumerate(partial.key_cols):
         _save_column(arrays, f"key{i}", k)
@@ -97,6 +102,7 @@ def partial_from_bytes(data: bytes, template_partial):
 
     z = np.load(io.BytesIO(data), allow_pickle=True)
     n_keys = int(z["n_keys"])
+    rows_scanned = int(z["rows_scanned"]) if "rows_scanned" in z else 0
     key_cols = [_load_column(z, f"key{i}") for i in range(n_keys)]
     entries = []
     for ei, tentry in enumerate(template_partial.entries):
@@ -123,7 +129,9 @@ def partial_from_bytes(data: bytes, template_partial):
                 else:
                     states.append((wkind, [_load_column(z, f"e{ei}_s{si}")]))
             entries.append(("agg", emit, states, calls))
-    return GroupByPartial(key_cols, int(z["n_groups"]), entries)
+    out = GroupByPartial(key_cols, int(z["n_groups"]), entries)
+    out.rows_scanned = rows_scanned
+    return out
 
 
 def relation_to_bytes(rel: Relation) -> bytes:
@@ -452,13 +460,23 @@ class ClusterTableProvider(TableProvider):
         import numpy as np
 
         plan_data = self._scan_all_plan(table_name)
+        ctx = getattr(self, "exec_ctx", None)
         jobs = self._partition_jobs(table_name, plan_data)
         if jobs is None:
-            shard_iter = (
-                self._remote_fetch(addr, plan_data)
-                for addr in self.workers
-            )
+            if ctx is not None:
+                ctx.add_tasks(len(self.workers))
+
+            def _worker_iter():
+                for addr in self.workers:
+                    out = self._remote_fetch(addr, plan_data)
+                    if ctx is not None:
+                        ctx.complete_task()
+                    yield out
+
+            shard_iter = _worker_iter()
         else:
+            if ctx is not None:
+                ctx.add_tasks(len(jobs))
             shard_iter = (
                 self._fetch_with_failover(job, self._remote_fetch)
                 for job in jobs
@@ -503,7 +521,10 @@ class ClusterTableProvider(TableProvider):
 
     def _fetch_with_failover(self, job, fetch, host_sem=None):
         """First live replica down the placement list; tolerate policy
-        returns None (reference: groupby.cc:511,622-628)."""
+        returns None (reference: groupby.cc:511,622-628). Each job is
+        one shard TASK for progress accounting (reference:
+        execution_context.h incrementNumTasksCompleted per shard)."""
+        ctx = getattr(self, "exec_ctx", None)
         entry, payload = job
         last_err = None
         for sid in entry.servers:
@@ -513,12 +534,18 @@ class ClusterTableProvider(TableProvider):
             try:
                 if host_sem is not None:
                     with host_sem(addr):
-                        return fetch(addr, payload)
-                return fetch(addr, payload)
+                        out = fetch(addr, payload)
+                else:
+                    out = fetch(addr, payload)
+                if ctx is not None:
+                    ctx.complete_task()
+                return out
             except (OSError, ConnectionError) as e:
                 last_err = e  # replica down: fail over to the next
         if self.failed_shard_policy == "tolerate":
             self.num_failed_shards += 1
+            if ctx is not None:
+                ctx.fail_task()
             return None
         raise SQLError(
             f"no live replica for partition {entry.partition_id}"
@@ -529,14 +556,24 @@ class ClusterTableProvider(TableProvider):
         """Run `fetch(addr, payload)` once per partition (keyrange-scoped
         plan, first live replica; failover down the placement list), or
         once per worker when the table has no partition metadata."""
+        ctx = getattr(self, "exec_ctx", None)
         jobs = self._partition_jobs(table_name, plan_data)
         if jobs is None:
+            if ctx is not None:
+                ctx.add_tasks(len(self.workers))
+
+            def one_worker(a):
+                out = fetch(a, plan_data)
+                if ctx is not None:
+                    ctx.complete_task()
+                return out
+
             with concurrent.futures.ThreadPoolExecutor(
                 max_workers=min(len(self.workers), MAX_CONCURRENT_SHARDS)
             ) as pool:
-                return list(
-                    pool.map(lambda a: fetch(a, plan_data), self.workers)
-                )
+                return list(pool.map(one_worker, self.workers))
+        if ctx is not None:
+            ctx.add_tasks(len(jobs))
 
         # per-host in-flight cap (reference: TCPAsyncClient's
         # max_concurrent_tasks_per_host, client_tcp.h:109-231)
@@ -630,11 +667,17 @@ class ClusterTableProvider(TableProvider):
         # emit exprs/agg calls (no data)
         template = _make_template_partial(node)
 
+        ctx = getattr(self, "exec_ctx", None)
+
         def fetch(addr, payload):
             raw = self.pool.call(
                 addr, lambda c: c.query_partialaggr(payload)
             )
-            return partial_from_bytes(raw, template)
+            partial = partial_from_bytes(raw, template)
+            if ctx is not None:
+                # cluster-wide scanned rows reported by each shard
+                ctx.count_scan(getattr(partial, "rows_scanned", 0))
+            return partial
 
         partials = self._per_partition(
             node.table.table_name, plan_data, fetch, scan_key="table"

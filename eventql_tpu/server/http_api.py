@@ -202,7 +202,20 @@ class EventQLServer:
             if path == "/api/v1/auth/info":
                 return self._json(h, 200, {"valid": True, "namespaces": []})
             if path == "/eventql/stats":
-                return self._json(h, 200, self.stats.as_dict())
+                out = self.stats.as_dict()
+                # the process-wide exported counter set (what statsd
+                # pushes): evqld.num_rows_scanned, device program
+                # cache, partitions, ...
+                from eventql_tpu.utils.stats import (
+                    StatsRepository,
+                    evqld_stats,
+                )
+
+                evqld_stats()  # ensure the counter set is registered
+                StatsRepository.get().for_each_stat(
+                    lambda st: out.__setitem__(st.path, st.stat.get())
+                )
+                return self._json(h, 200, out)
             if path == "/eventql" or path.startswith("/eventql/"):
                 return self._handle_status_page(h, path)
             self._text(h, 404, "not found")
@@ -278,6 +291,16 @@ class EventQLServer:
             f"Max FDs: {fd_soft} (soft) / {fd_hard} (hard)",
             f"Number of Tables: {len(self.table_service.list_tables())}",
         ] + [f"{k}: {v}" for k, v in sorted(s.items())]
+        # the process-wide exported counter set (evqld.num_rows_scanned,
+        # device program cache, partitions, ... — what statsd pushes)
+        from eventql_tpu.utils.stats import StatsRepository, evqld_stats
+
+        evqld_stats()  # ensure the counter set is registered
+        repo_lines = []
+        StatsRepository.get().for_each_stat(
+            lambda st: repo_lines.append(f"{st.path}: {st.stat.get()}")
+        )
+        lines += sorted(repo_lines)
         html = (
             style + menu + "<h1>eventql_tpu v0.1</h1><pre>"
             + "\n".join(lines) + "</pre>"

@@ -360,7 +360,8 @@ class NativeTCPServer:
         # inside query execution, ops/query.cc:68-71) — so streaming
         # sends cannot interleave with a heartbeat frame mid-write
         executing = threading.Event()
-        progress = {"done": 0, "total": 1, "t0": time.monotonic()}
+        progress = {"done": 0, "total": 1, "t0": time.monotonic(),
+                    "ctx": None}
         want_progress = bool(qflags & QUERY_SENDPROGRESS)
 
         def heartbeats():
@@ -378,19 +379,35 @@ class NativeTCPServer:
                         if not executing.is_set():
                             continue
                         if want_progress:
-                            # reference: QUERY_PROGRESS frames while the
-                            # query runs (ops/query.cc:91-126, frame
-                            # layout frames/query_progress.cc:63-70)
-                            permill = (
-                                1000 * progress["done"] // progress["total"]
-                            )
+                            # real per-query counters + shard-granular
+                            # progress (the reference defines these
+                            # fields but zeroes them, ops/query.cc:
+                            # 91-126, frames/query_progress.cc:63-70;
+                            # task counters from the ExecutionContext
+                            # analog, execution_context.h:30-54)
+                            ctx = progress["ctx"]
+                            snap = ctx.snapshot() if ctx else {}
+                            if snap.get("num_tasks"):
+                                permill = ctx.progress_permill()
+                            else:
+                                # statement-granular fallback
+                                permill = (
+                                    1000 * progress["done"]
+                                    // progress["total"]
+                                )
                             elapsed_ms = int(
                                 (time.monotonic() - progress["t0"]) * 1000
                             )
                             body = bytearray()
-                            body += write_varint(0)  # rows modified
-                            body += write_varint(0)  # rows scanned
-                            body += write_varint(0)  # bytes scanned
+                            body += write_varint(
+                                snap.get("rows_modified", 0)
+                            )
+                            body += write_varint(
+                                snap.get("rows_scanned", 0)
+                            )
+                            body += write_varint(
+                                snap.get("bytes_scanned", 0)
+                            )
                             body += write_varint(permill)
                             body += write_varint(elapsed_ms)
                             body += write_varint(0)  # eta
@@ -415,8 +432,13 @@ class NativeTCPServer:
                 else self.query_provider_factory()
             )
             txn = self.runtime.new_transaction(provider)
+            # cluster providers are per-request: hand them the query's
+            # ExecutionContext so shard fan-outs feed task/row counters
+            if hasattr(provider, "_per_partition"):
+                provider.exec_ctx = txn.exec_ctx
             plan = self.runtime.build_query_plan(txn, query.decode("utf-8"))
             progress["total"] = max(1, plan.num_queries)
+            progress["ctx"] = txn.exec_ctx
         except SQLError as e:
             done.set()
             hb.join()
@@ -463,8 +485,20 @@ class NativeTCPServer:
                 with send_lock:
                     pass
                 pending = i + 1 < num
+
+                def result_stats():
+                    snap = txn.exec_ctx.snapshot()
+                    return (
+                        snap["rows_modified"],
+                        snap["rows_scanned"],
+                        snap["bytes_scanned"],
+                        int((time.monotonic() - progress["t0"]) * 1000),
+                    )
+
                 try:
-                    self._stream_result(sock, result, pending, maxrows)
+                    self._stream_result(
+                        sock, result, pending, maxrows, result_stats
+                    )
                 except SQLError as e:
                     # lazy chunk execution failed mid-stream: the wire
                     # is at a frame boundary (errors surface between
@@ -494,21 +528,28 @@ class NativeTCPServer:
             done.set()
             hb.join()
 
-    def _result_header(self, result, qflags: int, nrows: int) -> bytearray:
+    def _result_header(
+        self, result, qflags: int, nrows: int, stats=None
+    ) -> bytearray:
         # every frame re-sends column names + stats (reference:
         # frames/query_result.cc:63-97 sets HASCOLNAMES|HASSTATS on
-        # each writeTo, not just the first)
+        # each writeTo, not just the first — though the reference
+        # hardcodes the four stats to zero; here they carry the
+        # query's real rows_modified/rows_scanned/bytes_scanned/
+        # runtime_ms from the ExecutionContext)
         body = bytearray()
         body += write_varint(qflags)
         body += write_varint(result.num_columns)
         body += write_varint(nrows)
-        for _ in range(4):  # stats: rows_modified/scanned, bytes, runtime
-            body += write_varint(0)
+        for v in stats if stats is not None else (0, 0, 0, 0):
+            body += write_varint(v)
         for c in result.columns:
             body += write_lenencstr(c.encode("utf-8"))
         return body
 
-    def _stream_result(self, sock, result, pending: bool, maxrows: int):
+    def _stream_result(
+        self, sock, result, pending: bool, maxrows: int, stats_fn=None
+    ):
         """Stream one statement's rows as flow-controlled QUERY_RESULT
         frames; returns True when the statement's final (COMPLETE)
         frame went out. A QUERY_DISCARD between pages abandons the
@@ -529,7 +570,10 @@ class NativeTCPServer:
             nrows += 1
             if nrows > maxrows or len(data) > MAX_FRAME_SIZE_SOFT:
                 body = self._result_header(
-                    result, QR_HASCOLNAMES | QR_HASSTATS, nrows
+                    result,
+                    QR_HASCOLNAMES | QR_HASSTATS,
+                    nrows,
+                    stats_fn() if stats_fn else None,
                 )
                 body += data
                 _send_frame(sock, OP_QUERY_RESULT, 0, bytes(body))
@@ -547,7 +591,9 @@ class NativeTCPServer:
         qflags = QR_HASCOLNAMES | QR_HASSTATS | QR_COMPLETE
         if pending:
             qflags |= QR_PENDINGSTMT
-        body = self._result_header(result, qflags, nrows)
+        body = self._result_header(
+            result, qflags, nrows, stats_fn() if stats_fn else None
+        )
         body += data
         # ENDOFREQUEST rides every statement-final frame (reference:
         # query_result.cc:91-97 — is_last_ sets it even with a pending
@@ -595,7 +641,7 @@ class NativeTCPServer:
                         return
             table = self.table_service.get_table_data(tname)
             partial = _exec_group_by_local(node, table)
-            body = partial_to_bytes(partial)
+            body = partial_to_bytes(partial, rows_scanned=table.num_rows)
             if cache_key is not None:
                 self.query_cache.store_blob(cache_key, body)
         except SQLError as e:
@@ -879,6 +925,9 @@ class NativeTCPClient:
             + authdata
         )
         _send_frame(self.sock, OP_HELLO, 0, payload)
+        # stats parsed from the newest QUERY_RESULT frame (reference
+        # field order, frames/query_result.cc:78-82)
+        self.last_result_stats = None
         opcode, _f, body = _recv_frame(self.sock)
         if opcode == OP_ERROR:
             msg, _ = read_lenencstr(body, 0)
@@ -940,8 +989,17 @@ class NativeTCPClient:
             ncols, pos = read_varint(body, pos)
             nrows, pos = read_varint(body, pos)
             if qrflags & QR_HASSTATS:
+                svals = []
                 for _ in range(4):
                     _v, pos = read_varint(body, pos)
+                    svals.append(_v)
+                # reference field order: frames/query_result.cc:78-82
+                self.last_result_stats = {
+                    "rows_modified": svals[0],
+                    "rows_scanned": svals[1],
+                    "bytes_scanned": svals[2],
+                    "runtime_ms": svals[3],
+                }
             if qrflags & QR_HASCOLNAMES:
                 cur_columns = []
                 for _ in range(ncols):

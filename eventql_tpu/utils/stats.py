@@ -168,6 +168,18 @@ class EvqldStats:
     cache_size: Counter = field(default_factory=Counter)
     num_queries: Counter = field(default_factory=Counter)
     num_inserts: Counter = field(default_factory=Counter)
+    # total rows scanned across all queries (reference defines the
+    # per-query wire fields but zeroes them; this is the process-wide
+    # aggregate surfaced at /eventql/stats)
+    num_rows_scanned: Counter = field(default_factory=Counter)
+    # device-route program cache (TPU build addition): builds counts
+    # unique key constructions, waits counts threads that blocked on
+    # another thread's in-flight build — under concurrency,
+    # builds == distinct keys proves single-flight (no duplicate
+    # compiles)
+    device_program_builds: Counter = field(default_factory=Counter)
+    device_program_hits: Counter = field(default_factory=Counter)
+    device_program_waits: Counter = field(default_factory=Counter)
 
 
 _evqld_stats: Optional[EvqldStats] = None
@@ -193,5 +205,18 @@ def evqld_stats() -> EvqldStats:
         )
         repo.export_stat(
             "evqld.num_inserts", s.num_inserts, ExportMode.EXPORT_DELTA
+        )
+        repo.export_stat(
+            "evqld.num_rows_scanned", s.num_rows_scanned,
+            ExportMode.EXPORT_DELTA,
+        )
+        repo.export_stat(
+            "evqld.device_program_builds", s.device_program_builds
+        )
+        repo.export_stat(
+            "evqld.device_program_hits", s.device_program_hits
+        )
+        repo.export_stat(
+            "evqld.device_program_waits", s.device_program_waits
         )
     return _evqld_stats

@@ -250,3 +250,47 @@ def test_partialaggr_cache_not_reused_across_restarts(tmp_path):
         assert svc.table_version("t").split("-")[0] != old_epoch
     finally:
         ts_mod._BOOT_EPOCH = old_epoch
+
+
+def test_cluster_exec_stats_rows_scanned(cluster):
+    """Shard partials carry their worker's rows_scanned back to the
+    coordinator's ExecutionContext, and each shard completes one task
+    (VERDICT round-3 #8; reference defines the wire fields but zeroes
+    them, frames/query_progress.cc:63-70)."""
+    rt = Runtime()
+    txn = rt.new_transaction(cluster)
+    cluster.exec_ctx = txn.exec_ctx
+    plan = rt.build_query_plan(
+        txn, "select dim, sum(v) from ev group by dim;"
+    )
+    plan.execute(0)
+    snap = txn.exec_ctx.snapshot()
+    # both workers scanned their full table: 3 + 2 rows
+    assert snap["rows_scanned"] == 5, snap
+    assert snap["num_tasks"] == 2 and snap["num_tasks_completed"] == 2
+    assert txn.exec_ctx.progress_permill() == 1000
+
+
+def test_native_client_result_stats(cluster):
+    """QUERY_RESULT stats varints carry real values; the python client
+    surfaces them as last_result_stats (reference field order,
+    frames/query_result.cc:78-82)."""
+    from eventql_tpu.parallel.partitioned import _concat_columns  # noqa
+
+    # single-node: local TableService over the wire
+    svc = TableService()
+    server = NativeTCPServer(svc, port=0).start()
+    try:
+        c = NativeTCPClient("127.0.0.1", server.port)
+        c.query(SCHEMA)
+        c.insert_json(
+            "ev",
+            ['{"t": %d, "dim": "a", "v": 1, "x": 0.5}' % i for i in range(7)],
+        )
+        c.query("select dim, sum(v) from ev group by dim;")
+        stats = c.last_result_stats
+        assert stats["rows_scanned"] == 7, stats
+        assert stats["bytes_scanned"] > 0
+        c.close()
+    finally:
+        server.stop()
