@@ -45,6 +45,11 @@ _DEVICE_AGGS = {"sum", "count", "count_distinct", "min", "max", "mean"}
 
 _PROGRAM_CACHE: "OrderedDict" = None  # type: ignore[assignment]
 _PROGRAM_CACHE_CAP = 64
+# guards _PROGRAM_CACHE under the thread-per-connection server
+# (reference: db/database.cc:555-573 — concurrent sessions are the
+# normal case); build single-flight keeps two simultaneous clients
+# from duplicating a multi-minute Pallas compile
+_PROGRAM_LOCK = None  # created lazily to keep import cheap
 
 
 def _plan_fingerprint(obj, _depth=0) -> str:
@@ -120,26 +125,96 @@ def _ensure_compile_cache():
         pass  # cache is an optimization; never fail a query over it
 
 
+class _ProgramEntry:
+    """One program slot: the builder thread fills `fn` (or `err`) and
+    sets `ready`; waiters block on `ready` instead of re-building. The
+    first INVOCATION (where jit actually traces + compiles) is also
+    serialized per entry, so concurrent first calls can't race JAX's
+    dispatch into duplicate XLA compiles; once the first call returns,
+    calls go straight through."""
+
+    __slots__ = ("ready", "fn", "err", "_first_done", "_first_lock")
+
+    def __init__(self):
+        import threading
+
+        self.ready = threading.Event()
+        self.fn = None
+        self.err = None
+        self._first_done = threading.Event()
+        self._first_lock = threading.Lock()
+
+    def __call__(self, *args, **kwargs):
+        if not self._first_done.is_set():
+            with self._first_lock:
+                if not self._first_done.is_set():
+                    try:
+                        return self.fn(*args, **kwargs)
+                    finally:
+                        self._first_done.set()
+        return self.fn(*args, **kwargs)
+
+
+def _program_lock():
+    global _PROGRAM_LOCK
+    if _PROGRAM_LOCK is None:
+        import threading
+
+        # benign construction race: module import lock makes this
+        # effectively once; worst case two locks exist momentarily
+        # before one wins the global slot
+        _PROGRAM_LOCK = threading.Lock()
+    return _PROGRAM_LOCK
+
+
 def _cached_jit(key, make_program):
-    """Jitted program for `key`, building (and jitting) at most once;
-    small LRU so long-lived servers don't accumulate dead plans."""
+    """Jitted program for `key`, building (and compiling) at most once
+    across threads (single-flight); small LRU so long-lived servers
+    don't accumulate dead plans."""
     global _PROGRAM_CACHE
     import jax
 
     from collections import OrderedDict
 
+    from eventql_tpu.utils.stats import evqld_stats
+
     _ensure_compile_cache()
-    if _PROGRAM_CACHE is None:
-        _PROGRAM_CACHE = OrderedDict()
-    fn = _PROGRAM_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(make_program())
-        _PROGRAM_CACHE[key] = fn
-        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_CAP:
-            _PROGRAM_CACHE.popitem(last=False)
+    lock = _program_lock()
+    with lock:
+        if _PROGRAM_CACHE is None:
+            _PROGRAM_CACHE = OrderedDict()
+        entry = _PROGRAM_CACHE.get(key)
+        if entry is None:
+            entry = _ProgramEntry()
+            _PROGRAM_CACHE[key] = entry
+            while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_CAP:
+                _PROGRAM_CACHE.popitem(last=False)
+            builder = True
+        else:
+            _PROGRAM_CACHE.move_to_end(key)
+            builder = False
+    if builder:
+        evqld_stats().device_program_builds.incr()
+        try:
+            entry.fn = jax.jit(make_program())
+        except BaseException as e:
+            entry.err = e
+            with lock:
+                if _PROGRAM_CACHE.get(key) is entry:
+                    del _PROGRAM_CACHE[key]
+            raise
+        finally:
+            entry.ready.set()
+        return entry
+    if entry.ready.is_set():
+        evqld_stats().device_program_hits.incr()
     else:
-        _PROGRAM_CACHE.move_to_end(key)
-    return fn
+        evqld_stats().device_program_waits.incr()
+        entry.ready.wait()
+    if entry.err is not None:
+        # the build failed after we started waiting: retry ourselves
+        return _cached_jit(key, make_program)
+    return entry
 
 
 def device_plan_eligible(node) -> bool:
@@ -230,6 +305,14 @@ def _narrow_np(c: Column) -> "np.ndarray":
     cached = getattr(c, "_narrow_cache", None)
     if cached is not None:
         return cached
+    with _column_cache_lock():
+        cached = getattr(c, "_narrow_cache", None)
+        if cached is not None:
+            return cached
+        return _narrow_np_build(c)
+
+
+def _narrow_np_build(c: Column):
     data = c.data
     out = data
     if data.size:
@@ -278,13 +361,34 @@ def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
         c = by_name[cname]
         dev = getattr(c, "_device_cache", None)
         if dev is None:
-            dev = (jnp.asarray(_narrow_np(c)), jnp.asarray(c.valid))
-            try:
-                c._device_cache = dev
-            except AttributeError:
-                pass
+            # double-checked under the column-cache lock: two
+            # concurrent sessions must not duplicate a multi-second
+            # host→device transfer of the same column (and the
+            # transfer is hardware-serialized anyway)
+            with _column_cache_lock():
+                dev = getattr(c, "_device_cache", None)
+                if dev is None:
+                    dev = (jnp.asarray(_narrow_np(c)), jnp.asarray(c.valid))
+                    try:
+                        c._device_cache = dev
+                    except AttributeError:
+                        pass
         out.append(jax_expr.DeviceCol(c.stype, dev[0], dev[1]))
     return out
+
+
+_COLUMN_CACHE_LOCK = None
+
+
+def _column_cache_lock():
+    global _COLUMN_CACHE_LOCK
+    if _COLUMN_CACHE_LOCK is None:
+        import threading
+
+        # reentrant: _to_device_cols holds it while calling _narrow_np,
+        # which takes it again on a narrow-cache miss
+        _COLUMN_CACHE_LOCK = threading.RLock()
+    return _COLUMN_CACHE_LOCK
 
 
 def _pad_buckets(K: int) -> int:
@@ -316,6 +420,7 @@ def try_execute_pallas_string_groupby(
     Pallas MXU one-hot aggregation (kernels/pallas_groupby). Returns
     None when the shape doesn't match (caller falls through to the
     general device path / host engine)."""
+    import jax
     import jax.numpy as jnp
 
     from eventql_tpu.exec.operators import _count_subject, _strip_aggregates
@@ -396,38 +501,13 @@ def try_execute_pallas_string_groupby(
         return None
 
     in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
-
-    # scan output columns on device (numeric only needed for agg args)
-    scan_cols = []
-    for sl in scan.select_list:
-        if sl.expr.return_type() == SType.STRING:
-            by_ref = (
-                isinstance(sl.expr, ColumnReferenceNode)
-                and sl.expr.column_index is not None
-            )
-            scan_cols.append(
-                jax_expr.compile_expr(sl.expr, in_cols, n) if by_ref else None
-            )
-        else:
-            scan_cols.append(jax_expr.compile_expr(sl.expr, in_cols, n))
-
-    if scan.where_expr is not None:
-        mask = jax_expr.compile_expr(scan.where_expr, in_cols, n).data
-    else:
-        mask = jnp.ones((n,), jnp.bool_)
-
-    # bucket = dictionary id; NULL keys get their own bucket K (NULL and
-    # b"" group separately — the tag participates in the reference's
-    # group key, groupby.cc:129-135 / SURVEY appendix A.8)
-    key_dev = scan_cols[g.column_index]
-    gid = jnp.where(
-        key_dev.valid, key_dev.data.astype(jnp.int32), jnp.int32(K)
-    )
+    stypes = [c.stype for c in in_cols]
     num_buckets = K + 1
 
-    # per aggregate: its value array + kind
-    vals, kinds, layout = [], [], []
+    # static plan metadata for the host-side emit (independent of data)
+    layout = []
     entries_aggs_rtypes = {}
+    kinds_static = []
     for tag, emit, aggs in entries:
         if tag != "agg":
             layout.append(("key", None, None))
@@ -435,80 +515,141 @@ def try_execute_pallas_string_groupby(
         idxs = []
         for a in aggs:
             kind = a.sfunction.aggregate.kind
-            if kind == "count":
-                # count(x) counts every accumulated row, NULL or not
-                # (reference: aggregate.cc:35-38 count_acc pops the
-                # bare tag and increments unconditionally); device
-                # tables are flat, so there is no occurrence gating
-                vals.append(jnp.zeros((n,), jnp.uint64))
-                kinds.append("count")
-            else:
-                c = jax_expr.compile_expr(a.args[0], scan_cols, n)
-                vals.append(c.data.astype(jnp.uint64))
-                kinds.append("sum")
-            idxs.append(len(vals) - 1)
+            kinds_static.append("count" if kind == "count" else "sum")
+            idxs.append(len(kinds_static) - 1)
             entries_aggs_rtypes[(id(emit), len(idxs) - 1)] = (
                 a.sfunction.return_type
             )
         layout.append(("agg", emit, idxs))
+    if not kinds_static:
+        kinds_static = ["count"]
 
-    if not vals:
-        vals = [jnp.zeros((n,), jnp.uint64)]
-        kinds = ["count"]
+    # column-statistics hint: the physically-narrowed device dtype of
+    # the summed source column statically bounds the value width (the
+    # narrowing pass already consulted the column's min/max), picking
+    # the kernel's limb count with no per-query host work
+    value_bits = 64
+    for (tag, emit, aggs) in entries:
+        if tag != "agg":
+            continue
+        for a in aggs:
+            if a.sfunction.aggregate.kind != "sum":
+                continue
+            arg = a.args[0]
+            if (
+                isinstance(arg, ColumnReferenceNode)
+                and arg.column_index is not None
+            ):
+                src_e = scan.select_list[arg.column_index].expr
+                if (
+                    isinstance(src_e, ColumnReferenceNode)
+                    and src_e.column_index is not None
+                ):
+                    dc = in_cols[src_e.column_index]
+                    if dc.stype in (SType.UINT64, SType.TIMESTAMP64):
+                        value_bits = dc.data.dtype.itemsize * 8
+    value_bits = -(-value_bits // 8) * 8
+    # pad the static dimensions to coarse grids so distinct queries
+    # and table sizes share compiled kernel variants
+    Kp = _pad_buckets(num_buckets)
+    distinct_sums = sum(1 for k in kinds_static if k == "sum")
 
-    # the pallas wrapper handles one sum; multiple distinct sums take
-    # the XLA one-hot kernel path (same contract)
-    distinct_sums = sum(1 for k in kinds if k == "sum")
-    if distinct_sums <= 1:
-        # column-statistics hint: a static bound on the summed value's
-        # width picks the kernel's limb count (the reference's planner
-        # reads column stats; here the host column's max is in reach)
-        value_bits = 64
-        for (tag, emit, aggs) in entries:
+    def program(col_data, col_valid, n_real):
+        # ONE cached jitted program for the whole route: XLA fuses the
+        # mask/gid/value preparation into single producer passes and
+        # the serving path pays one dispatch instead of one per eager
+        # op (each a relay round trip)
+        in_cols_l = [
+            jax_expr.DeviceCol(st, d, v)
+            for st, d, v in zip(stypes, col_data, col_valid)
+        ]
+        nn = col_data[0].shape[0] if col_data else n
+        scan_cols_l = []
+        for sl in scan.select_list:
+            if sl.expr.return_type() == SType.STRING:
+                by_ref = (
+                    isinstance(sl.expr, ColumnReferenceNode)
+                    and sl.expr.column_index is not None
+                )
+                scan_cols_l.append(
+                    jax_expr.compile_expr(sl.expr, in_cols_l, nn)
+                    if by_ref
+                    else None
+                )
+            else:
+                scan_cols_l.append(
+                    jax_expr.compile_expr(sl.expr, in_cols_l, nn)
+                )
+        if scan.where_expr is not None:
+            mask = jax_expr.compile_expr(
+                scan.where_expr, in_cols_l, nn
+            ).data
+        else:
+            mask = jnp.ones((nn,), jnp.bool_)
+        # rows arrive padded to a coarse bucket; mask the pad out
+        mask = mask & (jnp.arange(nn, dtype=jnp.int32) < n_real)
+
+        # bucket = dictionary id; NULL keys get their own bucket K
+        # (NULL and b"" group separately — the tag participates in the
+        # reference's group key, groupby.cc:129-135 / SURVEY A.8)
+        key_dev = scan_cols_l[g.column_index]
+        gid = jnp.where(
+            key_dev.valid, key_dev.data.astype(jnp.int32), jnp.int32(K)
+        )
+
+        vals = []
+        for tag, emit, aggs in entries:
             if tag != "agg":
                 continue
             for a in aggs:
-                if a.sfunction.aggregate.kind != "sum":
-                    continue
-                arg = a.args[0]
-                if (
-                    isinstance(arg, ColumnReferenceNode)
-                    and arg.column_index is not None
-                ):
-                    src = scan.select_list[arg.column_index].expr
-                    if (
-                        isinstance(src, ColumnReferenceNode)
-                        and src.column_index is not None
-                    ):
-                        hcol = name_to_col[
-                            scan.input_columns[src.column_index][0]
-                        ]
-                        if hcol.stype in (SType.UINT64, SType.TIMESTAMP64):
-                            m = int(hcol.data.max()) if n else 0
-                            value_bits = max(8, m.bit_length() + 1)
-        # pad the static dimensions to coarse grids so distinct queries
-        # and table sizes share compiled kernel variants
-        value_bits = -(-value_bits // 8) * 8
-        Kp = _pad_buckets(num_buckets)
-        n_p = _pad_rows(n)
-        if n_p != n:
-            mask = jnp.pad(mask, (0, n_p - n))
-            gid = jnp.pad(gid, (0, n_p - n))
-            vals = tuple(jnp.pad(v, (0, n_p - n)) for v in vals)
-        counts, outs = pallas_grouped_aggregate(
-            mask, gid, tuple(vals), tuple(kinds), Kp, value_bits=value_bits
-        )
-        counts = counts[:num_buckets]
-        outs = tuple(o[:num_buckets] for o in outs)
-    else:
-        from eventql_tpu.kernels.onehot_agg import onehot_grouped_aggregate
+                if a.sfunction.aggregate.kind == "count":
+                    # count(x) counts every accumulated row, NULL or
+                    # not (reference: aggregate.cc:35-38); device
+                    # tables are flat, so no occurrence gating
+                    vals.append(jnp.zeros((nn,), jnp.uint64))
+                else:
+                    c = jax_expr.compile_expr(a.args[0], scan_cols_l, nn)
+                    vals.append(c.data.astype(jnp.uint64))
+        if not vals:
+            vals = [jnp.zeros((nn,), jnp.uint64)]
 
-        counts, outs = onehot_grouped_aggregate(
-            mask, gid, tuple(vals), tuple(kinds), num_buckets
-        )
+        if distinct_sums <= 1:
+            counts, outs = pallas_grouped_aggregate(
+                mask, gid, tuple(vals), tuple(kinds_static), Kp,
+                value_bits=value_bits,
+            )
+            counts = counts[:num_buckets]
+            outs = tuple(o[:num_buckets] for o in outs)
+        else:
+            # multiple distinct sums take the XLA one-hot kernel
+            from eventql_tpu.kernels.onehot_agg import (
+                onehot_grouped_aggregate,
+            )
 
-    counts_h = np.asarray(counts)
-    outs_h = [np.asarray(o) for o in outs]
+            counts, outs = onehot_grouped_aggregate(
+                mask, gid, tuple(vals), tuple(kinds_static), num_buckets
+            )
+        return counts, outs
+
+    key = (
+        "string_groupby",
+        _plan_fingerprint(node),
+        tuple(int(st) for st in stypes),
+        K,
+        value_bits,
+        n if not in_cols else None,
+    )
+    fn = _cached_jit(key, lambda: program)
+    n_p = _pad_rows(n) if in_cols else n
+    col_data, col_valid = _padded_device_arrays(
+        table, scan.input_columns, in_cols, n, n_p
+    )
+    counts, outs = fn(
+        tuple(col_data), tuple(col_valid), _n_scalar(n)
+    )
+
+    # ONE batched transfer (each np.asarray costs a relay round trip)
+    counts_h, outs_h = _batched_device_get((counts, list(outs)))
     occupied = np.nonzero(counts_h > 0)[0]
     ng = len(occupied)
 
@@ -582,10 +723,12 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
 
     stypes = [c.stype for c in in_cols]
 
-    def program(col_data, col_valid):
+    def program(col_data, col_valid, n_real):
         # the device arrays arrive as ARGUMENTS so the jitted program
         # is reusable across executions (the _cached_jit contract);
-        # everything else the body reads is covered by the fingerprint
+        # everything else the body reads is covered by the fingerprint.
+        # Rows arrive padded to a coarse bucket (_pad_rows) so table
+        # growth shares compiled programs; n_real masks the pad out.
         in_cols_l = [
             jax_expr.DeviceCol(st, d, v)
             for st, d, v in zip(stypes, col_data, col_valid)
@@ -600,6 +743,7 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
             mask = jax_expr.compile_expr(scan.where_expr, in_cols_l, nn).data
         else:
             mask = jnp.ones((nn,), jnp.bool_)
+        mask = mask & (jnp.arange(nn, dtype=jnp.int32) < n_real)
 
         key_cols = [
             jax_expr.compile_expr(g, scan_cols, nn) for g in node.group_exprs
@@ -686,26 +830,54 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
         n if not in_cols else None,
     )
     fn = _cached_jit(key, lambda: program)
+    # pad rows to a coarse static bucket so table growth (LSM serving)
+    # shares compiled programs; the program masks the pad out via
+    # n_real (the string route does the same, _pad_rows). The padded
+    # transfers cache on the host Columns like _device_cache.
+    n_p = _pad_rows(n) if in_cols else n
+    col_data, col_valid = _padded_device_arrays(
+        table, scan.input_columns, in_cols, n, n_p
+    )
     gk, aggs_out, first_idx, ng, scan_data, scan_valid = fn(
-        tuple(c.data for c in in_cols), tuple(c.valid for c in in_cols)
+        tuple(col_data), tuple(col_valid), _n_scalar(n)
     )
     ng = int(ng)
 
+    # device-side compaction before ANY array readback: the program's
+    # outputs are n-sized (static shapes under jit), but only ng rows
+    # are real — transferring n-sized arrays makes device→host
+    # bandwidth the whole route's bottleneck (through the axon relay a
+    # 4M-row readback alone is >1 s). One cached program slices the
+    # aggregates/first-index to a power-of-two pad of ng and gathers
+    # the per-group first rows of the scan columns, so the transfer is
+    # O(groups), not O(rows).
+    need_rows = any(kind == "first" for (kind, _e, _b) in entries)
+    (aggs_small, first_small, rows_data, rows_valid) = (
+        _device_compact_groups(
+            aggs_out, first_idx, scan_data, scan_valid, n, ng, need_rows
+        )
+    )
+
+    # ONE batched transfer for everything the host needs (each
+    # np.asarray costs a relay round trip)
+    aggs_h, first_raw, rows_d_h, rows_v_h = _batched_device_get(
+        (list(aggs_small), first_small, list(rows_data), list(rows_valid))
+    )
+
     # host-side: build output columns
     agg_cols: List[Column] = []
-    for a, out in zip(all_aggs, aggs_out):
+    for a, arr in zip(all_aggs, aggs_h):
         rtype = a.sfunction.return_type
-        arr = np.asarray(out[:ng])
+        arr = arr[:ng]
         from eventql_tpu.exec.relation import dtype_for
 
         agg_cols.append(
             Column(rtype, arr.astype(dtype_for(rtype)), np.ones(ng, bool))
         )
 
-    first_idx_h = np.asarray(first_idx[:ng])
+    first_idx_h = first_raw[:ng]
     # reorder groups by first occurrence (host-engine group order)
     order = np.argsort(first_idx_h, kind="stable")
-    first_sorted = first_idx_h[order]
     agg_cols = [c.gather(order) for c in agg_cols]
 
     from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
@@ -713,29 +885,146 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
     out_cols: List[Column] = []
     name_to_col = dict(zip(table.names, table.columns))
     scan_host_cols = []
-    for sl, d, v in zip(scan.select_list, scan_data, scan_valid):
-        rtype = sl.expr.return_type()
-        dictionary = None
-        if rtype == SType.STRING:
-            # device strings are dictionary ids (eligibility restricts
-            # them to plain column refs); reattach the input column's
-            # dictionary for the host-side emit
-            src = scan.input_columns[sl.expr.column_index][0]
-            dictionary = name_to_col[src].dictionary
-        scan_host_cols.append(
-            Column(rtype, np.asarray(d), np.asarray(v), dictionary)
-        )
+    if need_rows:
+        for sl, d, v in zip(scan.select_list, rows_d_h, rows_v_h):
+            rtype = sl.expr.return_type()
+            dictionary = None
+            if rtype == SType.STRING:
+                # device strings are dictionary ids (eligibility
+                # restricts them to plain column refs); reattach the
+                # input column's dictionary for the host-side emit
+                src = scan.input_columns[sl.expr.column_index][0]
+                dictionary = name_to_col[src].dictionary
+            scan_host_cols.append(
+                Column(rtype, d[:ng], v[:ng], dictionary)
+            )
     for (kind, expr, base) in entries:
         if kind == "agg":
             ctx = EvalContext(agg_cols[base:], ng)
             out_cols.append(evaluate_vector(expr, ctx))
         else:
-            ctx = EvalContext(scan_host_cols, len(scan_host_cols[0].data) if scan_host_cols else 0)
-            full = evaluate_vector(expr, ctx)
-            out_cols.append(full.gather(first_sorted))
+            # scan_host_cols already hold each group's FIRST row
+            ctx = EvalContext(scan_host_cols, ng)
+            out_cols.append(evaluate_vector(expr, ctx).gather(order))
 
     names = [sl.column_name() for sl in node.select_list]
     return Relation(names, out_cols, ng)
+
+
+def _batched_device_get(tree):
+    """device→host fetch with the transfers STARTED asynchronously for
+    every leaf before any blocking wait — jax.device_get converts
+    leaves one at a time, which over the relay serializes one
+    round-trip latency PER ARRAY (measured ~13 ms each); prefetching
+    overlaps them into ~one."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for x in leaves:
+        try:
+            x.copy_to_host_async()
+        except AttributeError:
+            pass
+    return jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(x) for x in leaves]
+    )
+
+
+_N_SCALAR_CACHE = {}
+
+
+def _n_scalar(n: int):
+    """Cached device scalar for the n_real program argument (a fresh
+    jnp.int32 per query is a host->device put — one relay round trip)."""
+    import jax.numpy as jnp
+
+    v = _N_SCALAR_CACHE.get(n)
+    if v is None:
+        if len(_N_SCALAR_CACHE) > 4096:
+            _N_SCALAR_CACHE.clear()
+        v = jnp.int32(n)
+        _N_SCALAR_CACHE[n] = v
+    return v
+
+
+def _padded_device_arrays(table, input_columns, in_cols, n, n_p):
+    """Device arrays padded to n_p rows, cached per host Column (same
+    invalidation as _device_cache: columns rebuild on mutation). The
+    pad keeps compiled programs shared across table sizes without an
+    extra per-query device pad op."""
+    import jax.numpy as jnp
+
+    if n_p == n:
+        return [c.data for c in in_cols], [c.valid for c in in_cols]
+    by_name = dict(zip(table.names, table.columns))
+    data_out, valid_out = [], []
+    for (cname, _t), dc in zip(input_columns, in_cols):
+        host_c = by_name[cname]
+        cached = getattr(host_c, "_device_cache_pad", None)
+        if cached is None or cached[0] != n_p:
+            with _column_cache_lock():
+                cached = getattr(host_c, "_device_cache_pad", None)
+                if cached is None or cached[0] != n_p:
+                    cached = (
+                        n_p,
+                        jnp.pad(dc.data, (0, n_p - n)),
+                        jnp.pad(dc.valid, (0, n_p - n)),
+                    )
+                    try:
+                        host_c._device_cache_pad = cached
+                    except AttributeError:
+                        pass
+        data_out.append(cached[1])
+        valid_out.append(cached[2])
+    return data_out, valid_out
+
+
+def _device_compact_groups(
+    aggs_out, first_idx, scan_data, scan_valid, n, ng, need_rows
+):
+    """One cached device call compacting a group-aggregate program's
+    n-sized outputs to a power-of-two pad of ng rows before transfer;
+    when first-row entries exist, also gathers each group's first scan
+    row (an O(groups) gather — cheap — instead of an O(rows)
+    readback)."""
+    import jax.numpy as jnp
+
+    n_in = int(first_idx.shape[0])  # may exceed n (row padding)
+    ngp = max(16, 1 << max(0, ng - 1).bit_length())
+    ngp = min(ngp, max(n_in, 1))
+    key = (
+        "compact_groups",
+        ngp,
+        bool(need_rows),
+        n,
+        n_in,
+        tuple(str(a.dtype) for a in aggs_out),
+        tuple(str(d.dtype) for d in scan_data) if need_rows else (),
+    )
+
+    def make():
+        def prog(aggs, fidx, sdata, svalid):
+            f = fidx[:ngp]
+            outs = tuple(a[:ngp] for a in aggs)
+            if need_rows:
+                fc = jnp.clip(f, 0, max(n - 1, 0))
+                rows_d = tuple(d[fc] for d in sdata)
+                rows_v = tuple(v[fc] for v in svalid)
+            else:
+                rows_d = ()
+                rows_v = ()
+            return outs, f, rows_d, rows_v
+
+        return prog
+
+    fn = _cached_jit(key, make)
+    outs, f, rows_d, rows_v = fn(
+        tuple(aggs_out),
+        first_idx,
+        tuple(scan_data) if need_rows else (),
+        tuple(scan_valid) if need_rows else (),
+    )
+    return outs, f, rows_d, rows_v
 
 
 # -- SELECT ... ORDER BY ... LIMIT on device (top-k scan) ---------------
@@ -1545,19 +1834,37 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
     )
     ng = int(ng)
 
+    # single-call device compaction to O(groups) before readback (see
+    # _device_compact_groups — per-array eager slices cost one relay
+    # round trip each)
+    smalls, first_small, _rd, _rv = _device_compact_groups(
+        tuple(aggs_out) + (gk,),
+        first_base,
+        (),
+        (),
+        int(first_base.shape[0]),
+        ng,
+        False,
+    )
+    gk_small = smalls[-1]
+    aggs_small = smalls[:-1]
+
     # present buckets in first-surviving-pair order (base-row-major,
     # like the reference's probe loop)
     from eventql_tpu.exec.relation import dtype_for
     from eventql_tpu.exec.vector_eval import EvalContext, evaluate_vector
 
-    first_h = np.asarray(first_base[:ng])
+    first_h_raw, gk_h, aggs_h = _batched_device_get(
+        (first_small, gk_small, list(aggs_small))
+    )
+    first_h = first_h_raw[:ng]
     order = np.argsort(first_h, kind="stable")
-    buckets = np.asarray(gk[:ng]).astype(np.int64)[order]
+    buckets = gk_h[:ng].astype(np.int64)[order]
 
     agg_cols: List[Column] = []
-    for (a, _kind, _subj), out in zip(all_aggs, aggs_out):
+    for (a, _kind, _subj), out in zip(all_aggs, aggs_h):
         rtype = a.sfunction.return_type
-        arr = np.asarray(out[:ng])[order]
+        arr = out[:ng][order]
         agg_cols.append(
             Column(rtype, arr.astype(dtype_for(rtype)), np.ones(ng, bool))
         )

@@ -125,6 +125,41 @@ class Column:
         # reference: sql_tostring (sql/svalue.cc:592-660)
         return self.value_at(i).to_string()
 
+    def format_all(self) -> List[str]:
+        """Whole-column sql_tostring — byte-identical to per-row
+        format_value but vectorized (result materialization is on the
+        serving hot path; per-cell SValue construction costs ~1 µs)."""
+        from eventql_tpu.core.types import format_timestamp
+
+        n = len(self.data)
+        if self.stype == SType.NIL:
+            return ["NULL"] * n
+        valid = self.valid
+        if self.stype == SType.STRING:
+            strs = self.dictionary[self.data]
+            return [
+                s.decode("utf-8", errors="surrogateescape")
+                if v
+                else "NULL"
+                for s, v in zip(strs, valid)
+            ]
+        if self.stype in (SType.UINT64, SType.INT64):
+            out = self.data.astype("U21")
+        elif self.stype == SType.FLOAT64:
+            out = np.char.mod("%f", self.data)
+        elif self.stype == SType.BOOL:
+            out = np.where(self.data, "true", "false")
+        elif self.stype == SType.TIMESTAMP64:
+            return [
+                format_timestamp(int(t)) if v else "NULL"
+                for t, v in zip(self.data, valid)
+            ]
+        else:
+            raise RuntimeError_("invalid column type")
+        if not valid.all():
+            out = np.where(valid, out, "NULL")
+        return out.tolist()
+
 
 @dataclass
 class Relation:

@@ -16,9 +16,12 @@ class ResultList:
     def from_relation(result_columns: List[str], rel: Relation) -> "ResultList":
         ncols = len(result_columns)
         cols = rel.columns[:ncols]
-        rows = []
-        for i in range(rel.num_rows):
-            rows.append([c.format_value(i) for c in cols])
+        # whole-column formatting (vectorized sql_tostring), then a
+        # zip-transpose into rows
+        formatted = [c.format_all() for c in cols]
+        rows = [list(r) for r in zip(*formatted)]
+        if not cols:
+            rows = [[] for _ in range(rel.num_rows)]
         return ResultList(list(result_columns), rows)
 
     @property

@@ -76,11 +76,16 @@ def stream_node(node, txn) -> Iterator[Relation]:
     """Execute `node` as a generator of Relation chunks; concatenating
     the chunks equals execute_node(node, txn) exactly."""
     if isinstance(node, qn.SequentialScanNode):
-        from eventql_tpu.exec.operators import _exec_seqscan_relation
+        from eventql_tpu.exec.operators import (
+            _count_scan,
+            _exec_seqscan_relation,
+            _scan_bytes,
+        )
 
         for chunk in txn.tables.get_table_chunks(
             node.table_name, STREAM_CHUNK_ROWS
         ):
+            _count_scan(txn, chunk.num_rows, _scan_bytes(node, chunk))
             out = _exec_seqscan_relation(node, chunk)
             if out.num_rows:
                 yield out
@@ -160,5 +165,6 @@ class StreamingResultList:
         ncols = len(self.columns)
         for rel in self._chunks:
             cols = rel.columns[:ncols]
-            for i in range(rel.num_rows):
-                yield [c.format_value(i) for c in cols]
+            formatted = [c.format_all() for c in cols]
+            for r in zip(*formatted):
+                yield list(r)

@@ -214,6 +214,34 @@ def direct_grouped_aggregate(
     return occupied, tuple(outs)
 
 
+def _seg_scan(starts, vals, op):
+    """Inclusive SEGMENTED scan over contiguous (sorted) segments:
+    out[i] = op-fold of vals over [segment_start(i) .. i]. The
+    (start-flag, value) combine is associative, so this lowers to
+    jax.lax.associative_scan — log2(n) full-width vector passes. The
+    scatter-free replacement for jax.ops.segment_*: XLA scatter
+    serializes on TPU (~0.005 Grows/s measured, PERF.md), which made
+    the segment-op formulation the whole route's bottleneck."""
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, op(av, bv))
+
+    _f, out = jax.lax.associative_scan(combine, (starts, vals))
+    return out
+
+
+def _op_identity(dtype, kind):
+    if kind == "min":
+        if jnp.issubdtype(dtype, jnp.floating):
+            return jnp.array(jnp.inf, dtype)
+        return jnp.array(jnp.iinfo(dtype).max, dtype)
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(-jnp.inf, dtype)
+    return jnp.array(jnp.iinfo(dtype).min, dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("agg_kinds",))
 def masked_grouped_aggregate(
     mask: jax.Array,
@@ -225,64 +253,125 @@ def masked_grouped_aggregate(
     routed to a sentinel key group that sorts last and is excluded from
     the group count — filter + aggregate in one device program, no
     host-side compaction (the reference evaluates the predicate vector
-    then re-scans: sql/runtime/vm.cc:231-272)."""
+    then re-scans: sql/runtime/vm.cc:231-272).
+
+    Scatter-free formulation (TPU has no per-lane scatter; XLA scatter
+    serializes at ~0.005 Grows/s): ONE multi-payload key sort carries
+    the mask/row-index/original-key/value streams (payload permute
+    beats per-array gather, PERF.md), per-group totals come from
+    inclusive segmented scans (associative_scan, log2 n passes), and a
+    single stable 1-bit partition sort compacts each group's
+    end-of-segment row — where every scan holds its group's total —
+    down to slot gid. ~50x the segment-op formulation at 4M rows."""
     n = key_arrays[0].shape[0]
     # sentinel: all-ones keys sort last in unsigned order
     sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
     keyed = tuple(
         jnp.where(mask, sortable_u64(k), sentinel) for k in key_arrays
     )
-    # re-wrap: keys already sortable; use identity mapping below
-    iota = jnp.arange(n, dtype=jnp.int64)
-    operands = list(keyed) + [iota]
-    sorted_ops = jax.lax.sort(operands, num_keys=len(keyed))
-    sorted_keys, perm = sorted_ops[:-1], sorted_ops[-1]
-    mask_sorted = mask[perm]
+    nk = len(key_arrays)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    operands = (
+        list(keyed)
+        + [mask, iota]
+        + list(key_arrays)
+        + list(value_arrays)
+    )
+    sorted_ops = jax.lax.sort(operands, num_keys=nk)
+    sorted_keys = sorted_ops[:nk]
+    mask_sorted = sorted_ops[nk]
+    iota_s = sorted_ops[nk + 1]
+    k_sorted = sorted_ops[nk + 2 : nk + 2 + nk]
+    v_sorted = sorted_ops[nk + 2 + nk :]
 
     diff = jnp.zeros(n, dtype=jnp.bool_)
     for sk in sorted_keys:
         diff = diff | jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
         )
-    gid = jnp.cumsum(diff.astype(jnp.int64)) - 1
+    gid = jnp.cumsum(diff.astype(jnp.int32)) - 1
     # number of groups among masked-in rows
     num_groups = jnp.where(
         mask_sorted.any(),
         jnp.max(jnp.where(mask_sorted, gid, -1)) + 1,
         0,
-    )
+    ).astype(jnp.int64)
 
-    group_keys = tuple(
-        jax.ops.segment_max(k[perm], gid, num_segments=n) for k in key_arrays
-    )
-    first_index = jax.ops.segment_min(
-        jnp.where(mask_sorted, perm, jnp.int64(n)), gid, num_segments=n
-    )
-
-    outs = []
-    ones = jnp.where(mask_sorted, 1, 0)
-    for vals, kind in zip(value_arrays, agg_kinds):
-        v = vals[perm]
+    # per-row scans whose value at each segment's END row recovers the
+    # group total. Integer sum/count ride a PLAIN cumsum (native op;
+    # the per-group total is the difference of adjacent compacted
+    # prefix sums — exact mod 2^64); min/max/mean need the per-group
+    # reset of a true segmented scan (associative_scan, log2 n passes;
+    # mean stays segmented so f64 group sums don't cancel against the
+    # whole-column prefix).
+    scans = []
+    prefix_diff = []  # which outputs need the post-compaction diff
+    ones_u = jnp.where(mask_sorted, jnp.uint64(1), jnp.uint64(0))
+    add = lambda a, b: a + b
+    for vals, kind in zip(v_sorted, agg_kinds):
         if kind == "count":
-            out = jax.ops.segment_sum(
-                ones.astype(jnp.uint64), gid, num_segments=n
-            )
+            out = jnp.cumsum(ones_u)
+            prefix_diff.append(True)
         elif kind == "sum":
-            vz = jnp.where(mask_sorted, v, jnp.zeros((), v.dtype))
-            out = jax.ops.segment_sum(vz, gid, num_segments=n)
+            vz = jnp.where(mask_sorted, vals, jnp.zeros((), vals.dtype))
+            if jnp.issubdtype(vz.dtype, jnp.integer):
+                out = jnp.cumsum(vz)
+                prefix_diff.append(True)
+            else:
+                out = _seg_scan(diff, vz, add)
+                prefix_diff.append(False)
         elif kind in ("min", "max"):
-            out = (
-                jax.ops.segment_min(v, gid, num_segments=n)
-                if kind == "min"
-                else jax.ops.segment_max(v, gid, num_segments=n)
-            )
+            ident = _op_identity(vals.dtype, kind)
+            vz = jnp.where(mask_sorted, vals, ident)
+            op = jnp.minimum if kind == "min" else jnp.maximum
+            out = _seg_scan(diff, vz, op)
+            prefix_diff.append(False)
         elif kind == "mean":
-            vz = jnp.where(mask_sorted, v.astype(jnp.float64), 0.0)
-            s = jax.ops.segment_sum(vz, gid, num_segments=n)
-            c = jax.ops.segment_sum(ones.astype(jnp.float64), gid, num_segments=n)
+            vz = jnp.where(mask_sorted, vals.astype(jnp.float64), 0.0)
+            s = _seg_scan(diff, vz, add)
+            c = _seg_scan(
+                diff, jnp.where(mask_sorted, 1.0, 0.0), add
+            )
             out = s / c
+            prefix_diff.append(False)
         else:
             raise ValueError(f"unknown aggregate kind {kind}")
+        scans.append(out)
+
+    # per-group first (minimum) original row index WITHOUT a segmented
+    # scan: gid is ascending, so cummax over pack = (gid << 32) |
+    # (n - iota) can never be won by an earlier group (smaller gid ⇒
+    # smaller pack), and within the group it maximizes n - iota, i.e.
+    # minimizes iota. A native cummax replaces the log-depth
+    # associative_scan — count/sum-only queries then compile with no
+    # custom scan at all.
+    pack = (gid.astype(jnp.int64) << 32) | jnp.where(
+        mask_sorted, jnp.int64(n) - iota_s.astype(jnp.int64), jnp.int64(0)
+    )
+    packmax = jax.lax.cummax(pack)
+    first_scan = jnp.where(
+        (packmax & jnp.int64(0xFFFFFFFF)) > 0,
+        jnp.int64(n) - (packmax & jnp.int64(0xFFFFFFFF)),
+        jnp.int64(n),
+    ).astype(jnp.int32)
+
+    # compact each group's end row to slot gid: ends are already in
+    # gid order, so a STABLE 1-bit partition sort is the whole gather
+    is_end = jnp.concatenate([diff[1:], jnp.ones((1,), jnp.bool_)])
+    pkey = jnp.where(is_end, jnp.int32(0), jnp.int32(1))
+    comp = jax.lax.sort(
+        [pkey, first_scan] + list(k_sorted) + scans,
+        num_keys=1,
+        is_stable=True,
+    )
+    first_index = comp[1].astype(jnp.int64)
+    group_keys = tuple(comp[2 : 2 + nk])
+    outs = []
+    for out, needs_diff in zip(comp[2 + nk :], prefix_diff):
+        if needs_diff:
+            out = out - jnp.concatenate(
+                [jnp.zeros((1,), out.dtype), out[:-1]]
+            )
         outs.append(out)
 
     return group_keys, tuple(outs), first_index, num_groups
@@ -322,8 +411,14 @@ def masked_grouped_count_distinct(
         [jnp.ones((1,), jnp.bool_), svals[1:] != svals[:-1]]
     )
     new_distinct = (group_diff | val_diff) & mask_sorted
-    gid = jnp.cumsum(group_diff.astype(jnp.int64)) - 1
-    counts = jax.ops.segment_sum(
-        new_distinct.astype(jnp.uint64), gid, num_segments=n
+    # scatter-free per-group totals: segmented scan + stable 1-bit
+    # partition compaction (see masked_grouped_aggregate)
+    scan = _seg_scan(
+        group_diff,
+        new_distinct.astype(jnp.uint64),
+        lambda a, b: a + b,
     )
-    return counts
+    is_end = jnp.concatenate([group_diff[1:], jnp.ones((1,), jnp.bool_)])
+    pkey = jnp.where(is_end, jnp.int32(0), jnp.int32(1))
+    comp = jax.lax.sort([pkey, scan], num_keys=1, is_stable=True)
+    return comp[1]
