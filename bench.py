@@ -1030,7 +1030,98 @@ def main():
         return bench_multijoin()
     if cfg == "sql_topk":
         return bench_sql_topk()
+    if cfg == "sql_groupby":
+        return bench_sql_groupby()
     return bench_groupby()
+
+
+def bench_sql_groupby():
+    """END-TO-END engine throughput at the headline GROUP BY config:
+    SQL text -> plan -> fused Pallas route (device_exec fused_cfg) ->
+    host row materialization, steady state (plan + program + device
+    column caches warm). The delta vs BENCH_CONFIG=groupby is plan
+    lookup + route matching + dispatch + the O(groups) readback."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from eventql_tpu.core.types import SType
+    from eventql_tpu.exec.relation import Column, Relation
+    from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 8))
+    rng = np.random.default_rng(42)
+    ids = rng.integers(0, n_keys, n).astype(np.int32)
+    dictionary = np.array(
+        [b"k%05d" % i for i in range(n_keys)], dtype=object
+    )
+    vals = rng.integers(0, 1000, n).astype(np.uint64)
+    rel = Relation(
+        ["k", "v"],
+        [
+            Column(SType.STRING, ids, np.ones(n, bool), dictionary),
+            Column(SType.UINT64, vals, np.ones(n, bool)),
+        ],
+        n,
+    )
+    provider = RelationTableProvider()
+    provider.add_table("t", rel)
+    os.environ["EVENTQL_TPU_DEVICE"] = "1"
+    rt = Runtime()
+    q = "select k, count(1), sum(v) from t where v < 800 group by k;"
+
+    from eventql_tpu.exec import device_exec
+
+    def run_query():
+        txn = rt.new_transaction(provider)
+        res = rt.build_query_plan(txn, q).execute(0)
+        assert res.num_rows == n_keys
+        return res
+
+    run_query()  # compile + device-cache warm
+    assert device_exec.FUSED_GROUPBY_COUNT > 0, "fused route not taken"
+
+    # each query pays exactly ONE synchronous relay round trip (the
+    # packed-result readback). The RTT jitters by several ms between
+    # measurements — more than the on-chip kernel time — so nop round
+    # trips are INTERLEAVED with the queries and subtracted pairwise.
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def nop(x):
+        return x + 1
+
+    _ = np.asarray(nop(jnp.int32(0)))
+    diffs = []
+    raws = []
+    for i in range(max(8, reps)):
+        t0 = time.perf_counter()
+        _ = np.asarray(nop(jnp.int32(i)))
+        t1 = time.perf_counter()
+        run_query()
+        t2 = time.perf_counter()
+        raws.append(t2 - t1)
+        diffs.append((t2 - t1) - (t1 - t0))
+    if os.environ.get("BENCH_RAW"):
+        el = min(raws)
+    else:
+        diffs.sort()
+        el = max(diffs[len(diffs) // 2], 1e-9)  # median difference
+    rate = n / el
+    hbm_sol = _hbm_bandwidth_bytes() / 13.0
+    print(
+        json.dumps(
+            {
+                "metric": "sql_groupby_rows_per_sec_per_chip",
+                "value": round(rate / 1e9, 3),
+                "unit": "Grows/s",
+                "vs_baseline": round(rate / hbm_sol, 4),
+            }
+        )
+    )
 
 
 def bench_sql_topk():
@@ -1107,7 +1198,10 @@ def bench_groupby():
 
     jax.config.update("jax_enable_x64", True)
 
-    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count
+    from eventql_tpu.kernels.pallas_groupby import (
+        pallas_sum_count,
+        pallas_sum_count_fused,
+    )
 
     n = int(os.environ.get("BENCH_ROWS", 1 << 24))
     n_keys = int(os.environ.get("BENCH_KEYS", 1024))
@@ -1117,22 +1211,46 @@ def bench_groupby():
     gid_h = rng.integers(0, n_keys, n).astype(np.int32)
     values_h = rng.integers(0, 1000, n).astype(np.uint64)
     gid = jnp.asarray(gid_h)
-    values = jnp.asarray(values_h)
     threshold = jnp.uint64(800)
     # column-statistics hint (a real planner reads min/max from cstable
     # metadata): static bound on the value width picks the limb count
     value_bits = max(8, int(values_h.max()).bit_length() + 1)
 
-    @jax.jit
-    def pipeline_many(gid, values, threshold):
-        def body(i, acc):
-            mask = values + i.astype(jnp.uint64) < threshold
-            counts, sums = pallas_sum_count(
-                mask, gid, values, n_keys, value_bits=value_bits
-            )
-            return acc + sums.sum() + counts.sum()
+    if os.environ.get("EVENTQL_TPU_BENCH_UNFUSED"):
+        # round-3 pipeline (for the PERF.md ladder): WHERE mask and gid
+        # fold are XLA passes outside the kernel; u64 value stream
+        values = jnp.asarray(values_h)
 
-        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+        @jax.jit
+        def pipeline_many(gid, values, threshold):
+            def body(i, acc):
+                mask = values + i.astype(jnp.uint64) < threshold
+                counts, sums = pallas_sum_count(
+                    mask, gid, values, n_keys, value_bits=value_bits
+                )
+                return acc + sums.sum() + counts.sum()
+
+            return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    else:
+        # round-4 fused route (what the SQL string-groupby path runs,
+        # device_exec fused_cfg): predicate compare + row mask + gid
+        # fold inside the Pallas pass; streams are the serving path's
+        # cached i32 device columns (_device_i32_stream)
+        values = jnp.asarray(values_h.astype(np.int32))
+        thr_i = jnp.int32(800)
+        n_s = jnp.int32(n)
+
+        @jax.jit
+        def pipeline_many(gid, values, threshold):
+            def body(i, acc):
+                counts, sums = pallas_sum_count_fused(
+                    gid, values, thr_i - i, n_s, n_keys,
+                    value_bits=value_bits, pred_op="lt",
+                )
+                return acc + sums.sum() + counts.sum()
+
+            return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
 
     out = pipeline_many(gid, values, threshold)
     _ = np.asarray(out)  # compile + warm

@@ -14,6 +14,7 @@ outside the subset fall back transparently.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -86,10 +87,25 @@ def _plan_fingerprint(obj, _depth=0) -> str:
             + ",".join(
                 k + "=" + _plan_fingerprint(v, _depth + 1)
                 for k, v in sorted(d.items())
+                if k != "_fp_cache"  # fingerprint memo must not feed itself
             )
             + "}"
         )
     return type(obj).__qualname__ + ":" + repr(obj)
+
+
+def _plan_fingerprint_cached(node) -> str:
+    """Per-node memo of _plan_fingerprint: plans are immutable once
+    built (the server plan cache already relies on reuse), and the
+    exhaustive walk costs ~0.5 ms per query on the serving path."""
+    fp = getattr(node, "_fp_cache", None)
+    if fp is None:
+        fp = _plan_fingerprint(node)
+        try:
+            node._fp_cache = fp
+        except AttributeError:
+            pass
+    return fp
 
 
 _COMPILE_CACHE_SET = False
@@ -318,12 +334,14 @@ def _narrow_np_build(c: Column):
     if data.size:
         if data.dtype == np.uint64:
             mx = int(data.max())
+            c._stats_cache = (0, mx)
             if mx < (1 << 16):
                 out = data.astype(np.uint16)
             elif mx < (1 << 32):
                 out = data.astype(np.uint32)
         elif data.dtype == np.int64:
             mn, mx = int(data.min()), int(data.max())
+            c._stats_cache = (mn, mx)
             if -(1 << 15) <= mn and mx < (1 << 15):
                 out = data.astype(np.int16)
             elif -(1 << 31) <= mn and mx < (1 << 31):
@@ -395,6 +413,146 @@ def _pad_buckets(K: int) -> int:
     """Round the bucket count up to the kernel's k1*128 grid — distinct
     dictionary sizes then share compiled kernel variants."""
     return max(128, -(-K // 128) * 128)
+
+
+# -- fused GROUP BY kernel route (round 4) -----------------------------------
+# For the canonical `SELECT key, count(*), sum(v) FROM t WHERE col CMP
+# literal GROUP BY key` shape, the WHERE compare, the row-pad mask, and
+# the filtered-row gid fold all run INSIDE the Pallas aggregation pass
+# (kernels/pallas_groupby.pallas_sum_count_fused), so the per-query HBM
+# traffic is exactly the raw column streams. Streams ride as cached
+# int32 device copies: the kernel is VPU-bound, and in-kernel 16-bit
+# widening measured SLOWER than i32 streams (probe_fused_groupby.py:
+# i32 11.5 vs 16-bit 8.5 Grows/s), so i32 is the serving layout.
+
+_FUSED_OPS = {
+    "lt": "lt",
+    "lte": "le",
+    "gt": "gt",
+    "gte": "ge",
+    "eq": "eq",
+    "neq": "ne",
+}
+# observability: how many queries took the fused route (tests assert
+# this so fused-path coverage can't silently fall back)
+FUSED_GROUPBY_COUNT = 0
+_FUSED_FLIP = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq", "ne": "ne"}
+_I32_MIN = -(1 << 31)
+
+
+def _column_all_valid(c: Column) -> bool:
+    cached = getattr(c, "_all_valid_cache", None)
+    if cached is None:
+        cached = bool(np.all(c.valid))
+        try:
+            c._all_valid_cache = cached
+        except AttributeError:
+            pass
+    return cached
+
+
+def _device_i32_stream(host_c: Column, dev_padded):
+    """Cached int32 device copy of a (padded) narrowed column stream.
+    Built ON DEVICE from the already-cached narrow array (a host-side
+    rebuild would re-transfer the column through the relay). uint32
+    payloads convert modularly (same bits) — exact for value limbs,
+    ineligible as predicate streams (callers gate)."""
+    import jax.numpy as jnp
+
+    want = dev_padded.shape[0]
+    cached = getattr(host_c, "_device_cache_i32", None)
+    if cached is not None and cached[0] == want:
+        return cached[1]
+    with _column_cache_lock():
+        cached = getattr(host_c, "_device_cache_i32", None)
+        if cached is None or cached[0] != want:
+            dev = (
+                dev_padded
+                if dev_padded.dtype == jnp.int32
+                else dev_padded.astype(jnp.int32)
+            )
+            cached = (want, dev)
+            try:
+                host_c._device_cache_i32 = cached
+            except AttributeError:
+                pass
+    return cached[1]
+
+
+def _fused_pred_eligible(host_c: Column, stype) -> bool:
+    """May this column's i32 stream serve as the in-kernel predicate
+    operand? Requires payloads whose i32 representation preserves the
+    logical compare: u16 (zero-extends), i16 (sign-extends), i32
+    (exact), and u32 only when the narrowing pass's cached max stat
+    proves every payload < 2^31 (larger payloads flip sign)."""
+    if stype not in (SType.UINT64, SType.INT64, SType.TIMESTAMP64):
+        return False
+    nd = _narrow_np(host_c)
+    if nd.dtype in (np.uint16, np.int16, np.int32):
+        return True
+    if nd.dtype == np.uint32:
+        stats = getattr(host_c, "_stats_cache", None)
+        return stats is not None and stats[1] < (1 << 31)
+    return False
+
+
+def _match_fused_where(scan, name_to_col):
+    """Match `WHERE col CMP integer-literal` (or no WHERE) against the
+    fused kernel's in-kernel compare. Returns (input_col_idx|None, op,
+    thr) — idx None + 'ge' + INT32_MIN is the always-true predicate —
+    or None when the WHERE shape doesn't fuse."""
+    w = scan.where_expr
+    if w is None:
+        return (None, "ge", _I32_MIN)
+    if not isinstance(w, CallExpressionNode):
+        return None
+    op = _FUSED_OPS.get(w.sfunction.name)
+    if op is None or len(w.args) != 2:
+        return None
+
+    def _unwrap(e):
+        # the planner wraps mismatched literal args in to_<type> calls
+        # (reference: CallExpressionNode.cc:73-88); the raw payload
+        # gates below reject any case where the conversion would wrap
+        if (
+            isinstance(e, CallExpressionNode)
+            and e.sfunction.name in ("to_uint64", "to_int64", "to_timestamp64")
+            and len(e.args) == 1
+            and isinstance(e.args[0], LiteralExpressionNode)
+        ):
+            return e.args[0]
+        return e
+
+    a, b = _unwrap(w.args[0]), _unwrap(w.args[1])
+    if isinstance(a, ColumnReferenceNode) and isinstance(
+        b, LiteralExpressionNode
+    ):
+        col, lit = a, b
+    elif isinstance(b, ColumnReferenceNode) and isinstance(
+        a, LiteralExpressionNode
+    ):
+        col, lit = b, a
+        op = _FUSED_FLIP[op]
+    else:
+        return None
+    if col.column_index is None:
+        return None
+    sv = lit.value
+    if getattr(sv, "is_null", False):
+        return None
+    payload = sv.payload() if hasattr(sv, "payload") else sv
+    if isinstance(payload, bool) or not isinstance(payload, int):
+        return None
+    idx = col.column_index
+    host_c = name_to_col.get(scan.input_columns[idx][0])
+    if host_c is None or not _fused_pred_eligible(host_c, col.return_type()):
+        return None
+    unsigned = col.return_type() in (SType.UINT64, SType.TIMESTAMP64)
+    if not (_I32_MIN < payload < (1 << 31)):
+        return None
+    if unsigned and payload < 0:
+        return None
+    return (idx, op, int(payload))
 
 
 def _pad_rows(n: int, block: int = 8192) -> int:
@@ -529,6 +687,7 @@ def try_execute_pallas_string_groupby(
     # narrowing pass already consulted the column's min/max), picking
     # the kernel's limb count with no per-query host work
     value_bits = 64
+    sum_src_idx = None  # input-column index of a plain-colref summed col
     for (tag, emit, aggs) in entries:
         if tag != "agg":
             continue
@@ -548,17 +707,74 @@ def try_execute_pallas_string_groupby(
                     dc = in_cols[src_e.column_index]
                     if dc.stype in (SType.UINT64, SType.TIMESTAMP64):
                         value_bits = dc.data.dtype.itemsize * 8
+                        sum_src_idx = src_e.column_index
     value_bits = -(-value_bits // 8) * 8
     # pad the static dimensions to coarse grids so distinct queries
     # and table sizes share compiled kernel variants
     Kp = _pad_buckets(num_buckets)
     distinct_sums = sum(1 for k in kinds_static if k == "sum")
 
-    def program(col_data, col_valid, n_real):
+    # fused-kernel route: one sum (+any counts), narrowable value
+    # stream, WHERE fusable as an in-kernel compare (or absent), dict
+    # key. See "fused GROUP BY kernel route" above.
+    fused_cfg = None
+    if (
+        distinct_sums == 1
+        and sum_src_idx is not None
+        and value_bits <= 32
+        and set(kinds_static) <= {"sum", "count"}
+        and not os.environ.get("EVENTQL_TPU_NO_FUSED_GROUPBY")
+    ):
+        m = _match_fused_where(scan, name_to_col)
+        if m is not None:
+            pred_idx, pred_op, thr = m
+            if pred_idx == sum_src_idx:
+                # compare rides the value stream itself ("value" mode);
+                # the matcher already proved the column i32-compare-safe
+                fused_cfg = (None, pred_op, thr)
+            else:
+                fused_cfg = (pred_idx, pred_op, thr)
+    key_all_valid = _column_all_valid(key_col) if fused_cfg else False
+
+    def program(col_data, col_valid, n_real, fused_streams=None):
         # ONE cached jitted program for the whole route: XLA fuses the
         # mask/gid/value preparation into single producer passes and
         # the serving path pays one dispatch instead of one per eager
         # op (each a relay round trip)
+        if fused_cfg is not None:
+            # fully-fused: WHERE compare + pad mask + gid fold + limb
+            # aggregation in ONE Pallas pass over raw i32 streams
+            from eventql_tpu.kernels.pallas_groupby import (
+                pallas_sum_count_fused,
+            )
+
+            _pred_idx, _op, _thr = fused_cfg
+            gid_i32, val_i32, pred_i32 = fused_streams
+            if not key_all_valid:
+                # NULL keys take their own bucket K (tag participates
+                # in the reference's group key, groupby.cc:129-135)
+                gid_i32 = jnp.where(
+                    col_valid[key_input_idx], gid_i32, jnp.int32(K)
+                )
+            counts, sums = pallas_sum_count_fused(
+                gid_i32,
+                val_i32,
+                jnp.int32(_thr),
+                n_real,
+                Kp,
+                pred=pred_i32,
+                value_bits=value_bits,
+                pred_op=_op,
+            )
+            counts = counts[:num_buckets]
+            sums = sums[:num_buckets]
+            outs = tuple(
+                counts if k == "count" else sums for k in kinds_static
+            )
+            # ONE packed output array = ONE device->host transfer (the
+            # relay serializes per-array reads at ~10 ms each even
+            # under copy_to_host_async)
+            return jnp.stack([counts, *outs])
         in_cols_l = [
             jax_expr.DeviceCol(st, d, v)
             for st, d, v in zip(stypes, col_data, col_valid)
@@ -629,27 +845,51 @@ def try_execute_pallas_string_groupby(
             counts, outs = onehot_grouped_aggregate(
                 mask, gid, tuple(vals), tuple(kinds_static), num_buckets
             )
-        return counts, outs
+        # ONE packed output array = ONE device->host transfer
+        return jnp.stack([counts, *outs])
 
     key = (
         "string_groupby",
-        _plan_fingerprint(node),
+        _plan_fingerprint_cached(node),
         tuple(int(st) for st in stypes),
         K,
         value_bits,
         n if not in_cols else None,
+        fused_cfg,
+        key_all_valid,
     )
     fn = _cached_jit(key, lambda: program)
     n_p = _pad_rows(n) if in_cols else n
     col_data, col_valid = _padded_device_arrays(
         table, scan.input_columns, in_cols, n, n_p
     )
-    counts, outs = fn(
-        tuple(col_data), tuple(col_valid), _n_scalar(n)
+    fused_streams = None
+    if fused_cfg is not None:
+        global FUSED_GROUPBY_COUNT
+        FUSED_GROUPBY_COUNT += 1
+        pred_idx = fused_cfg[0]
+        gid_i32 = _device_i32_stream(key_col, col_data[key_input_idx])
+        val_i32 = _device_i32_stream(
+            name_to_col[scan.input_columns[sum_src_idx][0]],
+            col_data[sum_src_idx],
+        )
+        pred_i32 = (
+            _device_i32_stream(
+                name_to_col[scan.input_columns[pred_idx][0]],
+                col_data[pred_idx],
+            )
+            if pred_idx is not None
+            else None
+        )
+        fused_streams = (gid_i32, val_i32, pred_i32)
+    packed = fn(
+        tuple(col_data), tuple(col_valid), _n_scalar(n), fused_streams
     )
 
-    # ONE batched transfer (each np.asarray costs a relay round trip)
-    counts_h, outs_h = _batched_device_get((counts, list(outs)))
+    # ONE transfer of the packed [counts, out0, ...] stack (the relay
+    # serializes per-array reads at ~10 ms each)
+    packed_h = np.asarray(packed)
+    counts_h, outs_h = packed_h[0], list(packed_h[1:])
     occupied = np.nonzero(counts_h > 0)[0]
     ng = len(occupied)
 
@@ -825,7 +1065,7 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
 
     key = (
         "groupby",
-        _plan_fingerprint(node),
+        _plan_fingerprint_cached(node),
         tuple(int(st) for st in stypes),
         n if not in_cols else None,
     )
@@ -1818,7 +2058,7 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
 
     key = (
         "join",
-        _plan_fingerprint(node),
+        _plan_fingerprint_cached(node),
         tuple(int(st) for st in stypes),
         bool(use_compare),
         bool(use_merge),

@@ -85,13 +85,54 @@ def _i32_to_f32(v):
     return pltpu.bitcast(bits, jnp.float32) - jnp.float32(_MAGIC_F)
 
 
+_PRED_CMP = {
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+}
+
+
+def _load_i32(stream, u16: bool):
+    """Load a (1, B) block as int32 lanes. 16-bit streams holding an
+    unsigned payload sign-extend on the astype; masking the low 16 bits
+    recovers the payload exactly (one extra VPU op per row — the whole
+    point of halving the HBM bytes)."""
+    v = stream.astype(jnp.int32) if stream.dtype != jnp.int32 else stream
+    if u16:
+        v = v & 0xFFFF
+    return v
+
+
 def _agg_kernel(
-    gid_ref, *rest, k1, k2, k2_shift, r_act, rows_pad, carry_every
+    *refs_all,
+    k1,
+    k2,
+    k2_shift,
+    r_act,
+    rows_pad,
+    carry_every,
+    block,
+    pred_mode=None,
+    pred_op=None,
+    pred_u16=False,
+    lo_u16=False,
+    gid_u16=False,
 ):
-    # rest = (lo_ref?, hi_ref?, out_ref, acc_lo, acc_hi): lo_ref only
-    # exists when values are aggregated (count-only queries skip the
-    # value stream entirely), hi_ref only for >32-bit values
-    refs = list(rest)
+    # operand order: [scal_ref (SMEM, fused only)] gid_ref [pred_ref]
+    # [lo_ref] [hi_ref] out_ref acc_lo acc_hi. lo_ref only exists when
+    # values are aggregated (count-only queries skip the value stream
+    # entirely), hi_ref only for >32-bit values. In fused mode
+    # (pred_mode) the WHERE compare, the row-pad mask, and the
+    # filtered-row gid=-1 fold all happen HERE, so the kernel's input
+    # streams are the raw (narrowed) column arrays — no XLA-side mask
+    # or gid materialization pass touches HBM.
+    refs = list(refs_all)
+    scal_ref = refs.pop(0) if pred_mode else None
+    gid_ref = refs.pop(0)
+    pred_ref = refs.pop(0) if pred_mode == "stream" else None
     nlimbs = r_act - 1
     lo_ref = refs.pop(0) if nlimbs > 0 else None
     hi_ref = refs.pop(0) if nlimbs > 4 else None
@@ -104,10 +145,24 @@ def _agg_kernel(
         acc_lo[:, :] = jnp.zeros_like(acc_lo)
         acc_hi[:, :] = jnp.zeros_like(acc_hi)
 
-    gid = gid_ref[0, :, :]  # (1, B) int32, -1 = filtered out
-    lo = lo_ref[0, :, :] if lo_ref is not None else None
+    gid = _load_i32(gid_ref[0, :, :], gid_u16)  # (1, B) int32
+    lo = _load_i32(lo_ref[0, :, :], lo_u16) if lo_ref is not None else None
     hi = hi_ref[0, :, :] if hi_ref is not None else None
     B = gid.shape[1]
+
+    if pred_mode:
+        # scal_ref = [[thr, n_real]] in SMEM
+        thr = scal_ref[0, 0]
+        n_real = scal_ref[0, 1]
+        if pred_mode == "stream":
+            p = _load_i32(pred_ref[0, :, :], pred_u16)
+        else:  # "value": compare on the value stream itself
+            p = lo
+        keep = _PRED_CMP[pred_op](p, thr)
+        # row-pad mask: rows at global index >= n_real are padding
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) + i * block
+        keep = keep & (row < n_real)
+        gid = jnp.where(keep, gid, jnp.int32(-1))
 
     # all k1 bucket-group masks in one full-sublane compare. Masking
     # stays int32 (Mosaic v5e has no int8 muli, and i1 masks from i32
@@ -157,16 +212,37 @@ def _agg_kernel(
 
 
 def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
-                 interpret=None, k2=K2):
+                 interpret=None, k2=K2, pred_blocks=None, scal=None,
+                 pred_mode=None, pred_op=None):
     nb = gid_blocks.shape[0]
     rows_pad = -(-(k1 * r_act) // 32) * 32
-    inputs = [gid_blocks]
-    if lo_blocks is not None:
-        inputs.append(lo_blocks)
-    if hi_blocks is not None:
-        inputs.append(hi_blocks)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    def _is16(b):
+        return b is not None and b.dtype.itemsize == 2
+
+    inputs = []
+    in_specs = []
+    if pred_mode:
+        inputs.append(scal)  # (1, 2) int32 [thr, n_real]
+        in_specs.append(
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+    stream_blocks = [gid_blocks]
+    if pred_mode == "stream":
+        stream_blocks.append(pred_blocks)
+    if lo_blocks is not None:
+        stream_blocks.append(lo_blocks)
+    if hi_blocks is not None:
+        stream_blocks.append(hi_blocks)
+    for b in stream_blocks:
+        inputs.append(b)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
     return pl.pallas_call(
         functools.partial(
             _agg_kernel,
@@ -176,13 +252,17 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
             r_act=r_act,
             rows_pad=rows_pad,
             carry_every=CARRY_EVERY_I32,
+            block=block,
+            pred_mode=pred_mode,
+            pred_op=pred_op,
+            pred_u16=_is16(pred_blocks)
+            and pred_blocks.dtype in (jnp.uint16,),
+            lo_u16=_is16(lo_blocks) and lo_blocks.dtype in (jnp.uint16,),
+            gid_u16=_is16(gid_blocks) and gid_blocks.dtype in (jnp.uint16,),
         ),
         interpret=interpret,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-            for _ in inputs
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (2, rows_pad, k2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -193,7 +273,9 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * block * rows_pad * k2,
-            bytes_accessed=nb * block * len(inputs) * 4
+            bytes_accessed=nb
+            * block
+            * sum(b.dtype.itemsize for b in stream_blocks)
             + 2 * rows_pad * k2 * 4,
             transcendentals=0,
         ),
@@ -295,6 +377,150 @@ def pallas_sum_count(
                 gid_c, lo_p, hi_p, k1c, r_act, block, interpret=interpret,
                 k2=k2,
             )
+        c_part, t_part = _decode(out, k1c)
+        counts_parts.append(c_part)
+        total_parts.append(t_part)
+    counts = jnp.concatenate(counts_parts)[:num_buckets]
+    total = jnp.concatenate(total_parts)[:num_buckets]
+    return counts, total
+
+
+def _split_value_stream(values, value_bits):
+    """Value stream → (lo, hi) kernel streams at their narrowest safe
+    width. 64-bit values split into u32 words; <=32-bit values keep
+    their storage dtype (16-bit streams ride VMEM as-is and widen
+    in-kernel), so the HBM bytes/row match the narrowed storage."""
+    nlimbs = -(-max(1, min(value_bits, 64)) // 8)
+    if values.dtype.itemsize == 8:
+        words = jax.lax.bitcast_convert_type(
+            values.astype(jnp.uint64), jnp.uint32
+        )
+        lo = words[:, 0].astype(jnp.int32)
+        hi = words[:, 1].astype(jnp.int32) if nlimbs > 4 else None
+        return lo, hi
+    if nlimbs > 4:
+        raise ValueError("value_bits > 32 requires a 64-bit stream")
+    if values.dtype.itemsize == 2:
+        return values, None  # widened in-kernel (u16 payload mask)
+    return values.astype(jnp.int32), None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_buckets",
+        "block",
+        "value_bits",
+        "interpret",
+        "k2",
+        "pred_op",
+    ),
+)
+def pallas_sum_count_fused(
+    gid: jax.Array,
+    values: jax.Array,
+    thr: jax.Array,
+    n_real: jax.Array,
+    num_buckets: int,
+    pred: jax.Array = None,
+    block: int = DEFAULT_BLOCK,
+    value_bits: int = 32,
+    pred_op: str = "lt",
+    interpret: bool = None,
+    k2: int = None,
+):
+    """Fully-fused scan + WHERE + GROUP BY sum(values), count(*): the
+    predicate compare (`pred_stream <op> thr`), the row-validity mask
+    (rows >= n_real are padding), and the filtered-row gid=-1 fold all
+    run INSIDE the Pallas kernel, so the only HBM traffic is the raw
+    (narrowed) column streams — no XLA-side mask or gid pass.
+
+    gid: group ids [0, num_buckets), int32 or 16-bit narrowed (dict-id
+      streams); values: the summed column at its narrowed width (u16 /
+      i32 / u64); pred: the WHERE column stream (defaults to `values`
+      itself); thr: int32 comparison literal (traced); n_real: real row
+      count (rows beyond it are padding and fold to gid=-1).
+
+    Caller contract: every pred-stream payload and thr fit int32
+    (narrowed u16/i16 streams always do; u32 streams must be < 2^31).
+
+    Replaces the reference's per-row WHERE eval + hash-map accumulate
+    (sql/CSTableScan.cc:813 evaluatePredicateVector feeding
+    groupby.cc:344-407) with one pass at VPU/MXU rate."""
+    n = gid.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+
+    nlimbs = -(-max(1, min(value_bits, 64)) // 8)
+    if k2 is None:
+        k2 = _pick_k2(num_buckets, nlimbs)
+
+    lo, hi = _split_value_stream(values, value_bits)
+
+    def _blocks(a):
+        if a is None:
+            return None
+        ap = jnp.pad(a, (0, pad)) if pad else a
+        return ap.reshape(nb, 1, block)
+
+    gid_p = _blocks(gid if gid.dtype.itemsize != 8 else gid.astype(jnp.int32))
+    lo_p = _blocks(lo)
+    hi_p = _blocks(hi)
+    pred_mode = "value"
+    pred_p = None
+    if pred is not None:
+        pred_mode = "stream"
+        if pred.dtype.itemsize == 8:
+            pred = pred.astype(jnp.int32)
+        pred_p = _blocks(pred)
+    scal = jnp.stack(
+        [
+            jnp.asarray(thr).astype(jnp.int32),
+            jnp.asarray(n_real).astype(jnp.int32),
+        ]
+    ).reshape(1, 2)
+
+    r_act = 1 + nlimbs
+    k1 = -(-num_buckets // k2)
+
+    def _decode(out, k1c):
+        acc = (
+            out[1].astype(jnp.int64) * jnp.int64(4096)
+            + out[0].astype(jnp.int64)
+        )
+        acc = acc[: r_act * k1c].reshape(r_act, k1c, k2)
+        counts = acc[0].reshape(-1)
+        acc_u = acc.astype(jnp.uint64)
+        total = jnp.zeros((k1c * k2,), jnp.uint64)
+        offset = 0
+        for i in range(nlimbs):
+            total = total + (acc_u[1 + i].reshape(-1) << jnp.uint64(8 * i))
+            offset = (offset + (128 << (8 * i))) & 0xFFFFFFFFFFFFFFFF
+        total = total + jnp.uint64(offset) * acc_u[0].reshape(-1)
+        return counts.astype(jnp.uint64), total
+
+    kw = dict(
+        interpret=interpret,
+        k2=k2,
+        pred_blocks=pred_p,
+        scal=scal,
+        pred_mode=pred_mode,
+        pred_op=pred_op,
+    )
+    if k1 * r_act <= _MAX_ROWS:
+        with jax.enable_x64(False):
+            out = _call_kernel(gid_p, lo_p, hi_p, k1, r_act, block, **kw)
+        counts, total = _decode(out, k1)
+        return counts[:num_buckets], total[:num_buckets]
+
+    k1_max = max(1, _MAX_ROWS // r_act)
+    counts_parts = []
+    total_parts = []
+    for c0 in range(0, k1, k1_max):
+        k1c = min(k1_max, k1 - c0)
+        gid_c = gid_p.astype(jnp.int32) - jnp.int32(c0 * k2)
+        with jax.enable_x64(False):
+            out = _call_kernel(gid_c, lo_p, hi_p, k1c, r_act, block, **kw)
         c_part, t_part = _decode(out, k1c)
         counts_parts.append(c_part)
         total_parts.append(t_part)

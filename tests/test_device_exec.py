@@ -142,6 +142,123 @@ def test_string_key_pallas_route_is_taken():
     assert try_execute_pallas_string_groupby(node, txn) is not None
 
 
+# -- fused-predicate Pallas GROUP BY route (round 4) -------------------
+def _make_fused_table(n=5000, seed=23, null_keys=False):
+    rng = np.random.default_rng(seed)
+    cities = [
+        f"city{int(k):02d}".encode() for k in rng.integers(0, 19, n)
+    ]
+    if null_keys:
+        for i in rng.integers(0, n, n // 20):
+            cities[int(i)] = None
+    vals = rng.integers(0, 1000, n).astype(np.uint64)
+    wide = rng.integers(0, 1 << 20, n).astype(np.uint64)  # narrows to u32
+    big = rng.integers(0, 1 << 35, n).astype(np.uint64)  # stays u64
+    vvalid = rng.random(n) < 0.9
+    rel = Relation(
+        ["city", "v", "w", "big"],
+        [
+            Column.from_strings(cities),
+            Column(
+                SType.UINT64,
+                np.where(vvalid, vals, 0).astype(np.uint64),
+                vvalid,
+            ),
+            Column(SType.UINT64, wide, np.ones(n, bool)),
+            Column(SType.UINT64, big, np.ones(n, bool)),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("t", rel)
+    return p
+
+
+FUSED_QUERIES = [
+    # (query, expect_fused_route)
+    ("select city, count(1), sum(v) from t where v < 500"
+     " group by city order by city;", True),
+    ("select city, sum(v) from t where v >= 500"
+     " group by city order by city;", True),
+    ("select city, sum(v), count(1) from t where v = 17"
+     " group by city order by city;", True),
+    ("select city, sum(v) from t where v != 17"
+     " group by city order by city;", True),
+    # no WHERE: fused with the always-true in-kernel predicate
+    ("select city, sum(v) from t group by city order by city;", True),
+    # flipped operand order
+    ("select city, sum(v) from t where 500 > v"
+     " group by city order by city;", True),
+    # predicate on a column other than the summed one (stream mode)
+    ("select city, count(1), sum(v) from t where w < 524288"
+     " group by city order by city;", True),
+    # u32-narrowed sum column with separate u16 predicate column
+    ("select city, sum(w) from t where v < 500"
+     " group by city order by city;", True),
+    # u32 pred col whose cached max proves payloads < 2^31: eligible
+    ("select city, sum(v) from t where w = 12345"
+     " group by city order by city;", True),
+    # computed predicate: not fusable, must still match via fallback
+    ("select city, sum(v) from t where v + 1 < 500"
+     " group by city order by city;", False),
+    # pred col with payloads >= 2^31 (no narrowing): ineligible even
+    # though the literal itself fits int32
+    ("select city, sum(v) from t where big < 2000000000"
+     " group by city order by city;", False),
+]
+
+
+@pytest.mark.parametrize("null_keys", [False, True])
+@pytest.mark.parametrize("query,expect_fused", FUSED_QUERIES)
+def test_fused_groupby_matches_host(query, expect_fused, null_keys):
+    from eventql_tpu.exec import device_exec
+
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    try:
+        os.environ["EVENTQL_TPU_DEVICE"] = "0"
+        rt = Runtime()
+        host = rt.build_query_plan(
+            rt.new_transaction(_make_fused_table(null_keys=null_keys)), query
+        ).execute(0)
+        os.environ["EVENTQL_TPU_DEVICE"] = "1"
+        before = device_exec.FUSED_GROUPBY_COUNT
+        dev = rt.build_query_plan(
+            rt.new_transaction(_make_fused_table(null_keys=null_keys)), query
+        ).execute(0)
+        took_fused = device_exec.FUSED_GROUPBY_COUNT > before
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+    assert dev.columns == host.columns
+    assert dev.rows == host.rows
+    assert took_fused == expect_fused
+
+
+def test_fused_groupby_env_kill_switch():
+    from eventql_tpu.exec import device_exec
+
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    try:
+        os.environ["EVENTQL_TPU_DEVICE"] = "1"
+        os.environ["EVENTQL_TPU_NO_FUSED_GROUPBY"] = "1"
+        rt = Runtime()
+        before = device_exec.FUSED_GROUPBY_COUNT
+        rt.build_query_plan(
+            rt.new_transaction(_make_fused_table(500)),
+            "select city, sum(v) from t where v < 500"
+            " group by city order by city;",
+        ).execute(0)
+        assert device_exec.FUSED_GROUPBY_COUNT == before
+    finally:
+        os.environ.pop("EVENTQL_TPU_NO_FUSED_GROUPBY", None)
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+
+
 # -- JOIN ... GROUP BY device route ------------------------------------
 def _make_join_tables(n=4000, ndim=64, seed=13, null_fact_keys=False,
                       dup_dim_keys=False):

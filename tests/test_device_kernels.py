@@ -284,3 +284,89 @@ def test_topk_permutation_dispatches_u32():
     idx = np.asarray(topk_permutation(jnp.asarray(keys), 9))
     vals = keys[idx]
     assert (np.sort(vals)[::-1] == np.sort(keys)[::-1][:9]).all()
+
+
+# -- fused-predicate kernel (round 4) -----------------------------------
+@pytest.mark.parametrize("op,npop", [
+    ("lt", np.less), ("le", np.less_equal), ("gt", np.greater),
+    ("ge", np.greater_equal), ("eq", np.equal), ("ne", np.not_equal),
+])
+def test_pallas_sum_count_fused_ops(op, npop):
+    """In-kernel predicate: every compare op, n not a block multiple
+    (exercises the in-kernel row-pad mask)."""
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count_fused
+
+    rng = np.random.default_rng(3)
+    n, K, thr = 20000, 300, 512
+    gid = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.integers(0, 1000, n).astype(np.int32)
+
+    counts, sums = pallas_sum_count_fused(
+        jnp.asarray(gid), jnp.asarray(vals), jnp.int32(thr),
+        jnp.int32(n), K, value_bits=16, pred_op=op,
+    )
+    counts, sums = np.asarray(counts), np.asarray(sums)
+
+    m = npop(vals, thr)
+    exp_counts = np.bincount(gid[m], minlength=K)
+    exp_sums = np.bincount(
+        gid[m], weights=vals[m].astype(np.float64), minlength=K
+    ).astype(np.uint64)
+    assert np.array_equal(counts, exp_counts)
+    assert np.array_equal(sums, exp_sums)
+
+
+def test_pallas_sum_count_fused_pred_stream_and_16bit():
+    """Separate predicate stream; 16-bit gid/value/pred streams with
+    unsigned payloads above 2^15 (the in-kernel zero-extend mask)."""
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count_fused
+
+    rng = np.random.default_rng(4)
+    n, K, thr = 30000, 129, 40000
+    gid = rng.integers(0, K, n).astype(np.int16)
+    vals = rng.integers(0, 60000, n).astype(np.uint16)
+    pred = rng.integers(0, 65535, n).astype(np.uint16)
+
+    counts, sums = pallas_sum_count_fused(
+        jnp.asarray(gid), jnp.asarray(vals), jnp.int32(thr),
+        jnp.int32(n), K, pred=jnp.asarray(pred), value_bits=16,
+        pred_op="ge",
+    )
+    counts, sums = np.asarray(counts), np.asarray(sums)
+
+    m = pred.astype(np.int64) >= thr
+    exp_counts = np.bincount(gid[m], minlength=K)
+    exp_sums = np.bincount(
+        gid[m], weights=vals[m].astype(np.float64), minlength=K
+    ).astype(np.uint64)
+    assert np.array_equal(counts, exp_counts)
+    assert np.array_equal(sums, exp_sums)
+
+
+def test_pallas_sum_count_fused_multipass_u64():
+    """Chunked k1 multi-pass with a 64-bit value stream and an i32
+    predicate stream."""
+    from eventql_tpu.kernels.pallas_groupby import pallas_sum_count_fused
+
+    rng = np.random.default_rng(5)
+    n, K, thr = 50000, 40000, 100000
+    gid = rng.integers(0, K, n).astype(np.int32)
+    vals = rng.integers(0, 1 << 48, n).astype(np.uint64)
+    pred = rng.integers(0, 200000, n).astype(np.int32)
+
+    counts, sums = pallas_sum_count_fused(
+        jnp.asarray(gid), jnp.asarray(vals), jnp.int32(thr),
+        jnp.int32(n), K, pred=jnp.asarray(pred), value_bits=64,
+        pred_op="lt",
+    )
+    counts, sums = np.asarray(counts), np.asarray(sums)
+
+    m = pred < thr
+    exp_counts = np.zeros(K, np.uint64)
+    exp_sums = np.zeros(K, np.uint64)
+    for g, v, mm in zip(gid, vals, m):
+        if mm:
+            exp_counts[g] += 1
+            exp_sums[g] += v
+    assert np.array_equal(counts, exp_counts.astype(counts.dtype))
+    assert np.array_equal(sums, exp_sums)
