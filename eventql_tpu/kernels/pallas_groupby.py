@@ -529,6 +529,203 @@ def pallas_sum_count_fused(
     return counts, total
 
 
+def _multi_agg_kernel(
+    gid_ref, *rest, k1, k2, k2_shift, stream_limbs, rows_pad, carry_every
+):
+    """Multi-stream variant: several value streams (each an i32 word
+    contributing 1..4 offset-encoded limb planes) aggregate under ONE
+    shared one-hot — the operand layout the repairing unbounded-key
+    GROUP BY design needs (count + key-projection limbs + per-limb
+    squares + SQL value in a single MXU pass)."""
+    refs = list(rest)
+    stream_refs = [refs.pop(0) for _ in stream_limbs]
+    out_ref, acc_lo, acc_hi = refs
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_lo[:, :] = jnp.zeros_like(acc_lo)
+        acc_hi[:, :] = jnp.zeros_like(acc_hi)
+
+    gid = gid_ref[0, :, :]
+    B = gid.shape[1]
+
+    ghi = gid >> k2_shift
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (k1, B), 0)
+    gmask_all = jnp.where(ghi == iota_j, 1, 0)
+
+    planes = [gmask_all]
+    for s_ref, nl in zip(stream_refs, stream_limbs):
+        w = s_ref[0, :, :]
+        for j in range(nl):
+            limb = ((w >> (8 * j)) & 0xFF) - 128
+            planes.append(limb * gmask_all)
+    tall = jnp.concatenate(planes, axis=0)
+    pad = rows_pad - tall.shape[0]
+    if pad:
+        tall = jnp.concatenate(
+            [tall, jnp.zeros((pad, B), jnp.int32)], axis=0
+        )
+    tall = tall.astype(jnp.int8)
+
+    glo = gid & (k2 - 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k2, B), 0)
+    onehot = jnp.where(glo == iota_k, 1, 0).astype(jnp.int8)
+
+    acc_lo[:, :] += jax.lax.dot_general(
+        tall,
+        onehot,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(((i + 1) % carry_every == 0) | (i == nb - 1))
+    def _():
+        a = acc_lo[:, :]
+        acc_hi[:, :] += a >> 12
+        acc_lo[:, :] = a & 4095
+
+    @pl.when(i == nb - 1)
+    def _():
+        out_ref[0, :, :] = acc_lo[:, :]
+        out_ref[1, :, :] = acc_hi[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_buckets", "block", "stream_limbs", "interpret", "k2"),
+)
+def pallas_multi_sum(
+    mask: jax.Array,
+    gid: jax.Array,
+    streams: Tuple[jax.Array, ...],
+    stream_limbs: Tuple[int, ...],
+    num_buckets: int,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = None,
+    k2: int = None,
+):
+    """Fused filter + GROUP BY of SEVERAL summed streams in one MXU
+    pass (shared one-hot). Each stream is an i32 word whose low
+    8*stream_limbs[i] bits are its payload; per-stream sums are exact
+    mod 2^64 (full accumulation — NOT truncated to the payload width).
+    Returns (counts u64[K], tuple of per-stream sums u64[K]).
+
+    Built for the repairing unbounded-key GROUP BY probe
+    (scripts/probe_repair_groupby.py — VERDICT r3 item 4); also the
+    general multi-aggregate building block for bounded keys."""
+    n = gid.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+
+    r_act = 1 + sum(stream_limbs)
+    if k2 is None:
+        k2 = _pick_k2(num_buckets, sum(stream_limbs))
+
+    gidm = jnp.where(mask, gid.astype(jnp.int32), -1)
+    gid_p = jnp.pad(gidm, (0, pad), constant_values=-1).reshape(nb, 1, block)
+    stream_ps = [
+        jnp.pad(s.astype(jnp.int32), (0, pad)).reshape(nb, 1, block)
+        for s in streams
+    ]
+
+    k1 = -(-num_buckets // k2)
+
+    def _decode(out, k1c):
+        acc = (
+            out[1].astype(jnp.int64) * jnp.int64(4096)
+            + out[0].astype(jnp.int64)
+        )
+        acc = acc[: r_act * k1c].reshape(r_act, k1c, k2)
+        counts = acc[0].reshape(-1).astype(jnp.uint64)
+        acc_u = acc.astype(jnp.uint64)
+        totals = []
+        p = 1
+        for nl in stream_limbs:
+            total = jnp.zeros((k1c * k2,), jnp.uint64)
+            offset = 0
+            for j in range(nl):
+                total = total + (
+                    acc_u[p + j].reshape(-1) << jnp.uint64(8 * j)
+                )
+                offset = (offset + (128 << (8 * j))) & 0xFFFFFFFFFFFFFFFF
+            total = total + jnp.uint64(offset) * counts
+            totals.append(total)
+            p += nl
+        return counts, totals
+
+    def _call(gid_blocks, k1c):
+        return pl.pallas_call(
+            functools.partial(
+                _multi_agg_kernel,
+                k1=k1c,
+                k2=k2,
+                k2_shift=k2.bit_length() - 1,
+                stream_limbs=stream_limbs,
+                rows_pad=-(-(k1c * r_act) // 32) * 32,
+                carry_every=CARRY_EVERY_I32,
+            ),
+            interpret=(
+                jax.default_backend() != "tpu"
+                if interpret is None
+                else interpret
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in range(1 + len(stream_ps))
+            ],
+            out_specs=pl.BlockSpec(
+                (2, -(-(k1c * r_act) // 32) * 32, k2),
+                lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (2, -(-(k1c * r_act) // 32) * 32, k2), jnp.int32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((-(-(k1c * r_act) // 32) * 32, k2), jnp.int32),
+                pltpu.VMEM((-(-(k1c * r_act) // 32) * 32, k2), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * nb * block * (-(-(k1c * r_act) // 32) * 32) * k2,
+                bytes_accessed=nb * block * (1 + len(stream_ps)) * 4,
+                transcendentals=0,
+            ),
+        )(gid_blocks, *stream_ps)
+
+    k1_max = max(1, _MAX_ROWS // r_act)
+    if k1 <= k1_max:
+        with jax.enable_x64(False):
+            out = _call(gid_p, k1)
+        counts, totals = _decode(out, k1)
+        return (
+            counts[:num_buckets],
+            tuple(t[:num_buckets] for t in totals),
+        )
+
+    counts_parts = []
+    totals_parts = []
+    for c0 in range(0, k1, k1_max):
+        k1c = min(k1_max, k1 - c0)
+        gid_c = gid_p - jnp.int32(c0 * k2)
+        with jax.enable_x64(False):
+            out = _call(gid_c, k1c)
+        c_part, t_parts = _decode(out, k1c)
+        counts_parts.append(c_part)
+        totals_parts.append(t_parts)
+    counts = jnp.concatenate(counts_parts)[:num_buckets]
+    totals = tuple(
+        jnp.concatenate([tp[i] for tp in totals_parts])[:num_buckets]
+        for i in range(len(stream_limbs))
+    )
+    return counts, totals
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_buckets", "block", "interpret", "k2"),

@@ -370,3 +370,52 @@ def test_pallas_sum_count_fused_multipass_u64():
             exp_sums[g] += v
     assert np.array_equal(counts, exp_counts.astype(counts.dtype))
     assert np.array_equal(sums, exp_sums)
+
+
+def test_pallas_multi_sum_exact():
+    """Multi-stream shared-one-hot aggregation (the repairing
+    unbounded-key GROUP BY probe's kernel): per-stream sums are full
+    mod-2^64 accumulations, single- and multi-chunk."""
+    from eventql_tpu.kernels.pallas_groupby import pallas_multi_sum
+
+    rng = np.random.default_rng(1)
+    n, K = 30000, 300
+    gid = rng.integers(0, K, n).astype(np.int32)
+    s1 = rng.integers(0, 1 << 16, n).astype(np.int32)
+    s2 = rng.integers(0, 1 << 24, n).astype(np.int32)
+    s3 = rng.integers(0, 256, n).astype(np.int32)
+    mask = rng.random(n) < 0.8
+    counts, tots = pallas_multi_sum(
+        jnp.asarray(mask), jnp.asarray(gid),
+        (jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(s3)),
+        (2, 3, 1), K,
+    )
+    counts = np.asarray(counts)
+    ec = np.bincount(gid[mask], minlength=K)
+    assert np.array_equal(counts, ec)
+    for s, t in zip((s1, s2, s3), tots):
+        want = np.bincount(
+            gid[mask], weights=s[mask].astype(np.float64), minlength=K
+        ).astype(np.uint64)
+        assert np.array_equal(np.asarray(t), want)
+
+    # multi-chunk: 12 streams x 3 limbs at K past the VMEM row bound
+    Kb = 3000
+    gid2 = rng.integers(0, Kb, n).astype(np.int32)
+    streams = tuple(
+        jnp.asarray(rng.integers(0, 1 << 24, n).astype(np.int32))
+        for _ in range(12)
+    )
+    counts2, tots2 = pallas_multi_sum(
+        jnp.asarray(mask), jnp.asarray(gid2), streams, (3,) * 12, Kb
+    )
+    assert np.array_equal(
+        np.asarray(counts2), np.bincount(gid2[mask], minlength=Kb)
+    )
+    for s, t in zip(streams, tots2):
+        want = np.bincount(
+            gid2[mask],
+            weights=np.asarray(s)[mask].astype(np.float64),
+            minlength=Kb,
+        ).astype(np.uint64)
+        assert np.array_equal(np.asarray(t), want)
