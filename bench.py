@@ -794,10 +794,47 @@ def bench_insert():
             ]
             for off in range(0, rows, batch)
         ]
-        t0 = time.perf_counter()
-        for recs in batches:
-            c.insert_json("ev", recs)
-        elapsed = time.perf_counter() - t0
+        # aggregate multi-connection ingest (BENCH_CONNS, default 2):
+        # the server is thread-per-connection with per-table write
+        # locking; shredding overlaps across connections (ctypes
+        # releases the GIL during the C++ pass) while the arena
+        # append/flush serializes — the reference's concurrency model
+        # (db/database.cc:555-573 + partition_writer.cc:270)
+        conns = int(os.environ.get("BENCH_CONNS", 2))
+        if conns <= 1:
+            t0 = time.perf_counter()
+            for recs in batches:
+                c.insert_json("ev", recs)
+            elapsed = time.perf_counter() - t0
+        else:
+            import threading
+
+            clients = [c] + [
+                NativeTCPClient("127.0.0.1", 19180)
+                for _ in range(conns - 1)
+            ]
+            errs = []
+
+            def sender(ci, cl):
+                try:
+                    for recs in batches[ci::conns]:
+                        cl.insert_json("ev", recs)
+                except Exception as e:  # surfaces after join
+                    errs.append(e)
+
+            threads = [
+                threading.Thread(target=sender, args=(i, cl))
+                for i, cl in enumerate(clients)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            elapsed = time.perf_counter() - t0
+            assert not errs, errs
+            for cl in clients[1:]:
+                cl.close()
         (cols, rws), = c.query("select count(1) from ev;")
         assert rws[0][0] == str(rows), rws
         c.close()

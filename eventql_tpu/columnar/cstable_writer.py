@@ -56,6 +56,14 @@ def simdbp128_pack(values: np.ndarray, maxbits: int) -> bytes:
 
 
 def leb128_encode(values: np.ndarray) -> bytes:
+    # native C encoder when available (the Python per-byte loop was
+    # 66% of the whole insert wall — PERF.md insert ladder); the two
+    # are differentially tested bit-for-bit (tests/test_native_codec)
+    from eventql_tpu.columnar import native as _native
+
+    encoded = _native.leb128_encode(np.asarray(values))
+    if encoded is not None:
+        return encoded
     out = bytearray()
     for v in values:
         v = int(v)

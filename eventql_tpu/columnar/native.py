@@ -64,6 +64,12 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.evql_leb128_encode.restype = ctypes.c_int64
+    lib.evql_leb128_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.evql_lenenc_strings.restype = ctypes.c_int64
     lib.evql_lenenc_strings.argtypes = [
         ctypes.c_char_p,
@@ -144,6 +150,27 @@ def leb128_decode(buf: bytes, count: int) -> Optional[np.ndarray]:
     if rc < 0:
         return None
     return out
+
+
+def leb128_encode(values: np.ndarray):
+    """C LEB128 encoder (None when the native lib is unavailable; the
+    caller falls back to the Python encoder). The segment flush
+    encodes every integer column this way — the Python per-byte
+    version was 66% of the insert wall (PERF.md insert ladder)."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    out = np.empty(n * 10, dtype=np.uint8)
+    written = lib.evql_leb128_encode(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out[:written].tobytes()
 
 
 def lenenc_strings(buf: bytes, count: int):

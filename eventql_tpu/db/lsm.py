@@ -145,23 +145,29 @@ class LSMTable(MemoryTable):
 
     # -- writes ---------------------------------------------------------
     def insert_row(self, row: Dict[str, SValue], obj=None, version=None):
-        out = super().insert_row(row, obj=obj, version=version)
-        if self.arena_rows() >= self.arena_flush_rows:
-            self.commit()
-        return out
+        with self._write_lock:
+            out = super().insert_row(row, obj=obj, version=version)
+            if self.arena_rows() >= self.arena_flush_rows:
+                self.commit()
+            return out
 
     def insert_batch(self, rel, versions=None, record_ids=None):
-        out = super().insert_batch(
-            rel, versions=versions, record_ids=record_ids
-        )
-        if self.arena_rows() >= self.arena_flush_rows:
-            self.commit()
-        return out
+        with self._write_lock:
+            out = super().insert_batch(
+                rel, versions=versions, record_ids=record_ids
+            )
+            if self.arena_rows() >= self.arena_flush_rows:
+                self.commit()
+            return out
 
     def commit(self):
         """Flush the arena to an immutable segment
         (reference: LSMPartitionWriter::commit, partition_writer.cc:
         269-348 — arena → cstable, then arena cleared)."""
+        with self._write_lock:
+            self._commit_locked()
+
+    def _commit_locked(self):
         if not self.arena_rows():
             return
         seq = len(self._segments)
@@ -263,7 +269,14 @@ class LSMTable(MemoryTable):
     def compact(self):
         """Fold all segments into one major segment with upsert
         resolution applied (reference: LSMPartitionWriter::compact +
-        SimpleCompactionStrategy, db/compaction_strategy.h:58-77)."""
+        SimpleCompactionStrategy, db/compaction_strategy.h:58-77).
+        Serialized against concurrent ingest by the per-table write
+        lock (reference: the commit/compact mutexes,
+        partition_writer.cc:270,361)."""
+        with self._write_lock:
+            self._compact_locked()
+
+    def _compact_locked(self):
         self.commit()
         if self.has_repeated:
             return self._compact_nested()

@@ -98,6 +98,17 @@ class MemoryTable:
         self._relation_cache: Optional[Relation] = None
         self._reader_cache = None
         self._insert_meta = None
+        # per-table (= per local partition) write lock: the server is
+        # thread-per-connection (reference: db/database.cc:555-573) and
+        # concurrent ingest must serialize the arena append + version
+        # check + flush sequence (reference: LSMPartitionWriter's
+        # commit/compact mutexes, partition_writer.cc:270,361). The
+        # CPU-heavy shred runs BEFORE the lock (ctypes releases the
+        # GIL), so parallel connections overlap shredding with the
+        # serialized arena work.
+        import threading
+
+        self._write_lock = threading.RLock()
 
     @property
     def has_repeated(self) -> bool:
@@ -142,6 +153,10 @@ class MemoryTable:
         (its version is not newer than the head version for its primary
         key) and was dropped at write time, True otherwise (reference:
         partition_writer.cc:169-187 record_flags_skip)."""
+        with self._write_lock:
+            return self._insert_row_locked(row, obj, version)
+
+    def _insert_row_locked(self, row, obj, version) -> bool:
         known = {c[0] for c in self.columns}
         for cname in row:
             if cname not in known:
@@ -233,6 +248,10 @@ class MemoryTable:
         whose version is not newer than the head version for their pk
         drop at write time (reference: partition_writer.cc:166-191).
         Returns the number of rows actually inserted."""
+        with self._write_lock:
+            return self._insert_batch_locked(rel, versions, record_ids)
+
+    def _insert_batch_locked(self, rel, versions, record_ids) -> int:
         if self.has_repeated:
             raise RuntimeError_(
                 "batch insert requires a flat schema: "

@@ -102,6 +102,28 @@ int64_t evql_leb128_decode(
   return static_cast<int64_t>(pos);
 }
 
+// Encode `count` values as LEB128 varints into `out` (caller allocates
+// count*10 bytes, the worst case). Returns bytes written. The segment
+// flush encodes every UINT64/INT64 column this way
+// (reference encoder: io/cstable/columns/UnsignedIntColumnWriter via
+// util/util/binarymessagewriter appendVarUInt) — the Python
+// per-byte-append version was 66% of the whole insert wall.
+int64_t evql_leb128_encode(
+    const uint64_t* vals,
+    uint64_t count,
+    uint8_t* out) {
+  uint8_t* p = out;
+  for (uint64_t i = 0; i < count; ++i) {
+    uint64_t v = vals[i];
+    while (v >= 0x80) {
+      *p++ = static_cast<uint8_t>(v) | 0x80;
+      v >>= 7;
+    }
+    *p++ = static_cast<uint8_t>(v);
+  }
+  return static_cast<int64_t>(p - out);
+}
+
 // Parse [u32 len][bytes] length-prefixed strings: writes each value's
 // (offset, length) pair. Returns bytes consumed or -1 on truncation.
 int64_t evql_lenenc_strings(

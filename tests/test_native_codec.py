@@ -111,3 +111,45 @@ def test_cstable_reads_identically_with_and_without_native(monkeypatch):
 
     assert (with_native.data == without_native.data).all()
     assert (with_native.valid == without_native.valid).all()
+
+
+def test_leb128_encode_native_matches_python():
+    """C encoder vs the Python reference encoder, bit-for-bit, across
+    the value-width spectrum incl. the 10-byte 2^63+ tail."""
+    from eventql_tpu.columnar import native
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.integers(0, 128, 500, dtype=np.uint64),
+        rng.integers(0, 1 << 14, 500, dtype=np.uint64),
+        rng.integers(0, 1 << 32, 500, dtype=np.uint64),
+        rng.integers(0, 1 << 63, 500, dtype=np.uint64),
+        np.array([0, 127, 128, (1 << 64) - 1], dtype=np.uint64),
+    ])
+    got = native.leb128_encode(vals)
+    if got is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    out = bytearray()
+    for v in vals:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    assert got == bytes(out)
+    # and the decoder round-trips it
+    dec = np.zeros(len(vals), dtype=np.uint64)
+    import ctypes
+    lib = native._try_load()
+    consumed = lib.evql_leb128_decode(
+        got, len(got), len(vals),
+        dec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    assert consumed == len(got)
+    assert np.array_equal(dec, vals)

@@ -11,6 +11,7 @@ import pytest
 
 from eventql_tpu.columnar import native
 from eventql_tpu.core.errors import RuntimeError_
+from eventql_tpu.db.lsm import DurableTableService
 from eventql_tpu.db.table_service import TableService
 from eventql_tpu.plan.nodes import ColumnDefinition, CreateTableNode
 
@@ -377,3 +378,65 @@ def test_records_wire_fallback_counts_rows():
     region, count = _lenenc_records(recs)
     n = svc.insert_records_wire("n", region, count)
     assert n == 5
+
+
+def test_concurrent_wire_ingest_dedup(tmp_path):
+    """Parallel connections inserting OVERLAPPING primary keys: the
+    per-table write lock serializes arena/version work, and write-time
+    dedup must hold exactly (newest version wins, one row per pk)."""
+    import json as _json
+    import threading
+
+    svc = DurableTableService(str(tmp_path), arena_flush_rows=3000)
+    svc.create_table(
+        CreateTableNode(
+            "ev",
+            [
+                ColumnDefinition("id", "UINT64"),
+                ColumnDefinition("v", "UINT64"),
+            ],
+            ["id"],
+            None,
+            [],
+        )
+    )
+
+    def varint(x):
+        out = bytearray()
+        while True:
+            b7 = x & 0x7F
+            x >>= 7
+            out.append(b7 | (0x80 if x else 0))
+            if not x:
+                break
+        return bytes(out)
+
+    n_keys, per_thread_batches, batch = 4000, 10, 800
+    errs = []
+
+    def writer(tid):
+        rng = np.random.default_rng(tid)
+        try:
+            for _ in range(per_thread_batches):
+                ks = rng.integers(0, n_keys, batch)
+                recs = [
+                    _json.dumps({"id": int(k), "v": int(k) * 2}).encode()
+                    for k in ks
+                ]
+                region = b"".join(varint(len(r)) + r for r in recs)
+                svc.insert_records_wire("ev", region, batch)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    rel = svc.tables["ev"].to_relation()
+    ids = rel.columns[rel.names.index("id")].data.astype(np.uint64)
+    vs = rel.columns[rel.names.index("v")].data.astype(np.uint64)
+    assert len(np.unique(ids)) == len(ids), "duplicate primary keys"
+    assert np.array_equal(vs, ids * 2)
