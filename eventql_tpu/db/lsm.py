@@ -135,13 +135,87 @@ class LSMTable(MemoryTable):
         )
         return t
 
+    # -- segment manifest (crash consistency) ---------------------------
+    # The set AND order of live segments is committed atomically through
+    # `segments.json` (tmp + fsync + rename). A segment file becomes
+    # durable-visible only once the manifest names it, so a crash at any
+    # point of commit/compaction leaves either the old or the new
+    # manifest — never a half state. Files on disk but not in the
+    # manifest (a crash between segment write and manifest commit, or
+    # between a compaction's manifest flip and its old-file retirement)
+    # are orphans: ignored and swept to .trash on reopen. This is the
+    # role the reference's double-metablock flip + FileTracker refs play
+    # (io/cstable/cstable_writer.cc:283-292, db/file_tracker.cc).
+    _MANIFEST = "segments.json"
+
     def _list_segments(self) -> List[str]:
-        segs = [
+        mpath = os.path.join(self.dir, self._MANIFEST)
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    segs = list(json.load(f)["segments"])
+            except (OSError, ValueError, KeyError):
+                segs = None
+            if segs is not None:
+                self._sweep_orphans(segs)
+                return segs
+        # legacy dir (pre-manifest): adopt the name-sorted scan
+        segs = sorted(
             f
             for f in os.listdir(self.dir)
             if f.startswith("segment-") and f.endswith(".cst")
-        ]
-        return sorted(segs)
+        )
+        self._write_manifest_file(segs)
+        return segs
+
+    def _write_manifest_file(self, segments: List[str]):
+        tmp = os.path.join(self.dir, self._MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"segments": list(segments)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.dir, self._MANIFEST))
+
+    def _sweep_orphans(self, live: List[str]):
+        """Move segment/index/tmp files the manifest does not name into
+        .trash — the remains of a crashed commit or compaction."""
+        from eventql_tpu.db.tablet_index import INDEX_SUFFIX
+
+        keep = set(live) | {s + INDEX_SUFFIX for s in live}
+        for f in os.listdir(self.dir):
+            stray = (
+                f.endswith(".tmp")
+                or (
+                    f.startswith("segment-")
+                    and (f.endswith(".cst") or f.endswith(INDEX_SUFFIX))
+                    and f not in keep
+                )
+            )
+            if stray:
+                _trash_file(self.dir, f)
+
+    def _next_segment_name(self) -> str:
+        """A name no live OR orphaned file holds (crash remains are
+        swept at open, but a same-process retry must not collide)."""
+        seq = 0
+        for f in self._segments:
+            try:
+                seq = max(seq, int(f.split("-")[1].split(".")[0]) + 1)
+            except (IndexError, ValueError):
+                pass
+        while True:
+            name = f"segment-{seq:06d}.cst"
+            if not os.path.exists(os.path.join(self.dir, name)):
+                return name
+            seq += 1
+
+    @staticmethod
+    def _crash_point(name: str):
+        """Deterministic fault injection for the crash-recovery test
+        tier: EVENTQL_TPU_CRASH_POINT=<name> hard-kills the process at
+        this point (os._exit — no cleanup, like kill -9)."""
+        if os.environ.get("EVENTQL_TPU_CRASH_POINT") == name:
+            os._exit(137)
 
     # -- writes ---------------------------------------------------------
     def insert_row(self, row: Dict[str, SValue], obj=None, version=None):
@@ -170,9 +244,9 @@ class LSMTable(MemoryTable):
     def _commit_locked(self):
         if not self.arena_rows():
             return
-        seq = len(self._segments)
-        seg_name = f"segment-{seq:06d}.cst"
+        seg_name = self._next_segment_name()
         tmp = os.path.join(self.dir, seg_name + ".tmp")
+        self._crash_point("commit_pre_segment")
         if self.has_repeated:
             # Dremel-shredded v0.2 segment: every leaf (flat + repeated)
             # persists as level/value streams
@@ -184,11 +258,15 @@ class LSMTable(MemoryTable):
         else:
             rel = MemoryTable.to_relation(self)
             write_cstable(tmp, rel)
+        self._crash_point("commit_pre_replace")
         os.replace(tmp, os.path.join(self.dir, seg_name))
+        self._crash_point("commit_post_segment")
         # sibling pk→version index: stale-record checks on later
         # inserts resolve against flushed segments without reading them
         # (reference: LSMTableIndex written at commit,
-        # partition_writer.cc:269-348 + tablet_index.cc)
+        # partition_writer.cc:269-348 + tablet_index.cc). Ordered
+        # BEFORE the manifest commit: a manifest-live segment always
+        # has its complete .idx sidecar.
         if self.primary_key and self._arena_index:
             from eventql_tpu.db.tablet_index import (
                 index_path_for,
@@ -199,6 +277,10 @@ class LSMTable(MemoryTable):
                 index_path_for(os.path.join(self.dir, seg_name)),
                 self._arena_index,
             )
+        self._crash_point("commit_post_index")
+        # durability point: the manifest rename makes the segment live
+        self._write_manifest_file(self._segments + [seg_name])
+        self._crash_point("commit_post_manifest")
         self._arena_index = {}
         self._segments.append(seg_name)
         self.rows = []
@@ -211,6 +293,7 @@ class LSMTable(MemoryTable):
         """Unload: clear the arena and trash every segment (files move
         to .trash for the GC sweep, like dereferenced segments)."""
         super().truncate()
+        self._write_manifest_file([])  # durability point first
         for seg in self._segments:
             self._drop_segment_index(seg)
             _trash_file(self.dir, seg)
@@ -280,14 +363,20 @@ class LSMTable(MemoryTable):
         self.commit()
         if self.has_repeated:
             return self._compact_nested()
+        if not self._segments:
+            return
         rel = self.to_relation()
         merged_idx = self._merged_index_map() if self.primary_key else {}
-        for seg in self._segments:
-            self._drop_segment_index(seg)
-            _trash_file(self.dir, seg)
-        self._segments = []
+        # crash-safe order: build the major segment under a FRESH name,
+        # flip the manifest (the atomic durability point), only then
+        # retire the old files — a kill at any point leaves either the
+        # old segment set or the new one, never neither (the pre-r4
+        # code trashed the minors before writing the major: a crash in
+        # between lost the table)
+        old = list(self._segments)
+        new_segs = []
         if rel.num_rows:
-            seg_name = "segment-000000.cst"
+            seg_name = self._next_segment_name()
             tmp = os.path.join(self.dir, seg_name + ".tmp")
             write_cstable(tmp, rel)
             os.replace(tmp, os.path.join(self.dir, seg_name))
@@ -301,7 +390,14 @@ class LSMTable(MemoryTable):
                     index_path_for(os.path.join(self.dir, seg_name)),
                     merged_idx,
                 )
-            self._segments = [seg_name]
+            new_segs = [seg_name]
+        self._crash_point("compact_pre_manifest")
+        self._write_manifest_file(new_segs)
+        self._crash_point("compact_post_manifest")
+        for seg in old:
+            self._drop_segment_index(seg)
+            _trash_file(self.dir, seg)
+        self._segments = new_segs
         self._relation_cache = None
 
     # -- reads ----------------------------------------------------------
@@ -446,13 +542,12 @@ class LSMTable(MemoryTable):
             dec = reader.decode_column(m.path)
             streams[m.path] = (dec.rlvls, dec.dlvls, dec.values, m)
         merged_idx = self._merged_index_map() if self.primary_key else {}
-        for seg in self._segments:
-            self._drop_segment_index(seg)
-            _trash_file(self.dir, seg)
-            self._segment_readers.pop(seg, None)
-        self._segments = []
+        # same write-then-retire order as the flat compaction: the
+        # manifest flip is the durability point
+        old = list(self._segments)
+        new_segs = []
         if reader.num_rows:
-            seg_name = "segment-000000.cst"
+            seg_name = self._next_segment_name()
             tmp = os.path.join(self.dir, seg_name + ".tmp")
             _write_nested_segment(tmp, streams, reader.num_rows)
             os.replace(tmp, os.path.join(self.dir, seg_name))
@@ -466,7 +561,15 @@ class LSMTable(MemoryTable):
                     index_path_for(os.path.join(self.dir, seg_name)),
                     merged_idx,
                 )
-            self._segments = [seg_name]
+            new_segs = [seg_name]
+        self._crash_point("compact_pre_manifest")
+        self._write_manifest_file(new_segs)
+        self._crash_point("compact_post_manifest")
+        for seg in old:
+            self._drop_segment_index(seg)
+            _trash_file(self.dir, seg)
+            self._segment_readers.pop(seg, None)
+        self._segments = new_segs
         self._relation_cache = None
         self._reader_cache = None
 
