@@ -17,6 +17,7 @@ count_distinct exchanges locally-deduplicated pair tables
 
 from __future__ import annotations
 
+import os
 import functools
 from typing import Sequence, Tuple
 
@@ -36,6 +37,80 @@ _MERGE_KIND = {
     "min": "min",
     "max": "max",
 }
+
+# -- exchange-volume instrumentation (VERDICT r3 item 7) ---------------------
+# Every mesh collective below routes through _xch_* helpers which, when
+# a tally is active, record the TRACE-TIME exchange accounting: local
+# bytes moved per device and the ring hop distance. Shapes under jit
+# are static, so trace-time counting is exact for every execution of
+# the compiled program. parallel/exchange_model.py combines these
+# counts with measured on-chip stage rates and an ICI link model into
+# projected real-hardware scaling curves (the virtual CPU mesh can
+# only emulate collectives). NOTE: records populate when the program
+# TRACES — a jit cache hit replays without recording.
+_EXCHANGE_TALLY = None
+
+
+class exchange_tally:
+    """Context manager collecting per-collective exchange records:
+    dicts of {op, bytes_per_device, hops, count}."""
+
+    def __enter__(self):
+        global _EXCHANGE_TALLY
+        self.records = []
+        _EXCHANGE_TALLY = self.records
+        return self
+
+    def __exit__(self, *exc):
+        global _EXCHANGE_TALLY
+        _EXCHANGE_TALLY = None
+        return False
+
+    def total_link_bytes(self, n_devices: int) -> int:
+        """Per-device bytes weighted by ring hops: the per-link traffic
+        a 1D-ring embedding carries (disjoint distance-j pairs load
+        every link j times its message size)."""
+        return sum(r["bytes_per_device"] * r["hops"] for r in self.records)
+
+
+def _xch_record(op: str, nbytes: int, hops: int):
+    if _EXCHANGE_TALLY is not None:
+        _EXCHANGE_TALLY.append(
+            {"op": op, "bytes_per_device": int(nbytes), "hops": int(hops)}
+        )
+
+
+def _ring_hops(perm) -> int:
+    """Max ring distance of a permutation's pairs (power-of-two XOR
+    partners sit exactly j apart in index space; a 1D ring embedding
+    pays that distance in links)."""
+    h = 0
+    for s, d in perm:
+        n = len(perm)
+        h = max(h, min((d - s) % n, (s - d) % n))
+    return max(h, 1)
+
+
+def _xch_ppermute(a, axis_name, perm, op="ppermute"):
+    _xch_record(op, a.size * a.dtype.itemsize, _ring_hops(perm))
+    return jax.lax.ppermute(a, axis_name, perm)
+
+
+def _xch_all_gather(a, axis_name, n_devices, op="all_gather", **kw):
+    # ring all-gather: each device forwards its neighbors' blocks for
+    # P-1 steps of one hop each
+    _xch_record(
+        op, a.size * a.dtype.itemsize * max(n_devices - 1, 0), 1
+    )
+    return jax.lax.all_gather(a, axis_name, **kw)
+
+
+def _xch_psum(a, axis_name, n_devices, op="psum"):
+    # ring all-reduce: reduce-scatter + all-gather, 2(P-1)/P of the
+    # buffer over one-hop links
+    nb = a.size * a.dtype.itemsize
+    _xch_record(op, nb * 2 * max(n_devices - 1, 0) // max(n_devices, 1), 1)
+    return jax.lax.psum(a, axis_name)
 
 
 def make_mesh(n_devices: int = None, axis: str = "shards", devices=None) -> Mesh:
@@ -78,9 +153,18 @@ def distributed_grouped_aggregate(
         valid = jnp.arange(n_local, dtype=jnp.int64) < ng
 
         # exchange fixed-width partial tables over ICI
-        gk_all = tuple(jax.lax.all_gather(k, axis, tiled=True) for k in gk)
-        aggs_all = tuple(jax.lax.all_gather(a, axis, tiled=True) for a in aggs)
-        valid_all = jax.lax.all_gather(valid, axis, tiled=True)
+        nd = mesh.shape[axis]
+        gk_all = tuple(
+            _xch_all_gather(k, axis, nd, op="groupby_gather", tiled=True)
+            for k in gk
+        )
+        aggs_all = tuple(
+            _xch_all_gather(a, axis, nd, op="groupby_gather", tiled=True)
+            for a in aggs
+        )
+        valid_all = _xch_all_gather(
+            valid, axis, nd, op="groupby_gather", tiled=True
+        )
 
         # replicated merge of partials (the GroupByMerge step)
         mk, maggs, _mf, mng = masked_grouped_aggregate(
@@ -146,8 +230,13 @@ def distributed_topk(
         kk = min(k, key_l.shape[0])
         top_vals, top_pos = jax.lax.top_k(key_l, kk)
         top_idx = idx_l[top_pos]
-        all_vals = jax.lax.all_gather(top_vals, axis, tiled=True)
-        all_idx = jax.lax.all_gather(top_idx, axis, tiled=True)
+        nd = mesh.shape[axis]
+        all_vals = _xch_all_gather(
+            top_vals, axis, nd, op="topk_gather", tiled=True
+        )
+        all_idx = _xch_all_gather(
+            top_idx, axis, nd, op="topk_gather", tiled=True
+        )
         f_vals, f_pos = jax.lax.top_k(all_vals, k)
         return f_vals, all_idx[f_pos]
 
@@ -186,8 +275,9 @@ def distributed_pallas_sum_count(
         counts, sums = pallas_sum_count(
             mask_l, gid_l, vals_l, num_buckets, interpret=_interp(mesh)
         )
-        counts = jax.lax.psum(counts, axis)
-        sums = jax.lax.psum(sums, axis)
+        nd = mesh.shape[axis]
+        counts = _xch_psum(counts, axis, nd, op="groupby_psum")
+        sums = _xch_psum(sums, axis, nd, op="groupby_psum")
         return counts, sums
 
     return step(mask, gid, values)
@@ -293,8 +383,8 @@ def distributed_multi_join_aggregate(
             gid, dk_cur, db_cur = carry
             # issue the permute FIRST: it has no dependence on the
             # probe below, so the collective overlaps the compute
-            dk_nxt = jax.lax.ppermute(dk_cur, axis, ring)
-            db_nxt = jax.lax.ppermute(db_cur, axis, ring)
+            dk_nxt = _xch_ppermute(dk_cur, axis, ring, op="join_ring")
+            db_nxt = _xch_ppermute(db_cur, axis, ring, op="join_ring")
             g = _probe_gid(fk1, dk_cur, db_cur, probe, interp)
             return jnp.maximum(gid, g), dk_nxt, db_nxt
 
@@ -308,7 +398,11 @@ def distributed_multi_join_aggregate(
         counts, sums = pallas_sum_count(
             mask, gid, fv, num_buckets, interpret=interp
         )
-        return jax.lax.psum(counts, axis), jax.lax.psum(sums, axis)
+        _ndev = mesh.shape[axis]
+        return (
+            _xch_psum(counts, axis, _ndev, op="join_psum"),
+            _xch_psum(sums, axis, _ndev, op="join_psum"),
+        )
 
     return step(
         fact_k1, fact_k2, fact_values, fact_mask,
@@ -384,7 +478,11 @@ def distributed_join_aggregate(
             mask, jnp.maximum(gid, 0), fv_l, num_buckets,
             interpret=_interp(mesh),
         )
-        return jax.lax.psum(counts, axis), jax.lax.psum(sums, axis)
+        _ndev = mesh.shape[axis]
+        return (
+            _xch_psum(counts, axis, _ndev, op="join_psum"),
+            _xch_psum(sums, axis, _ndev, op="join_psum"),
+        )
 
     return step(fact_keys, fact_values, fact_mask, dim_keys, dim_bucket)
 
@@ -445,11 +543,17 @@ def distributed_count_distinct(
         vals_dedup = vals_l[perm]
 
         # exchange deduplicated pair tables over ICI
-        keep_all = jax.lax.all_gather(keep, axis, tiled=True)
-        keys_all = tuple(
-            jax.lax.all_gather(k, axis, tiled=True) for k in keys_dedup
+        nd = mesh.shape[axis]
+        keep_all = _xch_all_gather(
+            keep, axis, nd, op="distinct_gather", tiled=True
         )
-        vals_all = jax.lax.all_gather(vals_dedup, axis, tiled=True)
+        keys_all = tuple(
+            _xch_all_gather(k, axis, nd, op="distinct_gather", tiled=True)
+            for k in keys_dedup
+        )
+        vals_all = _xch_all_gather(
+            vals_dedup, axis, nd, op="distinct_gather", tiled=True
+        )
 
         # replicated: global distinct count per group (cross-shard
         # duplicates collapse here) + the group key table
@@ -632,6 +736,40 @@ def distributed_sort(
         n_local = keys_l[0].shape[0]
         pow2_run = n_local & (n_local - 1) == 0
 
+        # chunked compare-split (BASELINE config 5 / round-3 NEXT #5):
+        # split each stage's run into C chunks and issue C smaller
+        # ppermutes, selecting per chunk — chunk c's compare-select can
+        # then run UNDER chunk c+1's transfer (XLA schedules the
+        # independent collectives asynchronously on real ICI; the
+        # virtual CPU mesh only validates exactness). My ascending
+        # chunk c pairs with the partner's REVERSED run, i.e. the
+        # partner's chunk C-1-c reversed — both sides of a pair send
+        # chunk C-1-c at step c, so the SPMD program stays symmetric.
+        chunks = int(os.environ.get("EVENTQL_TPU_EXCHANGE_CHUNKS", "1"))
+        if chunks > 1 and n_local % chunks:
+            chunks = 1
+        csize = n_local // max(chunks, 1)
+
+        def exchange(arrs, perm):
+            if chunks <= 1:
+                return tuple(
+                    _xch_ppermute(a, axis, perm, op="sort_exchange")[::-1]
+                    for a in arrs
+                )
+            out = []
+            for a in arrs:
+                parts = [
+                    _xch_ppermute(
+                        a[(chunks - 1 - c) * csize : (chunks - c) * csize],
+                        axis,
+                        perm,
+                        op="sort_exchange",
+                    )[::-1]
+                    for c in range(chunks)
+                ]
+                out.append(jnp.concatenate(parts))
+            return tuple(out)
+
         k = 2
         while k <= n_shards:
             j = k // 2
@@ -642,17 +780,11 @@ def distributed_sort(
                 # hiding overlaps their transfer with the key-side
                 # compare-split compute (BASELINE config 5's
                 # shuffle/compute overlap; the dependency chain forbids
-                # overlapping ACROSS stages)
-                o_keys = tuple(
-                    jax.lax.ppermute(a, axis, perm) for a in keys_l
-                )
-                o_pays = tuple(
-                    jax.lax.ppermute(a, axis, perm) for a in pays_l
-                )
-                # reverse the partner's ascending run: [mine, rev] is
-                # bitonic, elementwise min/max is the compare-split
-                o_keys = tuple(a[::-1] for a in o_keys)
-                o_pays = tuple(a[::-1] for a in o_pays)
+                # overlapping ACROSS stages). The partner's ascending
+                # run arrives reversed: [mine, rev] is bitonic and the
+                # elementwise min/max is the compare-split.
+                o_keys = exchange(keys_l, perm)
+                o_pays = exchange(pays_l, perm)
                 lt, eq = _lex_lt(keys_l, o_keys)
                 # ascending block iff bit k of rank is clear; keep the
                 # low half iff block direction matches pair position
@@ -892,12 +1024,17 @@ def distributed_grouped_aggregate_sharded(
         ]  # na × (2,)
 
         # O(P) exchange of the edge entries
-        bmask = jax.lax.all_gather(contrib, axis).reshape(-1)  # (2P,)
+        nd = mesh.shape[axis]
+        bmask = _xch_all_gather(
+            contrib, axis, nd, op="boundary_gather"
+        ).reshape(-1)  # (2P,)
         bkeys = [
-            jax.lax.all_gather(k, axis).reshape(-1) for k in ekeys
+            _xch_all_gather(k, axis, nd, op="boundary_gather").reshape(-1)
+            for k in ekeys
         ]
         baggs = [
-            jax.lax.all_gather(a, axis).reshape(-1) for a in eaggs
+            _xch_all_gather(a, axis, nd, op="boundary_gather").reshape(-1)
+            for a in eaggs
         ]
         bshard = (
             jnp.arange(2 * n_shards, dtype=jnp.int64) // 2

@@ -163,3 +163,63 @@ def test_payload_columns_ride_along():
     assert np.array_equal(sk, np.sort(keys))
     assert np.array_equal(s1, sk * 3 + 1)
     assert np.array_equal(s2, sk % 97)
+
+
+@pytest.mark.parametrize("chunks", [2, 4, 8, 3])
+def test_chunked_exchange_identical(chunks, monkeypatch):
+    """EVENTQL_TPU_EXCHANGE_CHUNKS splits each stage's ppermute into C
+    chunk transfers (compare of chunk c overlaps transfer of chunk c+1
+    on real ICI); the result must be IDENTICAL to the unchunked sort.
+    A chunk count that does not divide n_local falls back to one
+    transfer (chunks=3 with n_local=64)."""
+    mesh = make_mesh(8)
+    n = 8 * 64
+    rng = np.random.default_rng(41 + chunks)
+    keys = rng.integers(0, 1 << 62, n).astype(np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    keys_d, ids_d = shard_table(mesh, [keys, ids])
+
+    monkeypatch.delenv("EVENTQL_TPU_EXCHANGE_CHUNKS", raising=False)
+    (sk0,), (sp0,) = distributed_sort(mesh, (keys_d,), (ids_d,))
+    monkeypatch.setenv("EVENTQL_TPU_EXCHANGE_CHUNKS", str(chunks))
+    (sk1,), (sp1,) = distributed_sort(mesh, (keys_d,), (ids_d,))
+    assert np.array_equal(np.asarray(sk0), np.asarray(sk1))
+    assert np.array_equal(np.asarray(sp0), np.asarray(sp1))
+    assert np.array_equal(np.asarray(sk1), np.sort(keys))
+
+
+def test_exchange_tally_matches_analytic_model():
+    """The trace-time collective tally must agree exactly with the
+    analytic per-device link-byte model the scaling projection uses
+    (exchange bytes are counted, not asserted — VERDICT r3 item 7)."""
+    from eventql_tpu.parallel.distributed import exchange_tally
+    from eventql_tpu.parallel.exchange_model import (
+        sort_exchange_link_bytes,
+        sort_stage_distances,
+    )
+
+    mesh = make_mesh(8)
+    n = 8 * 64
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 62, n).astype(np.uint64)
+    ids = np.arange(n, dtype=np.int64)
+    keys_d, ids_d = shard_table(mesh, [keys, ids])
+
+    with exchange_tally() as tally:
+        (sk,), (sp,) = distributed_sort(mesh, (keys_d,), (ids_d,))
+    np.asarray(sk)
+
+    got = sum(
+        r["bytes_per_device"] * r["hops"]
+        for r in tally.records
+        if r["op"] == "sort_exchange"
+    )
+    # keys u64 (8B) + payload i64 (8B) = 16 B/row, 64 rows/device
+    want = sort_exchange_link_bytes(64, 16, 8)
+    assert got == want, (got, want)
+    # 6 stages for P=8, two arrays each
+    assert len(sort_stage_distances(8)) == 6
+    n_permutes = sum(
+        1 for r in tally.records if r["op"] == "sort_exchange"
+    )
+    assert n_permutes == 6 * 2
