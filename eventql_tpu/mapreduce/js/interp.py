@@ -65,11 +65,13 @@ def throw(msg: str, name: str = "Error"):
 
 
 class _Break(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class _Continue(Exception):
-    pass
+    def __init__(self, label=None):
+        self.label = label
 
 
 class _Return(Exception):
@@ -78,10 +80,13 @@ class _Return(Exception):
 
 
 class JSObject:
-    __slots__ = ("props",)
+    __slots__ = ("props", "proto")
 
-    def __init__(self, props: Optional[Dict] = None):
+    def __init__(self, props: Optional[Dict] = None, proto=None):
         self.props = dict(props or {})
+        # [[Prototype]] link (ES5 8.6.2): property GETs walk the chain,
+        # SETs/DELETEs touch own props only
+        self.proto = proto
 
     def __repr__(self):
         return js_repr(self)
@@ -523,6 +528,8 @@ def _hoist_stmt(s, scope, interp):
         _hoist_stmt(s[3], scope, interp)
     elif tag in ("while",):
         _hoist_stmt(s[2], scope, interp)
+    elif tag == "label":
+        _hoist_stmt(s[2], scope, interp)
     elif tag == "dowhile":
         _hoist_stmt(s[1], scope, interp)
     elif tag == "try":
@@ -606,16 +613,20 @@ class Interpreter:
             if fn.construct is not None:
                 return fn.construct(self, list(args))
             return fn.fn(self, UNDEFINED, list(args))
-        obj = JSObject()
-        proto = fn.props.get("prototype") if isinstance(fn, JSFunction) \
-            else None
-        if isinstance(proto, JSObject):
-            obj.props.update(proto.props)
+        proto = self.get_member(fn, "prototype") \
+            if isinstance(fn, JSFunction) else None
+        obj = JSObject(
+            proto=proto if isinstance(proto, JSObject) else None)
         result = self.call(fn, args, this=obj)
         return result if isinstance(result, (JSObject, JSArray)) else obj
 
     # -- statements -------------------------------------------------------
-    def exec_stmt(self, s, scope):
+    def exec_stmt(self, s, scope, labels=()):
+        # `labels`: the label set naming the IMMEDIATE statement (a
+        # labeled loop consumes matching labeled break/continue).
+        # Value-producing statements return their ES5 completion value
+        # (blocks/if/try/switch propagate the last one) so program
+        # results match a real engine's evaluate().
         tag = s[0]
         if tag == "expr":
             return self.eval_expr(s[1], scope)
@@ -625,32 +636,50 @@ class Interpreter:
                     scope.assign(name, self.eval_expr(init, scope))
             return _NO_VALUE
         if tag == "block":
+            out = _NO_VALUE
             for st in s[1]:
-                self.exec_stmt(st, scope)
-            return _NO_VALUE
+                r = self.exec_stmt(st, scope)
+                if r is not _NO_VALUE:
+                    out = r
+            return out
         if tag == "if":
             if to_boolean(self.eval_expr(s[1], scope)):
-                self.exec_stmt(s[2], scope)
+                return self.exec_stmt(s[2], scope)
             elif s[3] is not None:
-                self.exec_stmt(s[3], scope)
+                return self.exec_stmt(s[3], scope)
             return _NO_VALUE
+        if tag == "label":
+            _, name, body = s
+            try:
+                return self.exec_stmt(body, scope, labels=labels + (name,))
+            except _Break as b:
+                if b.label == name:
+                    return _NO_VALUE
+                raise
         if tag == "while":
             while to_boolean(self.eval_expr(s[1], scope)):
                 try:
                     self.exec_stmt(s[2], scope)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
+                except _Break as b:
+                    if b.label is None or b.label in labels:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is None or c.label in labels:
+                        continue
+                    raise
             return _NO_VALUE
         if tag == "dowhile":
             while True:
                 try:
                     self.exec_stmt(s[1], scope)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
+                except _Break as b:
+                    if b.label is None or b.label in labels:
+                        break
+                    raise
+                except _Continue as c:
+                    if not (c.label is None or c.label in labels):
+                        raise
                 if not to_boolean(self.eval_expr(s[2], scope)):
                     break
             return _NO_VALUE
@@ -661,10 +690,13 @@ class Interpreter:
             while test is None or to_boolean(self.eval_expr(test, scope)):
                 try:
                     self.exec_stmt(body, scope)
-                except _Break:
-                    break
-                except _Continue:
-                    pass
+                except _Break as b:
+                    if b.label is None or b.label in labels:
+                        break
+                    raise
+                except _Continue as c:
+                    if not (c.label is None or c.label in labels):
+                        raise
                 if update is not None:
                     self.eval_expr(update, scope)
             return _NO_VALUE
@@ -678,35 +710,40 @@ class Interpreter:
                     self._assign_target(target[1], key, scope)
                 try:
                     self.exec_stmt(body, scope)
-                except _Break:
-                    break
-                except _Continue:
-                    continue
+                except _Break as b:
+                    if b.label is None or b.label in labels:
+                        break
+                    raise
+                except _Continue as c:
+                    if c.label is None or c.label in labels:
+                        continue
+                    raise
             return _NO_VALUE
         if tag == "return":
             raise _Return(
                 UNDEFINED if s[1] is None else self.eval_expr(s[1], scope))
         if tag == "break":
-            raise _Break()
+            raise _Break(s[1] if len(s) > 1 else None)
         if tag == "continue":
-            raise _Continue()
+            raise _Continue(s[1] if len(s) > 1 else None)
         if tag == "throw":
             raise JSError(self.eval_expr(s[1], scope))
         if tag == "try":
             _, block, cparam, cblock, fblock = s
+            out = _NO_VALUE
             try:
                 try:
-                    self.exec_stmt(block, scope)
+                    out = self.exec_stmt(block, scope)
                 except JSError as e:
                     if cblock is None:
                         raise
                     cscope = Scope(scope)
                     cscope.declare(cparam, e.value, force=True)
-                    self.exec_stmt(cblock, cscope)
+                    out = self.exec_stmt(cblock, cscope)
             finally:
                 if fblock is not None:
                     self.exec_stmt(fblock, scope)
-            return _NO_VALUE
+            return out
         if tag == "switch":
             _, disc_e, cases = s
             disc = self.eval_expr(disc_e, scope)
@@ -721,14 +758,18 @@ class Interpreter:
                     if test is None:
                         start = i
                         break
+            out = _NO_VALUE
             if start is not None:
                 try:
                     for _, stmts in cases[start:]:
                         for st in stmts:
-                            self.exec_stmt(st, scope)
-                except _Break:
-                    pass
-            return _NO_VALUE
+                            r = self.exec_stmt(st, scope)
+                            if r is not _NO_VALUE:
+                                out = r
+                except _Break as b:
+                    if not (b.label is None or b.label in labels):
+                        raise
+            return out
         if tag == "fndecl":
             return _NO_VALUE  # bound during hoisting
         if tag == "empty":
@@ -739,7 +780,14 @@ class Interpreter:
         if isinstance(obj, JSArray):
             return [js_num_str(float(i)) for i in range(len(obj.elements))]
         if isinstance(obj, JSObject):
-            return list(obj.props.keys())
+            seen = []
+            o = obj
+            while o is not None:
+                for k in o.props:
+                    if k not in seen and k != "constructor":
+                        seen.append(k)
+                o = o.proto
+            return seen
         if isinstance(obj, FUNCTION_TYPES):
             return list(obj.props.keys())
         if isinstance(obj, str):
@@ -962,7 +1010,12 @@ class Interpreter:
                 except ValueError:
                     return key == "length"
             if isinstance(right, JSObject):
-                return key in right.props
+                o = right
+                while o is not None:
+                    if key in o.props:
+                        return True
+                    o = o.proto
+                return False
             if isinstance(right, FUNCTION_TYPES):
                 return key in right.props
             throw("'in' requires an object", "TypeError")
@@ -979,6 +1032,13 @@ class Interpreter:
                 if right.name == "Error":
                     return isinstance(left, JSObject) \
                         and "message" in left.props
+            if isinstance(right, JSFunction):
+                proto = right.props.get("prototype")
+                o = left.proto if isinstance(left, JSObject) else None
+                while o is not None:
+                    if o is proto:
+                        return True
+                    o = o.proto
             return False
         raise JSSyntaxError(f"unknown binary operator {op!r}")
 
@@ -1049,10 +1109,19 @@ class Interpreter:
         if isinstance(obj, FUNCTION_TYPES):
             if name in obj.props:
                 return obj.props[name]
+            if name == "prototype" and isinstance(obj, JSFunction):
+                # auto-created on first access (ES5 13.2): the object
+                # `new` instances will link to
+                proto = JSObject({"constructor": obj})
+                obj.props["prototype"] = proto
+                return proto
             return _function_member(self, obj, name)
         if isinstance(obj, JSObject):
-            if name in obj.props:
-                return obj.props[name]
+            o = obj
+            while o is not None:
+                if name in o.props:
+                    return o.props[name]
+                o = o.proto
             return _object_member(self, obj, name)
         return UNDEFINED
 

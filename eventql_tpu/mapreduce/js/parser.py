@@ -135,12 +135,22 @@ class Parser:
                 return ("return", e)
             if v == "break":
                 self.next()
+                nt = self.peek()
+                if nt.kind == "ident" and nt.line == t.line:
+                    self.next()
+                    self.semicolon()
+                    return ("break", nt.value)
                 self.semicolon()
-                return ("break",)
+                return ("break", None)
             if v == "continue":
                 self.next()
+                nt = self.peek()
+                if nt.kind == "ident" and nt.line == t.line:
+                    self.next()
+                    self.semicolon()
+                    return ("continue", nt.value)
                 self.semicolon()
-                return ("continue",)
+                return ("continue", None)
             if v == "throw":
                 self.next()
                 e = self.expression()
@@ -153,6 +163,12 @@ class Parser:
             if v in ("class", "const", "let", "with", "yield"):
                 raise JSSyntaxError(
                     f"'{v}' is not supported (line {t.line})")
+        if t.kind == "ident":
+            nt = self.peek(1)
+            if nt is not None and nt.kind == "punct" and nt.value == ":":
+                self.next()
+                self.next()
+                return ("label", t.value, self.statement())
         e = self.expression()
         self.semicolon()
         return ("expr", e)
