@@ -573,11 +573,16 @@ def try_execute_pallas_string_groupby(
 
         SELECT key, agg(...), ... FROM t [WHERE ...] GROUP BY key
 
-    where `key` is a dictionary-encoded STRING column — the dictionary
-    bounds the bucket count statically, so the whole query runs as the
-    Pallas MXU one-hot aggregation (kernels/pallas_groupby). Returns
-    None when the shape doesn't match (caller falls through to the
-    general device path / host engine)."""
+    where `key` is a dictionary-encoded STRING column (the dictionary
+    bounds the bucket count statically) OR — round 4 — a NUMERIC column
+    whose cached min/max stats bound its span to <=64K distinct buckets
+    (narrowed u16/i16/u32/i32 storage; bucket = key - min, subtracted
+    in-kernel via the gid_base scalar). The whole query runs as the
+    Pallas MXU one-hot aggregation (kernels/pallas_groupby); count-only
+    shapes take the no-value-stream kernel. Numeric keys require the
+    fully-fused form (all-valid key column, fusable WHERE); anything
+    else returns None and falls through to the general device path /
+    host engine."""
     import jax
     import jax.numpy as jnp
 
@@ -599,7 +604,13 @@ def try_execute_pallas_string_groupby(
     key_sl = scan.select_list[g.column_index]
     if not isinstance(key_sl.expr, ColumnReferenceNode):
         return None
-    if key_sl.expr.return_type() != SType.STRING:
+    key_stype = key_sl.expr.return_type()
+    if key_stype not in (
+        SType.STRING,
+        SType.UINT64,
+        SType.INT64,
+        SType.TIMESTAMP64,
+    ):
         return None
     key_input_idx = key_sl.expr.column_index
 
@@ -654,13 +665,32 @@ def try_execute_pallas_string_groupby(
         return None
     name_to_col = dict(zip(table.names, table.columns))
     key_col = name_to_col[scan.input_columns[key_input_idx][0]]
-    K = len(key_col.dictionary)
-    if K == 0 or K > 65536:
-        return None
+    key_base = 0
+    if key_stype == SType.STRING:
+        K = len(key_col.dictionary)
+        if K == 0 or K > 65536:
+            return None
+        num_buckets = K + 1  # bucket K = the NULL-key group
+    else:
+        # numeric key: the narrowing pass's cached min/max stats bound
+        # the span; bucket = key - min (in-kernel gid_base subtract).
+        # Requires the fully-fused route (checked below) and an
+        # all-valid key column (no NULL bucket).
+        nd = _narrow_np(key_col)
+        stats = getattr(key_col, "_stats_cache", None)
+        if stats is None or nd.dtype.itemsize > 4:
+            return None
+        mn, mx = stats
+        K = mx - mn + 1
+        if K <= 0 or K > 65536:
+            return None
+        if not _column_all_valid(key_col):
+            return None
+        key_base = mn
+        num_buckets = K
 
     in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
     stypes = [c.stype for c in in_cols]
-    num_buckets = K + 1
 
     # static plan metadata for the host-side emit (independent of data)
     layout = []
@@ -718,23 +748,37 @@ def try_execute_pallas_string_groupby(
     # stream, WHERE fusable as an in-kernel compare (or absent), dict
     # key. See "fused GROUP BY kernel route" above.
     fused_cfg = None
+    count_only = distinct_sums == 0
+    sum_fusable = (
+        distinct_sums == 1 and sum_src_idx is not None and value_bits <= 32
+    )
     if (
-        distinct_sums == 1
-        and sum_src_idx is not None
-        and value_bits <= 32
+        (sum_fusable or count_only)
         and set(kinds_static) <= {"sum", "count"}
         and not os.environ.get("EVENTQL_TPU_NO_FUSED_GROUPBY")
     ):
         m = _match_fused_where(scan, name_to_col)
         if m is not None:
             pred_idx, pred_op, thr = m
-            if pred_idx == sum_src_idx:
+            if pred_idx is not None and pred_idx == sum_src_idx:
                 # compare rides the value stream itself ("value" mode);
                 # the matcher already proved the column i32-compare-safe
                 fused_cfg = (None, pred_op, thr)
+            elif pred_idx is None and count_only:
+                # no WHERE + no value stream: the kernel's "gid" mode
+                # (always-true compare on the key stream itself)
+                fused_cfg = ("gid", pred_op, thr)
             else:
                 fused_cfg = (pred_idx, pred_op, thr)
-    key_all_valid = _column_all_valid(key_col) if fused_cfg else False
+    if key_stype != SType.STRING and fused_cfg is None:
+        return None  # numeric keys only take the fully-fused form
+    key_all_valid = (
+        _column_all_valid(key_col) if fused_cfg else False
+    ) or key_stype != SType.STRING
+    # the kernel subtracts the base modularly in i32 (exact for spans
+    # < 2^31 even when u32 payloads bitcast negative); sign-fold the
+    # python int into int32 range
+    key_base_i32 = ((key_base & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
 
     def program(col_data, col_valid, n_real, fused_streams=None):
         # ONE cached jitted program for the whole route: XLA fuses the
@@ -742,30 +786,46 @@ def try_execute_pallas_string_groupby(
         # the serving path pays one dispatch instead of one per eager
         # op (each a relay round trip)
         if fused_cfg is not None:
-            # fully-fused: WHERE compare + pad mask + gid fold + limb
-            # aggregation in ONE Pallas pass over raw i32 streams
+            # fully-fused: WHERE compare + pad mask + gid fold (+ the
+            # numeric-key base subtract) + aggregation in ONE Pallas
+            # pass over raw i32 streams
             from eventql_tpu.kernels.pallas_groupby import (
+                pallas_count_fused,
                 pallas_sum_count_fused,
             )
 
             _pred_idx, _op, _thr = fused_cfg
             gid_i32, val_i32, pred_i32 = fused_streams
+            base = jnp.int32(key_base_i32)
             if not key_all_valid:
                 # NULL keys take their own bucket K (tag participates
                 # in the reference's group key, groupby.cc:129-135)
                 gid_i32 = jnp.where(
                     col_valid[key_input_idx], gid_i32, jnp.int32(K)
                 )
-            counts, sums = pallas_sum_count_fused(
-                gid_i32,
-                val_i32,
-                jnp.int32(_thr),
-                n_real,
-                Kp,
-                pred=pred_i32,
-                value_bits=value_bits,
-                pred_op=_op,
-            )
+            if val_i32 is None:
+                counts = pallas_count_fused(
+                    gid_i32,
+                    jnp.int32(_thr),
+                    n_real,
+                    Kp,
+                    pred=pred_i32,
+                    pred_op=_op,
+                    gid_base=base,
+                )
+                sums = counts
+            else:
+                counts, sums = pallas_sum_count_fused(
+                    gid_i32,
+                    val_i32,
+                    jnp.int32(_thr),
+                    n_real,
+                    Kp,
+                    pred=pred_i32,
+                    value_bits=value_bits,
+                    pred_op=_op,
+                    gid_base=base,
+                )
             counts = counts[:num_buckets]
             sums = sums[:num_buckets]
             outs = tuple(
@@ -857,6 +917,8 @@ def try_execute_pallas_string_groupby(
         n if not in_cols else None,
         fused_cfg,
         key_all_valid,
+        key_base_i32,
+        int(key_stype),
     )
     fn = _cached_jit(key, lambda: program)
     n_p = _pad_rows(n) if in_cols else n
@@ -869,16 +931,20 @@ def try_execute_pallas_string_groupby(
         FUSED_GROUPBY_COUNT += 1
         pred_idx = fused_cfg[0]
         gid_i32 = _device_i32_stream(key_col, col_data[key_input_idx])
-        val_i32 = _device_i32_stream(
-            name_to_col[scan.input_columns[sum_src_idx][0]],
-            col_data[sum_src_idx],
+        val_i32 = (
+            _device_i32_stream(
+                name_to_col[scan.input_columns[sum_src_idx][0]],
+                col_data[sum_src_idx],
+            )
+            if sum_src_idx is not None
+            else None
         )
         pred_i32 = (
             _device_i32_stream(
                 name_to_col[scan.input_columns[pred_idx][0]],
                 col_data[pred_idx],
             )
-            if pred_idx is not None
+            if isinstance(pred_idx, int)
             else None
         )
         fused_streams = (gid_i32, val_i32, pred_i32)
@@ -898,16 +964,35 @@ def try_execute_pallas_string_groupby(
     out_cols = []
     for tag, emit, idxs in layout:
         if tag == "key":
-            # bucket K is the NULL group: id 0 placeholder, valid False
-            is_null_grp = occupied == K
-            out_cols.append(
-                Column(
-                    SType.STRING,
-                    np.where(is_null_grp, 0, occupied).astype(np.int32),
-                    ~is_null_grp,
-                    key_col.dictionary,
+            if key_stype == SType.STRING:
+                # bucket K is the NULL group: id 0 placeholder, valid
+                # False
+                is_null_grp = occupied == K
+                out_cols.append(
+                    Column(
+                        SType.STRING,
+                        np.where(is_null_grp, 0, occupied).astype(np.int32),
+                        ~is_null_grp,
+                        key_col.dictionary,
+                    )
                 )
-            )
+            else:
+                # numeric key: bucket id -> key value (base + id); the
+                # route requires all-valid keys, so no NULL group
+                from eventql_tpu.exec.relation import dtype_for
+
+                payload = (
+                    occupied.astype(np.int64) + np.int64(key_base)
+                    if key_stype == SType.INT64
+                    else occupied.astype(np.uint64) + np.uint64(key_base)
+                )
+                out_cols.append(
+                    Column(
+                        key_stype,
+                        payload.astype(dtype_for(key_stype)),
+                        np.ones(ng, bool),
+                    )
+                )
         else:
             agg_cols = []
             for slot, i in enumerate(idxs):

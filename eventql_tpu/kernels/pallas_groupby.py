@@ -151,14 +151,23 @@ def _agg_kernel(
     B = gid.shape[1]
 
     if pred_mode:
-        # scal_ref = [[thr, n_real]] in SMEM
+        # scal_ref = [[thr, n_real, gid_base]] in SMEM
         thr = scal_ref[0, 0]
         n_real = scal_ref[0, 1]
         if pred_mode == "stream":
             p = _load_i32(pred_ref[0, :, :], pred_u16)
+        elif pred_mode == "gid":
+            # compare on the (pre-base) group-key stream itself — the
+            # count-only always-true form (ge INT32_MIN) needs no
+            # second stream
+            p = gid
         else:  # "value": compare on the value stream itself
             p = lo
         keep = _PRED_CMP[pred_op](p, thr)
+        # numeric keys bucket as (key - min): the base subtract happens
+        # here, not in an XLA pass (modular i32 arithmetic — exact for
+        # spans < 2^31)
+        gid = gid - scal_ref[0, 2]
         # row-pad mask: rows at global index >= n_real are padding
         row = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1) + i * block
         keep = keep & (row < n_real)
@@ -225,9 +234,9 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
     inputs = []
     in_specs = []
     if pred_mode:
-        inputs.append(scal)  # (1, 2) int32 [thr, n_real]
+        inputs.append(scal)  # (1, 3) int32 [thr, n_real, gid_base]
         in_specs.append(
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
     stream_blocks = [gid_blocks]
     if pred_mode == "stream":
@@ -428,6 +437,7 @@ def pallas_sum_count_fused(
     pred_op: str = "lt",
     interpret: bool = None,
     k2: int = None,
+    gid_base: jax.Array = 0,
 ):
     """Fully-fused scan + WHERE + GROUP BY sum(values), count(*): the
     predicate compare (`pred_stream <op> thr`), the row-validity mask
@@ -477,8 +487,9 @@ def pallas_sum_count_fused(
         [
             jnp.asarray(thr).astype(jnp.int32),
             jnp.asarray(n_real).astype(jnp.int32),
+            jnp.asarray(gid_base).astype(jnp.int32),
         ]
-    ).reshape(1, 2)
+    ).reshape(1, 3)
 
     r_act = 1 + nlimbs
     k1 = -(-num_buckets // k2)
@@ -527,6 +538,97 @@ def pallas_sum_count_fused(
     counts = jnp.concatenate(counts_parts)[:num_buckets]
     total = jnp.concatenate(total_parts)[:num_buckets]
     return counts, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_buckets",
+        "block",
+        "interpret",
+        "k2",
+        "pred_op",
+        "pred_on_gid",
+    ),
+)
+def pallas_count_fused(
+    gid: jax.Array,
+    thr: jax.Array,
+    n_real: jax.Array,
+    num_buckets: int,
+    pred: jax.Array = None,
+    block: int = DEFAULT_BLOCK,
+    pred_op: str = "ge",
+    interpret: bool = None,
+    k2: int = None,
+    gid_base: jax.Array = 0,
+    pred_on_gid: bool = False,
+):
+    """Fully-fused count(*)-only GROUP BY: the fastest kernel shape —
+    no value stream, no limb planes (r_act = 1), WHERE compare + pad
+    mask + gid fold in-kernel. With no predicate column, pass
+    pred=None, pred_op='ge', thr=INT32_MIN (always true). pred_on_gid
+    compares on the group-key stream itself (pre-base), covering
+    `WHERE k CMP lit GROUP BY k`. Returns counts u64[K]; exact."""
+    n = gid.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if k2 is None:
+        k2 = _pick_k2(num_buckets, 0)
+
+    def _blocks(a):
+        if a is None:
+            return None
+        ap = jnp.pad(a, (0, pad)) if pad else a
+        return ap.reshape(nb, 1, block)
+
+    gid_p = _blocks(gid if gid.dtype.itemsize != 8 else gid.astype(jnp.int32))
+    pred_mode = "gid"
+    pred_p = None
+    if pred is not None and not pred_on_gid:
+        pred_mode = "stream"
+        if pred.dtype.itemsize == 8:
+            pred = pred.astype(jnp.int32)
+        pred_p = _blocks(pred)
+    scal = jnp.stack(
+        [
+            jnp.asarray(thr).astype(jnp.int32),
+            jnp.asarray(n_real).astype(jnp.int32),
+            jnp.asarray(gid_base).astype(jnp.int32),
+        ]
+    ).reshape(1, 3)
+
+    r_act = 1
+    k1 = -(-num_buckets // k2)
+
+    def _decode(out, k1c):
+        acc = (
+            out[1].astype(jnp.int64) * jnp.int64(4096)
+            + out[0].astype(jnp.int64)
+        )
+        return acc[:k1c].reshape(-1).astype(jnp.uint64)
+
+    kw = dict(
+        interpret=interpret,
+        k2=k2,
+        pred_blocks=pred_p,
+        scal=scal,
+        pred_mode=pred_mode,
+        pred_op=pred_op,
+    )
+    if k1 <= _MAX_ROWS:
+        with jax.enable_x64(False):
+            out = _call_kernel(gid_p, None, None, k1, r_act, block, **kw)
+        return _decode(out, k1)[:num_buckets]
+
+    parts = []
+    for c0 in range(0, k1, _MAX_ROWS):
+        k1c = min(_MAX_ROWS, k1 - c0)
+        gid_c = gid_p.astype(jnp.int32) - jnp.int32(c0 * k2)
+        with jax.enable_x64(False):
+            out = _call_kernel(gid_c, None, None, k1c, r_act, block, **kw)
+        parts.append(_decode(out, k1c))
+    return jnp.concatenate(parts)[:num_buckets]
 
 
 def _multi_agg_kernel(

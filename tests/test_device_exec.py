@@ -154,9 +154,11 @@ def _make_fused_table(n=5000, seed=23, null_keys=False):
     vals = rng.integers(0, 1000, n).astype(np.uint64)
     wide = rng.integers(0, 1 << 20, n).astype(np.uint64)  # narrows to u32
     big = rng.integers(0, 1 << 35, n).astype(np.uint64)  # stays u64
+    cat = rng.integers(100, 180, n).astype(np.uint64)  # numeric key, span 80
+    neg = rng.integers(-40, -10, n).astype(np.int64)  # int64 key, span 30
     vvalid = rng.random(n) < 0.9
     rel = Relation(
-        ["city", "v", "w", "big"],
+        ["city", "v", "w", "big", "cat", "neg"],
         [
             Column.from_strings(cities),
             Column(
@@ -166,6 +168,8 @@ def _make_fused_table(n=5000, seed=23, null_keys=False):
             ),
             Column(SType.UINT64, wide, np.ones(n, bool)),
             Column(SType.UINT64, big, np.ones(n, bool)),
+            Column(SType.UINT64, cat, np.ones(n, bool)),
+            Column(SType.INT64, neg, np.ones(n, bool)),
         ],
         n,
     )
@@ -205,6 +209,24 @@ FUSED_QUERIES = [
     # though the literal itself fits int32
     ("select city, sum(v) from t where big < 2000000000"
      " group by city order by city;", False),
+    # count-only shapes: no value stream (pallas_count_fused)
+    ("select city, count(1) from t group by city order by city;", True),
+    ("select city, count(1), count(v) from t where v < 500"
+     " group by city order by city;", True),
+    ("select city from t group by city order by city;", True),
+    # numeric narrow-span keys: bucket = key - min via in-kernel base
+    ("select cat, count(1), sum(v) from t where v < 500"
+     " group by cat order by cat;", True),
+    ("select cat, sum(v) from t group by cat order by cat;", True),
+    ("select cat, count(1) from t group by cat order by cat;", True),
+    # WHERE on the key column itself
+    ("select cat, count(1) from t where cat < 140"
+     " group by cat order by cat;", True),
+    # negative-range int64 key
+    ("select neg, count(1), sum(v) from t where v >= 500"
+     " group by neg order by neg;", True),
+    # numeric key with a wide span (> 64K buckets): not this route
+    ("select w, count(1) from t group by w order by w limit 5;", False),
 ]
 
 

@@ -419,3 +419,86 @@ def test_pallas_multi_sum_exact():
             minlength=Kb,
         ).astype(np.uint64)
         assert np.array_equal(np.asarray(t), want)
+
+
+def test_pallas_count_fused_and_gid_base():
+    """Count-only fused kernel: no value stream; always-true predicate
+    via ge INT32_MIN; predicate-on-key (pred_on_gid); in-kernel
+    numeric-key base subtract (gid_base)."""
+    from eventql_tpu.kernels.pallas_groupby import (
+        pallas_count_fused,
+        pallas_sum_count_fused,
+    )
+
+    rng = np.random.default_rng(9)
+    n, K, base = 20000, 200, 1000
+    keys = rng.integers(base, base + K, n).astype(np.int32)
+
+    # always-true count
+    counts = pallas_count_fused(
+        jnp.asarray(keys), jnp.int32(-(1 << 31)), jnp.int32(n), K,
+        pred_op="ge", gid_base=jnp.int32(base),
+    )
+    assert np.array_equal(
+        np.asarray(counts), np.bincount(keys - base, minlength=K)
+    )
+
+    # predicate on the key column itself (pre-base compare)
+    thr = base + 77
+    counts = pallas_count_fused(
+        jnp.asarray(keys), jnp.int32(thr), jnp.int32(n), K,
+        pred_op="lt", pred_on_gid=True, gid_base=jnp.int32(base),
+    )
+    assert np.array_equal(
+        np.asarray(counts),
+        np.bincount((keys - base)[keys < thr], minlength=K),
+    )
+
+    # separate predicate stream + base
+    pred = rng.integers(0, 1000, n).astype(np.int32)
+    counts = pallas_count_fused(
+        jnp.asarray(keys), jnp.int32(500), jnp.int32(n), K,
+        pred=jnp.asarray(pred), pred_op="ge", gid_base=jnp.int32(base),
+    )
+    assert np.array_equal(
+        np.asarray(counts),
+        np.bincount((keys - base)[pred >= 500], minlength=K),
+    )
+
+    # sum variant with gid_base (numeric narrow keys)
+    vals = rng.integers(0, 1000, n).astype(np.int32)
+    counts, sums = pallas_sum_count_fused(
+        jnp.asarray(keys), jnp.asarray(vals), jnp.int32(800),
+        jnp.int32(n), K, pred_op="lt", value_bits=16,
+        gid_base=jnp.int32(base),
+    )
+    m = vals < 800
+    assert np.array_equal(
+        np.asarray(counts), np.bincount((keys - base)[m], minlength=K)
+    )
+    assert np.array_equal(
+        np.asarray(sums),
+        np.bincount(
+            (keys - base)[m], weights=vals[m].astype(np.float64),
+            minlength=K,
+        ).astype(np.uint64),
+    )
+
+    # u32-narrow keys above 2^31: the modular i32 base subtract stays
+    # exact (key and base both bitcast negative; the difference is the
+    # true span offset)
+    kbig = (
+        rng.integers(0, K, n).astype(np.uint64) + ((1 << 31) + 5)
+    ).astype(np.uint32)
+    base_i32 = np.uint32((1 << 31) + 5).astype(np.int64) - (1 << 32)
+    counts = pallas_count_fused(
+        jax.lax.bitcast_convert_type(jnp.asarray(kbig), jnp.int32),
+        jnp.int32(-(1 << 31)), jnp.int32(n), K, pred_op="ge",
+        gid_base=jnp.int32(int(base_i32)),
+    )
+    assert np.array_equal(
+        np.asarray(counts),
+        np.bincount(
+            (kbig.astype(np.int64) - ((1 << 31) + 5)), minlength=K
+        ),
+    )
