@@ -875,7 +875,7 @@ def bench_groupby_count():
 
     jax.config.update("jax_enable_x64", True)
 
-    from eventql_tpu.kernels.pallas_groupby import pallas_count
+    from eventql_tpu.kernels.pallas_groupby import pallas_count_fused
 
     n = int(os.environ.get("BENCH_ROWS", 1 << 24))
     n_keys = int(os.environ.get("BENCH_KEYS", 1024))
@@ -883,14 +883,19 @@ def bench_groupby_count():
 
     rng = np.random.default_rng(42)
     gid = jnp.asarray(rng.integers(0, n_keys, n).astype(np.int32))
-    values = jnp.asarray(rng.integers(0, 1000, n).astype(np.uint64))
-    threshold = jnp.uint64(800)
+    # round-4 fused path (what the SQL count-only route runs): the
+    # WHERE compare rides the predicate stream in-kernel
+    values = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
+    threshold = jnp.int32(800)
+    n_s = jnp.int32(n)
 
     @jax.jit
     def pipeline_many(gid, values, threshold):
         def body(i, acc):
-            mask = values + i.astype(jnp.uint64) < threshold
-            counts = pallas_count(mask, gid, n_keys)
+            counts = pallas_count_fused(
+                gid, threshold - i, n_s, n_keys, pred=values,
+                pred_op="lt",
+            )
             return acc + counts.sum()
 
         return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))

@@ -497,13 +497,29 @@ def _fused_pred_eligible(host_c: Column, stype) -> bool:
 
 
 def _match_fused_where(scan, name_to_col):
-    """Match `WHERE col CMP integer-literal` (or no WHERE) against the
-    fused kernel's in-kernel compare. Returns (input_col_idx|None, op,
-    thr) — idx None + 'ge' + INT32_MIN is the always-true predicate —
-    or None when the WHERE shape doesn't fuse."""
+    """Match `WHERE col CMP integer-literal` — optionally an AND of two
+    such compares — against the fused kernel's in-kernel predicates.
+    Returns a list of 1-2 (input_col_idx|None, op, thr) conjuncts —
+    [(None, 'ge', INT32_MIN)] is the always-true form for a missing
+    WHERE — or None when the shape doesn't fuse."""
     w = scan.where_expr
     if w is None:
-        return (None, "ge", _I32_MIN)
+        return [(None, "ge", _I32_MIN)]
+    if (
+        isinstance(w, CallExpressionNode)
+        and w.sfunction.name == "logical_and"
+        and len(w.args) == 2
+    ):
+        a = _match_simple_compare(w.args[0], scan, name_to_col)
+        b = _match_simple_compare(w.args[1], scan, name_to_col)
+        if a is not None and b is not None:
+            return [a, b]
+        return None
+    m = _match_simple_compare(w, scan, name_to_col)
+    return [m] if m is not None else None
+
+
+def _match_simple_compare(w, scan, name_to_col):
     if not isinstance(w, CallExpressionNode):
         return None
     op = _FUSED_OPS.get(w.sfunction.name)
@@ -759,17 +775,21 @@ def try_execute_pallas_string_groupby(
     ):
         m = _match_fused_where(scan, name_to_col)
         if m is not None:
-            pred_idx, pred_op, thr = m
-            if pred_idx is not None and pred_idx == sum_src_idx:
-                # compare rides the value stream itself ("value" mode);
-                # the matcher already proved the column i32-compare-safe
-                fused_cfg = (None, pred_op, thr)
-            elif pred_idx is None and count_only:
-                # no WHERE + no value stream: the kernel's "gid" mode
-                # (always-true compare on the key stream itself)
-                fused_cfg = ("gid", pred_op, thr)
-            else:
-                fused_cfg = (pred_idx, pred_op, thr)
+            # map each conjunct's column to its kernel operand source:
+            # the summed column itself rides "value" mode (no second
+            # stream); a missing WHERE in a count-only query compares
+            # on the key stream ("gid" mode); anything else streams
+            specs = []
+            for pred_idx, pred_op, thr in m:
+                if pred_idx is not None and pred_idx == sum_src_idx:
+                    specs.append(("value", pred_op, thr))
+                elif pred_idx is None and count_only:
+                    specs.append(("gid", pred_op, thr))
+                elif pred_idx is None:
+                    specs.append(("value", pred_op, thr))
+                else:
+                    specs.append((pred_idx, pred_op, thr))
+            fused_cfg = tuple(specs)
     if key_stype != SType.STRING and fused_cfg is None:
         return None  # numeric keys only take the fully-fused form
     key_all_valid = (
@@ -794,14 +814,24 @@ def try_execute_pallas_string_groupby(
                 pallas_sum_count_fused,
             )
 
-            _pred_idx, _op, _thr = fused_cfg
-            gid_i32, val_i32, pred_i32 = fused_streams
+            spec1 = fused_cfg[0]
+            spec2 = fused_cfg[1] if len(fused_cfg) > 1 else None
+            _src1, _op, _thr = spec1
+            gid_i32, val_i32, pred_i32, pred2_i32 = fused_streams
             base = jnp.int32(key_base_i32)
             if not key_all_valid:
                 # NULL keys take their own bucket K (tag participates
                 # in the reference's group key, groupby.cc:129-135)
                 gid_i32 = jnp.where(
                     col_valid[key_input_idx], gid_i32, jnp.int32(K)
+                )
+            p2kw = {}
+            if spec2 is not None:
+                _src2, _op2, _thr2 = spec2
+                p2kw = dict(
+                    pred2=pred2_i32,
+                    pred2_op=_op2,
+                    thr2=jnp.int32(_thr2),
                 )
             if val_i32 is None:
                 counts = pallas_count_fused(
@@ -812,9 +842,12 @@ def try_execute_pallas_string_groupby(
                     pred=pred_i32,
                     pred_op=_op,
                     gid_base=base,
+                    **p2kw,
                 )
                 sums = counts
             else:
+                if spec2 is not None and _src2 == "value":
+                    p2kw["pred2_is_value"] = True
                 counts, sums = pallas_sum_count_fused(
                     gid_i32,
                     val_i32,
@@ -825,6 +858,7 @@ def try_execute_pallas_string_groupby(
                     value_bits=value_bits,
                     pred_op=_op,
                     gid_base=base,
+                    **p2kw,
                 )
             counts = counts[:num_buckets]
             sums = sums[:num_buckets]
@@ -929,7 +963,15 @@ def try_execute_pallas_string_groupby(
     if fused_cfg is not None:
         global FUSED_GROUPBY_COUNT
         FUSED_GROUPBY_COUNT += 1
-        pred_idx = fused_cfg[0]
+
+        def _spec_stream(spec):
+            src = spec[0]
+            if isinstance(src, int):
+                return _device_i32_stream(
+                    name_to_col[scan.input_columns[src][0]], col_data[src]
+                )
+            return None  # "value"/"gid" modes need no extra stream
+
         gid_i32 = _device_i32_stream(key_col, col_data[key_input_idx])
         val_i32 = (
             _device_i32_stream(
@@ -939,15 +981,11 @@ def try_execute_pallas_string_groupby(
             if sum_src_idx is not None
             else None
         )
-        pred_i32 = (
-            _device_i32_stream(
-                name_to_col[scan.input_columns[pred_idx][0]],
-                col_data[pred_idx],
-            )
-            if isinstance(pred_idx, int)
-            else None
+        pred_i32 = _spec_stream(fused_cfg[0])
+        pred2_i32 = (
+            _spec_stream(fused_cfg[1]) if len(fused_cfg) > 1 else None
         )
-        fused_streams = (gid_i32, val_i32, pred_i32)
+        fused_streams = (gid_i32, val_i32, pred_i32, pred2_i32)
     packed = fn(
         tuple(col_data), tuple(col_valid), _n_scalar(n), fused_streams
     )

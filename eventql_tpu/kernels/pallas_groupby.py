@@ -117,7 +117,10 @@ def _agg_kernel(
     block,
     pred_mode=None,
     pred_op=None,
+    pred2_src=None,
+    pred2_op=None,
     pred_u16=False,
+    pred2_u16=False,
     lo_u16=False,
     gid_u16=False,
 ):
@@ -133,6 +136,7 @@ def _agg_kernel(
     scal_ref = refs.pop(0) if pred_mode else None
     gid_ref = refs.pop(0)
     pred_ref = refs.pop(0) if pred_mode == "stream" else None
+    pred2_ref = refs.pop(0) if pred2_src == "stream" else None
     nlimbs = r_act - 1
     lo_ref = refs.pop(0) if nlimbs > 0 else None
     hi_ref = refs.pop(0) if nlimbs > 4 else None
@@ -164,6 +168,16 @@ def _agg_kernel(
         else:  # "value": compare on the value stream itself
             p = lo
         keep = _PRED_CMP[pred_op](p, thr)
+        if pred2_op is not None:
+            # AND-conjunction: the second compare fuses the same way
+            # (scal slot 3 holds its literal)
+            if pred2_src == "stream":
+                p2 = _load_i32(pred2_ref[0, :, :], pred2_u16)
+            elif pred2_src == "gid":
+                p2 = gid
+            else:
+                p2 = lo
+            keep = keep & _PRED_CMP[pred2_op](p2, scal_ref[0, 3])
         # numeric keys bucket as (key - min): the base subtract happens
         # here, not in an XLA pass (modular i32 arithmetic — exact for
         # spans < 2^31)
@@ -222,7 +236,8 @@ def _agg_kernel(
 
 def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
                  interpret=None, k2=K2, pred_blocks=None, scal=None,
-                 pred_mode=None, pred_op=None):
+                 pred_mode=None, pred_op=None, pred2_blocks=None,
+                 pred2_src=None, pred2_op=None):
     nb = gid_blocks.shape[0]
     rows_pad = -(-(k1 * r_act) // 32) * 32
     if interpret is None:
@@ -234,13 +249,16 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
     inputs = []
     in_specs = []
     if pred_mode:
-        inputs.append(scal)  # (1, 3) int32 [thr, n_real, gid_base]
+        # (1, 4) int32 [thr, n_real, gid_base, thr2]
+        inputs.append(scal)
         in_specs.append(
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
     stream_blocks = [gid_blocks]
     if pred_mode == "stream":
         stream_blocks.append(pred_blocks)
+    if pred2_src == "stream":
+        stream_blocks.append(pred2_blocks)
     if lo_blocks is not None:
         stream_blocks.append(lo_blocks)
     if hi_blocks is not None:
@@ -264,8 +282,12 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
             block=block,
             pred_mode=pred_mode,
             pred_op=pred_op,
+            pred2_src=pred2_src,
+            pred2_op=pred2_op,
             pred_u16=_is16(pred_blocks)
             and pred_blocks.dtype in (jnp.uint16,),
+            pred2_u16=_is16(pred2_blocks)
+            and pred2_blocks.dtype in (jnp.uint16,),
             lo_u16=_is16(lo_blocks) and lo_blocks.dtype in (jnp.uint16,),
             gid_u16=_is16(gid_blocks) and gid_blocks.dtype in (jnp.uint16,),
         ),
@@ -423,6 +445,8 @@ def _split_value_stream(values, value_bits):
         "interpret",
         "k2",
         "pred_op",
+        "pred2_op",
+        "pred2_is_value",
     ),
 )
 def pallas_sum_count_fused(
@@ -438,6 +462,10 @@ def pallas_sum_count_fused(
     interpret: bool = None,
     k2: int = None,
     gid_base: jax.Array = 0,
+    pred2: jax.Array = None,
+    pred2_op: str = None,
+    thr2: jax.Array = 0,
+    pred2_is_value: bool = False,
 ):
     """Fully-fused scan + WHERE + GROUP BY sum(values), count(*): the
     predicate compare (`pred_stream <op> thr`), the row-validity mask
@@ -483,13 +511,21 @@ def pallas_sum_count_fused(
         if pred.dtype.itemsize == 8:
             pred = pred.astype(jnp.int32)
         pred_p = _blocks(pred)
+    pred2_src = None
+    pred2_p = None
+    if pred2_op is not None:
+        pred2_src = "value" if pred2_is_value else "stream"
+        if pred2 is not None and pred2.dtype.itemsize == 8:
+            pred2 = pred2.astype(jnp.int32)
+        pred2_p = _blocks(pred2) if pred2_src == "stream" else None
     scal = jnp.stack(
         [
             jnp.asarray(thr).astype(jnp.int32),
             jnp.asarray(n_real).astype(jnp.int32),
             jnp.asarray(gid_base).astype(jnp.int32),
+            jnp.asarray(thr2).astype(jnp.int32),
         ]
-    ).reshape(1, 3)
+    ).reshape(1, 4)
 
     r_act = 1 + nlimbs
     k1 = -(-num_buckets // k2)
@@ -517,6 +553,9 @@ def pallas_sum_count_fused(
         scal=scal,
         pred_mode=pred_mode,
         pred_op=pred_op,
+        pred2_blocks=pred2_p,
+        pred2_src=pred2_src,
+        pred2_op=pred2_op,
     )
     if k1 * r_act <= _MAX_ROWS:
         with jax.enable_x64(False):
@@ -549,6 +588,7 @@ def pallas_sum_count_fused(
         "k2",
         "pred_op",
         "pred_on_gid",
+        "pred2_op",
     ),
 )
 def pallas_count_fused(
@@ -563,6 +603,9 @@ def pallas_count_fused(
     k2: int = None,
     gid_base: jax.Array = 0,
     pred_on_gid: bool = False,
+    pred2: jax.Array = None,
+    pred2_op: str = None,
+    thr2: jax.Array = 0,
 ):
     """Fully-fused count(*)-only GROUP BY: the fastest kernel shape —
     no value stream, no limb planes (r_act = 1), WHERE compare + pad
@@ -590,13 +633,21 @@ def pallas_count_fused(
         if pred.dtype.itemsize == 8:
             pred = pred.astype(jnp.int32)
         pred_p = _blocks(pred)
+    pred2_src = None
+    pred2_p = None
+    if pred2_op is not None:
+        pred2_src = "stream" if pred2 is not None else "gid"
+        if pred2 is not None and pred2.dtype.itemsize == 8:
+            pred2 = pred2.astype(jnp.int32)
+        pred2_p = _blocks(pred2) if pred2 is not None else None
     scal = jnp.stack(
         [
             jnp.asarray(thr).astype(jnp.int32),
             jnp.asarray(n_real).astype(jnp.int32),
             jnp.asarray(gid_base).astype(jnp.int32),
+            jnp.asarray(thr2).astype(jnp.int32),
         ]
-    ).reshape(1, 3)
+    ).reshape(1, 4)
 
     r_act = 1
     k1 = -(-num_buckets // k2)
@@ -615,6 +666,9 @@ def pallas_count_fused(
         scal=scal,
         pred_mode=pred_mode,
         pred_op=pred_op,
+        pred2_blocks=pred2_p,
+        pred2_src=pred2_src,
+        pred2_op=pred2_op,
     )
     if k1 <= _MAX_ROWS:
         with jax.enable_x64(False):

@@ -227,6 +227,21 @@ FUSED_QUERIES = [
      " group by neg order by neg;", True),
     # numeric key with a wide span (> 64K buckets): not this route
     ("select w, count(1) from t group by w order by w limit 5;", False),
+    # AND of two fusable compares: both fold into the kernel
+    ("select city, count(1), sum(v) from t where v >= 100 and v < 700"
+     " group by city order by city;", True),
+    ("select city, sum(v) from t where v < 700 and w >= 262144"
+     " group by city order by city;", True),
+    ("select cat, count(1) from t where v < 500 and w < 524288"
+     " group by cat order by cat;", True),
+    ("select city, count(1) from t where cat >= 120 and cat < 160"
+     " group by city order by city;", True),
+    # OR does not fuse; falls back and must still match
+    ("select city, sum(v) from t where v < 100 or v >= 900"
+     " group by city order by city;", False),
+    # AND with one unfusable side: falls back entirely
+    ("select city, sum(v) from t where v < 700 and v + w < 500000"
+     " group by city order by city;", False),
 ]
 
 
