@@ -32,6 +32,7 @@ Data encodings (io/cstable/columns/v1/*.cc):
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -158,9 +159,16 @@ class DecodedColumn:
 
 
 class CSTableReader:
-    def __init__(self, path: str):
-        with open(path, "rb") as f:
-            self.data = f.read()
+    def __init__(self, path: str, fd: int = None):
+        if fd is not None:
+            # read through a pinned descriptor: the path may have been
+            # renamed/unlinked since the caller snapshotted it (LSM
+            # compaction retiring segments mid-stream) — POSIX keeps
+            # the open file's data readable
+            self.data = os.pread(fd, os.fstat(fd).st_size, 0)
+        else:
+            with open(path, "rb") as f:
+                self.data = f.read()
         if self.data[:4] != b"\x23\x17\x23\x17":
             raise RuntimeError_("not a valid cstable file")
         version = self.data[4]

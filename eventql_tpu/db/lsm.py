@@ -451,56 +451,81 @@ class LSMTable(MemoryTable):
             yield from MemoryTable.stream_chunks(self, chunk_rows)
             return
 
-        # parts newest-first: arena (if any rows), then segments
-        # newest→oldest; None stands for the arena part
-        part_ids: List[Optional[str]] = []
-        if self.arena_rows():
-            part_ids.append(None)
-        part_ids += list(reversed(self._segments))
+        # Snapshot the part set WITH pinned file descriptors, under the
+        # write lock: a concurrent compaction can retire segment files
+        # mid-stream (moved to .trash, then unlinked by the GC sweep),
+        # but POSIX keeps open descriptors readable, so the stream
+        # serves exactly the snapshot it started from — the role the
+        # reference's FileTracker references play (db/file_tracker.cc).
+        # The lock is held only for the snapshot + arena copy, not the
+        # stream's lifetime.
+        with self._write_lock:
+            segs = list(self._segments)
+            fds: Dict[str, int] = {}
+            try:
+                for s in segs:
+                    fds[s] = os.open(os.path.join(self.dir, s), os.O_RDONLY)
+            except OSError:
+                for fd in fds.values():
+                    os.close(fd)
+                raise
+            # parts newest-first: arena (if any rows), then segments
+            # newest→oldest; None stands for the arena part
+            part_ids: List[Optional[str]] = []
+            arena_rel = None
+            if self.arena_rows():
+                part_ids.append(None)
+                # compute the arena view without poisoning
+                # to_relation's merged-view cache
+                saved = self._relation_cache
+                arena_rel = MemoryTable.to_relation(self)
+                self._relation_cache = saved
+            part_ids += list(reversed(segs))
 
-        arena_rel = None
-        if part_ids and part_ids[0] is None:
-            # compute the arena view without poisoning to_relation's
-            # merged-view cache (MemoryTable.to_relation caches into
-            # the same slot)
-            saved = self._relation_cache
-            arena_rel = MemoryTable.to_relation(self)
-            self._relation_cache = saved
+        try:
+            masks: Optional[List[np.ndarray]] = None
+            if self.primary_key:
+                pk_parts = []
+                for pid in part_ids:
+                    if pid is None:
+                        pk_cols = [
+                            arena_rel.columns[arena_rel.names.index(k)]
+                            for k in self.primary_key
+                        ]
+                        pk_parts.append((pk_cols, arena_rel.num_rows))
+                    else:
+                        pk_parts.append(
+                            self._segment_pk_columns(pid, fd=fds[pid])
+                        )
+                masks = self._upsert_keep_masks(pk_parts)
 
-        masks: Optional[List[np.ndarray]] = None
-        if self.primary_key:
-            pk_parts = []
-            for pid in part_ids:
-                if pid is None:
-                    pk_cols = [
-                        arena_rel.columns[arena_rel.names.index(k)]
-                        for k in self.primary_key
-                    ]
-                    pk_parts.append((pk_cols, arena_rel.num_rows))
-                else:
-                    pk_parts.append(self._segment_pk_columns(pid))
-            masks = self._upsert_keep_masks(pk_parts)
+            # emission: oldest part first (to_relation's output order)
+            for rev_i in range(len(part_ids) - 1, -1, -1):
+                pid = part_ids[rev_i]
+                rel = (
+                    arena_rel
+                    if pid is None
+                    else self._read_segment(pid, fd=fds[pid])
+                )
+                if masks is not None:
+                    keep = masks[rev_i]
+                    if not keep.all():
+                        rel = rel.gather(np.nonzero(keep)[0])
+                if rel.num_rows <= chunk_rows:
+                    if rel.num_rows:
+                        yield rel
+                    continue
+                for lo in range(0, rel.num_rows, chunk_rows):
+                    hi = min(lo + chunk_rows, rel.num_rows)
+                    yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+        finally:
+            for fd in fds.values():
+                os.close(fd)
 
-        # emission: oldest part first (to_relation's output order)
-        for rev_i in range(len(part_ids) - 1, -1, -1):
-            pid = part_ids[rev_i]
-            rel = arena_rel if pid is None else self._read_segment(pid)
-            if masks is not None:
-                keep = masks[rev_i]
-                if not keep.all():
-                    rel = rel.gather(np.nonzero(keep)[0])
-            if rel.num_rows <= chunk_rows:
-                if rel.num_rows:
-                    yield rel
-                continue
-            for lo in range(0, rel.num_rows, chunk_rows):
-                hi = min(lo + chunk_rows, rel.num_rows)
-                yield rel.gather(np.arange(lo, hi, dtype=np.int64))
-
-    def _segment_pk_columns(self, seg: str):
+    def _segment_pk_columns(self, seg: str, fd: int = None):
         """Read ONLY the primary-key columns of a segment (pk-visibility
         pre-pass for stream_chunks); schema-aligned like _read_segment."""
-        reader = CSTableReader(os.path.join(self.dir, seg))
+        reader = CSTableReader(os.path.join(self.dir, seg), fd=fd)
         n = reader.num_rows
         from eventql_tpu.exec.relation import dtype_for
 
@@ -659,8 +684,8 @@ class LSMTable(MemoryTable):
             )
         return out
 
-    def _read_segment(self, seg: str) -> Relation:
-        reader = CSTableReader(os.path.join(self.dir, seg))
+    def _read_segment(self, seg: str, fd: int = None) -> Relation:
+        reader = CSTableReader(os.path.join(self.dir, seg), fd=fd)
         rel = reader.to_relation(flat_only=True)
         # align to current schema (columns added later are NULL)
         cols, names = [], []

@@ -115,10 +115,18 @@ def _exec_ddl(node, txn) -> Relation:
         need("alter_table")(node)
     elif isinstance(node, qn.InsertIntoNode):
         ctx = getattr(txn, "exec_ctx", None)
-        if ctx is not None:
-            ctx.count_modified(1)
+
+        def _count_insert(outcome):
+            # counted AFTER the insert: errors raise past this, and a
+            # stale upsert dropped at write time (insert_row → False,
+            # partition_writer record_flags_skip) modified nothing
+            if ctx is not None and outcome is not False:
+                ctx.count_modified(1)
+
         if node.json_data is not None:
-            need("insert_json")(node.table_name, node.json_data)
+            _count_insert(
+                need("insert_json")(node.table_name, node.json_data)
+            )
         else:
             values = []
             for e in node.value_exprs:
@@ -136,7 +144,7 @@ def _exec_ddl(node, txn) -> Relation:
                         f"table not found: '{node.table_name}'"
                     )
                 columns = [c[0] for c in info.columns][: len(values)]
-            need("insert")(node.table_name, columns, values)
+            _count_insert(need("insert")(node.table_name, columns, values))
     else:
         raise RuntimeError_(f"can't execute plan node: {node!r}")
     return Relation([], [], 0)

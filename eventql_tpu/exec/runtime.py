@@ -95,11 +95,21 @@ class Transaction:
         # every operator-layer table materialization is a scan for the
         # query's stats (rows/bytes-scanned in QUERY_PROGRESS and
         # QUERY_RESULT; the reference defines those wire fields but
-        # zeroes them, frames/query_progress.cc:63-70)
-        self.exec_ctx.count_scan(
-            rel.num_rows,
-            sum(c.data.nbytes + c.valid.nbytes for c in rel.columns),
-        )
+        # zeroes them, frames/query_progress.cc:63-70). Deduped per
+        # (table, relation identity) within the transaction: the device
+        # GROUP BY / top-k routes fetch the table while PROBING
+        # eligibility and the fallback path fetches it again — one
+        # logical scan must not count 2-3x.
+        seen = getattr(self, "_scan_counted", None)
+        if seen is None:
+            seen = self._scan_counted = set()
+        key = (table_name, id(rel))
+        if key not in seen:
+            seen.add(key)
+            self.exec_ctx.count_scan(
+                rel.num_rows,
+                sum(c.data.nbytes + c.valid.nbytes for c in rel.columns),
+            )
         return rel
 
     def trace_report(self) -> str:

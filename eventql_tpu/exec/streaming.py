@@ -45,6 +45,12 @@ def streamable(node, txn) -> bool:
     if isinstance(node, qn.SequentialScanNode):
         return _scan_streamable(node, txn)
     if isinstance(node, qn.LimitNode):
+        # a cluster provider ships LimitNode(offset+limit) to the
+        # partition owners (operators._exec_limit pushdown) — strictly
+        # less transfer than streaming whole partitions to serve N
+        # rows; local tables stream (the generator stops at the limit)
+        if getattr(txn.tables, "execute_pushdown_limit", None) is not None:
+            return False
         return streamable(node.table, txn)
     if isinstance(node, qn.SubqueryNode):
         if any(has_aggregate_call(sl.expr) for sl in node.select_list):

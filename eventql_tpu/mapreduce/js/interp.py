@@ -80,13 +80,19 @@ class _Return(Exception):
 
 
 class JSObject:
-    __slots__ = ("props", "proto")
+    __slots__ = ("props", "proto", "nonenum")
 
-    def __init__(self, props: Optional[Dict] = None, proto=None):
+    def __init__(self, props: Optional[Dict] = None, proto=None,
+                 nonenum=None):
         self.props = dict(props or {})
         # [[Prototype]] link (ES5 8.6.2): property GETs walk the chain,
         # SETs/DELETEs touch own props only
         self.proto = proto
+        # names of own NON-ENUMERABLE properties (ES5 [[Enumerable]] =
+        # false): skipped by for-in but visible to gets/hasOwnProperty.
+        # Assignment does not flip the attribute (8.12.5 [[Put]] on an
+        # existing own property updates the value only).
+        self.nonenum = nonenum or ()
 
     def __repr__(self):
         return js_repr(self)
@@ -781,10 +787,14 @@ class Interpreter:
             return [js_num_str(float(i)) for i in range(len(obj.elements))]
         if isinstance(obj, JSObject):
             seen = []
+            shadowed = set()
             o = obj
             while o is not None:
                 for k in o.props:
-                    if k not in seen and k != "constructor":
+                    if k in shadowed:
+                        continue
+                    shadowed.add(k)
+                    if k not in o.nonenum:
                         seen.append(k)
                 o = o.proto
             return seen
@@ -1111,8 +1121,11 @@ class Interpreter:
                 return obj.props[name]
             if name == "prototype" and isinstance(obj, JSFunction):
                 # auto-created on first access (ES5 13.2): the object
-                # `new` instances will link to
-                proto = JSObject({"constructor": obj})
+                # `new` instances will link to; its constructor
+                # back-link is non-enumerable per the spec
+                proto = JSObject(
+                    {"constructor": obj}, nonenum=("constructor",)
+                )
                 obj.props["prototype"] = proto
                 return proto
             return _function_member(self, obj, name)

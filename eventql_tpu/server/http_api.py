@@ -358,9 +358,16 @@ class EventQLServer:
                 self.query_provider_factory()
             )
             plan = self.runtime.build_query_plan(txn, query)
-            cursors = [
-                plan.execute_stream(i) for i in range(plan.num_queries)
-            ]
+            # only the FIRST statement executes before the event opens
+            # (its errors surface as query_error); later statements
+            # run IN ORDER inside the write loop — building every
+            # cursor upfront would execute non-streamable statements
+            # eagerly before an earlier streamable statement's lazy
+            # rows, breaking sequential statement semantics (an INSERT
+            # after a SELECT must not be visible to that SELECT)
+            first_cur = (
+                plan.execute_stream(0) if plan.num_queries else None
+            )
         except SQLError as e:
             with self.stats.lock:
                 self.stats.num_errors += 1
@@ -378,7 +385,8 @@ class EventQLServer:
         # is byte-identical to the materialized encoding
         w(b'{"results": [')
         try:
-            for k, cur in enumerate(cursors):
+            for k in range(plan.num_queries):
+                cur = first_cur if k == 0 else plan.execute_stream(k)
                 if k:
                     w(b", ")
                 w(b'{"type": "table", "columns": ')

@@ -354,11 +354,15 @@ class NativeTCPServer:
 
         send_lock = threading.Lock()
         done = threading.Event()
-        # heartbeats are only emitted while a statement EXECUTES —
-        # never while result pages stream or while blocked on
-        # CONTINUE/NEXT (reference: the heartbeat callback fires from
-        # inside query execution, ops/query.cc:68-71) — so streaming
-        # sends cannot interleave with a heartbeat frame mid-write
+        # heartbeats flow for the whole request — including while
+        # result pages stream, since streamable statements now execute
+        # LAZILY inside _stream_result (the reference's heartbeat
+        # callback fires from inside query execution, ops/query.cc:
+        # 68-71, which for us IS the streaming loop). Wire safety:
+        # every frame send (heartbeat and result alike) takes
+        # send_lock, so frames never interleave mid-write; both the
+        # python and C clients skip HEARTBEAT/PROGRESS frames at any
+        # point of the result stream.
         executing = threading.Event()
         progress = {"done": 0, "total": 1, "t0": time.monotonic(),
                     "ctx": None}
@@ -478,12 +482,13 @@ class NativeTCPServer:
                         )
                     return
                 progress["done"] = i + 1
-                # barrier: wait out any in-flight heartbeat send, then
-                # stream lock-free (the heartbeat thread won't send
-                # again until executing is re-set)
-                executing.clear()
-                with send_lock:
-                    pass
+                # executing STAYS SET through streaming: for streamable
+                # statements the actual scan now happens lazily inside
+                # _stream_result, and heartbeats/QUERY_PROGRESS must
+                # keep flowing during it (both clients skip HEARTBEAT/
+                # PROGRESS frames anywhere in the result stream). Every
+                # send below takes send_lock, so a heartbeat can only
+                # interleave BETWEEN frames, never mid-frame.
                 pending = i + 1 < num
 
                 def result_stats():
@@ -497,19 +502,21 @@ class NativeTCPServer:
 
                 try:
                     self._stream_result(
-                        sock, result, pending, maxrows, result_stats
+                        sock, result, pending, maxrows, result_stats,
+                        send_lock=send_lock,
                     )
                 except SQLError as e:
                     # lazy chunk execution failed mid-stream: the wire
                     # is at a frame boundary (errors surface between
                     # row appends, before any partial frame write), so
                     # an ERROR frame ends the request cleanly
-                    _send_frame(
-                        sock,
-                        OP_ERROR,
-                        F_ENDOFREQUEST,
-                        write_lenencstr(e.message.encode("utf-8")),
-                    )
+                    with send_lock:
+                        _send_frame(
+                            sock,
+                            OP_ERROR,
+                            F_ENDOFREQUEST,
+                            write_lenencstr(e.message.encode("utf-8")),
+                        )
                     return
                 if pending:
                     # wait for QUERY_NEXT (reference: ops/query.cc:196-230)
@@ -548,7 +555,8 @@ class NativeTCPServer:
         return body
 
     def _stream_result(
-        self, sock, result, pending: bool, maxrows: int, stats_fn=None
+        self, sock, result, pending: bool, maxrows: int, stats_fn=None,
+        send_lock=None,
     ):
         """Stream one statement's rows as flow-controlled QUERY_RESULT
         frames; returns True when the statement's final (COMPLETE)
@@ -576,7 +584,11 @@ class NativeTCPServer:
                     stats_fn() if stats_fn else None,
                 )
                 body += data
-                _send_frame(sock, OP_QUERY_RESULT, 0, bytes(body))
+                if send_lock is not None:
+                    with send_lock:
+                        _send_frame(sock, OP_QUERY_RESULT, 0, bytes(body))
+                else:
+                    _send_frame(sock, OP_QUERY_RESULT, 0, bytes(body))
                 data = bytearray()
                 nrows = 0
                 # block until the client pulls the next page
@@ -598,7 +610,13 @@ class NativeTCPServer:
         # ENDOFREQUEST rides every statement-final frame (reference:
         # query_result.cc:91-97 — is_last_ sets it even with a pending
         # statement)
-        _send_frame(sock, OP_QUERY_RESULT, F_ENDOFREQUEST, bytes(body))
+        if send_lock is not None:
+            with send_lock:
+                _send_frame(
+                    sock, OP_QUERY_RESULT, F_ENDOFREQUEST, bytes(body)
+                )
+        else:
+            _send_frame(sock, OP_QUERY_RESULT, F_ENDOFREQUEST, bytes(body))
         return True
 
     def _handle_partialaggr(self, sock, payload):

@@ -252,3 +252,40 @@ def test_add_and_remove_field(server):
     status, out = _req(server, "/api/v1/tables/add_field", {
         "table": "alt", "field_name": "x"})
     assert status == 500 and "field_type" in out["error"]
+
+
+def test_sql_json_sse_sequential_statement_semantics(server):
+    """A multi-statement SSE request must execute statements IN ORDER:
+    a SELECT before an INSERT must not see the inserted row, and a
+    SELECT after it must (building every cursor upfront used to run
+    the eager INSERT before the lazy first SELECT's rows)."""
+    _req(server, "/api/v1/tables/create", {
+        "table": "sseq",
+        "schema": {"columns": [
+            {"name": "id", "type": "UINT64"},
+            {"name": "v", "type": "UINT64"},
+        ]},
+    })
+    _req(server, "/api/v1/tables/insert", [
+        {"table": "sseq", "data": {"id": 1, "v": 10}},
+        {"table": "sseq", "data": {"id": 2, "v": 20}},
+    ])
+    q = (
+        "select count(1) from sseq;"
+        " insert into sseq (id, v) values (3, 30);"
+        " select count(1) from sseq;"
+    )
+    url = (
+        f"http://127.0.0.1:{server.port}/api/v1/sql"
+        "?format=json_sse&query=" + urllib.parse.quote(q)
+    )
+    with urllib.request.urlopen(url) as resp:
+        body = resp.read().decode()
+    frames = [f for f in body.split("\n\n") if f.strip()]
+    lines = frames[0].split("\n")
+    data = "\n".join(
+        l[len("data: "):] for l in lines[1:] if l.startswith("data: ")
+    )
+    out = json.loads(data)
+    assert out["results"][0]["rows"] == [["2"]]  # pre-insert count
+    assert out["results"][2]["rows"] == [["3"]]  # post-insert count

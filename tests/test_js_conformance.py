@@ -473,3 +473,22 @@ def test_exception_object_propagates_through_frames():
 def test_uncaught_throw_is_jserror():
     with pytest.raises(JSError):
         ev("throw new Error('x');")
+
+
+def test_for_in_own_constructor_is_enumerable():
+    """The AUTO-created fn.prototype.constructor is non-enumerable
+    (ES5 13.2), but a user's own data property named 'constructor' is
+    an ordinary enumerable property."""
+    assert sorted(ev("""
+        var o = {constructor: 1, a: 2};
+        var ks = [];
+        for (var k in o) { ks.push(k); }
+        ks;
+    """)) == ["a", "constructor"]
+    # auto prototype: constructor hidden from for-in, visible to gets
+    assert ev("""
+        function C() { this.x = 1; }
+        var ks = [];
+        for (var k in new C()) { ks.push(k); }
+        [ks.join(','), (new C()).constructor === C];
+    """) == ["x", True]

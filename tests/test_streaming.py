@@ -327,3 +327,54 @@ def test_server_rss_flat_on_big_select(tmp_path):
         0.5 * deltas["materialize"], 20_000
     ), deltas
     assert deltas["stream"] < 64_000, deltas
+
+
+def test_stream_survives_concurrent_compaction(tmp_path):
+    """A compaction (or truncating GC sweep) retiring segment files
+    MID-STREAM must not break an in-flight cursor: the stream pins the
+    segment snapshot with open descriptors at start (the reference's
+    FileTracker-reference analog), so it serves exactly the rows it
+    started from even after the files are renamed AND unlinked."""
+    import shutil
+
+    from eventql_tpu.db.lsm import DurableTableService
+    from eventql_tpu.plan.nodes import ColumnDefinition, CreateTableNode
+
+    svc = DurableTableService(str(tmp_path), arena_flush_rows=100)
+    svc.create_table(
+        CreateTableNode(
+            "ev",
+            [
+                ColumnDefinition("id", "UINT64"),
+                ColumnDefinition("v", "UINT64"),
+            ],
+            ["id"],
+            None,
+            [],
+        )
+    )
+    n = 650  # several segments + arena tail
+    for i in range(n):
+        svc.insert_json("ev", '{"id": %d, "v": %d}' % (i, i * 7))
+    t = svc.tables["ev"]
+    assert len(t._segments) >= 5
+
+    stream = t.stream_chunks(chunk_rows=64)
+    got = [next(stream)]  # stream is live, snapshot taken
+
+    # retire every segment under the stream's feet: compact, then
+    # unlink the trash (what the GC sweep does)
+    t.compact()
+    shutil.rmtree(os.path.join(str(tmp_path), "ev", ".trash"),
+                  ignore_errors=True)
+    assert len(t._segments) == 1
+
+    got.extend(stream)
+    ids = np.concatenate(
+        [c.columns[c.names.index("id")].data.astype(np.uint64) for c in got]
+    )
+    vs = np.concatenate(
+        [c.columns[c.names.index("v")].data.astype(np.uint64) for c in got]
+    )
+    assert sorted(ids.tolist()) == list(range(n))
+    assert np.array_equal(vs, ids * 7)
