@@ -511,13 +511,7 @@ class LSMTable(MemoryTable):
                     keep = masks[rev_i]
                     if not keep.all():
                         rel = rel.gather(np.nonzero(keep)[0])
-                if rel.num_rows <= chunk_rows:
-                    if rel.num_rows:
-                        yield rel
-                    continue
-                for lo in range(0, rel.num_rows, chunk_rows):
-                    hi = min(lo + chunk_rows, rel.num_rows)
-                    yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+                yield from rel.iter_chunks(chunk_rows)
         finally:
             for fd in fds.values():
                 os.close(fd)

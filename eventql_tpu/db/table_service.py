@@ -447,10 +447,7 @@ class MemoryTable:
         operator tree, sql/result_cursor.h:35-75). A memory table's
         data already lives in RAM; chunking here bounds the DOWNSTREAM
         footprint (formatted result rows, wire frames)."""
-        rel = self.to_relation()
-        for lo in range(0, rel.num_rows, chunk_rows):
-            hi = min(lo + chunk_rows, rel.num_rows)
-            yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+        yield from self.to_relation().iter_chunks(chunk_rows)
 
 
 class TableService(TableProvider):

@@ -183,6 +183,19 @@ class Relation:
     def column(self, idx: int) -> Column:
         return self.columns[idx]
 
+    def iter_chunks(self, chunk_rows: int):
+        """Yield this relation as <=chunk_rows-row slices, preserving
+        row order — the shared slicer behind every streaming-cursor
+        source (a relation at or under the chunk size yields itself,
+        no gather copy)."""
+        if self.num_rows <= chunk_rows:
+            if self.num_rows:
+                yield self
+            return
+        for lo in range(0, self.num_rows, chunk_rows):
+            hi = min(lo + chunk_rows, self.num_rows)
+            yield self.gather(np.arange(lo, hi, dtype=np.int64))
+
     def gather(self, indices: np.ndarray) -> "Relation":
         return Relation(
             list(self.names),

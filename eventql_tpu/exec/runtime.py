@@ -62,12 +62,7 @@ class RelationTableProvider(TableProvider):
     def get_table_chunks(self, table_name: str, chunk_rows: int):
         """Chunked view for the streaming cursor (bounds the downstream
         formatted-row footprint; the relation itself is in RAM)."""
-        import numpy as np
-
-        rel = self.get_table_data(table_name)
-        for lo in range(0, rel.num_rows, chunk_rows):
-            hi = min(lo + chunk_rows, rel.num_rows)
-            yield rel.gather(np.arange(lo, hi, dtype=np.int64))
+        yield from self.get_table_data(table_name).iter_chunks(chunk_rows)
 
 
 class Transaction:

@@ -486,13 +486,7 @@ class ClusterTableProvider(TableProvider):
             if shard is None:  # tolerated failed shard
                 continue
             got_any = True
-            if shard.num_rows <= chunk_rows:
-                if shard.num_rows:
-                    yield shard
-                continue
-            for lo in range(0, shard.num_rows, chunk_rows):
-                hi = min(lo + chunk_rows, shard.num_rows)
-                yield shard.gather(np.arange(lo, hi, dtype=np.int64))
+            yield from shard.iter_chunks(chunk_rows)
         if jobs is not None and not got_any:
             raise SQLError("no live replica for any partition")
 
