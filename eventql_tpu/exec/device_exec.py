@@ -334,7 +334,10 @@ def _narrow_np_build(c: Column):
     if data.size:
         if data.dtype == np.uint64:
             mx = int(data.max())
-            c._stats_cache = (0, mx)
+            # true min matters: base-offset group keys (ids, years,
+            # timestamps-in-days) only fit the fused route's 64K-bucket
+            # bound as (key - min)
+            c._stats_cache = (int(data.min()), mx)
             if mx < (1 << 16):
                 out = data.astype(np.uint16)
             elif mx < (1 << 32):

@@ -155,10 +155,13 @@ def _make_fused_table(n=5000, seed=23, null_keys=False):
     wide = rng.integers(0, 1 << 20, n).astype(np.uint64)  # narrows to u32
     big = rng.integers(0, 1 << 35, n).astype(np.uint64)  # stays u64
     cat = rng.integers(100, 180, n).astype(np.uint64)  # numeric key, span 80
+    # base-offset key: values far above 64K whose SPAN fits the fused
+    # bucket bound only through the true-min stat (key - min in-kernel)
+    epoch = (rng.integers(0, 500, n) + 20_000_000).astype(np.uint64)
     neg = rng.integers(-40, -10, n).astype(np.int64)  # int64 key, span 30
     vvalid = rng.random(n) < 0.9
     rel = Relation(
-        ["city", "v", "w", "big", "cat", "neg"],
+        ["city", "v", "w", "big", "cat", "neg", "epoch"],
         [
             Column.from_strings(cities),
             Column(
@@ -170,6 +173,7 @@ def _make_fused_table(n=5000, seed=23, null_keys=False):
             Column(SType.UINT64, big, np.ones(n, bool)),
             Column(SType.UINT64, cat, np.ones(n, bool)),
             Column(SType.INT64, neg, np.ones(n, bool)),
+            Column(SType.UINT64, epoch, np.ones(n, bool)),
         ],
         n,
     )
@@ -225,6 +229,10 @@ FUSED_QUERIES = [
     # negative-range int64 key
     ("select neg, count(1), sum(v) from t where v >= 500"
      " group by neg order by neg;", True),
+    # base-offset u64 key (values ~2e7, span 500): needs the true-min
+    # stat + in-kernel base subtract
+    ("select epoch, count(1), sum(v) from t where v < 500"
+     " group by epoch order by epoch;", True),
     # numeric key with a wide span (> 64K buckets): not this route
     ("select w, count(1) from t group by w order by w limit 5;", False),
     # AND of two fusable compares: both fold into the kernel
