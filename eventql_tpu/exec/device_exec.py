@@ -1803,21 +1803,15 @@ def _rewrite_child_refs(join, expr, side: int):
     return None
 
 
-def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
-    """SELECT <group>, aggs(fact exprs) FROM facts JOIN dims ON
-    f.k = d.k [WHERE fact-side predicate] GROUP BY <dim column> — as
-    one device program: compiled scan + filter, gather-free dim join
-    (kernels/join.py), fused masked group-aggregate. Returns None when
-    the plan is outside the subset (the host engine takes over):
-    non-INNER joins, multi-conjunction conditions, joined-side WHERE,
-    duplicate/NULL join keys, non-u64 keys.
+def join_groupby_analysis(node: qn.GroupByNode, txn):
+    """Shared plan analysis of the fact-dim JOIN + GROUP BY device
+    shape (used by the single-chip route below and the mesh route in
+    exec/mesh_exec.py): eligibility, join/group column resolution,
+    host evaluation of the dimension side, aggregate rewrites.
 
-    The reference executes this shape as HashJoin feeding GroupBy
-    (hash_join.cc + groupby.cc), row-at-a-time."""
-    import os
-
-    if os.environ.get("EVENTQL_TPU_DEVICE") != "1":
-        return None
+    Returns None when the plan is outside the subset (the host engine
+    takes over): non-INNER joins, multi-conjunction conditions,
+    joined-side WHERE, duplicate/NULL join keys, non-u64 keys."""
     join = node.table
     if not isinstance(join, qn.JoinNode):
         return None
@@ -1957,6 +1951,50 @@ def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
         scan.where_expr
     ):
         return None
+
+    return {
+        "scan": scan,
+        "table": table,
+        "where_base": where_base,
+        "bref": bref,
+        "entries": entries,
+        "all_aggs": all_aggs,
+        "dims": dims,
+        "dim_keys_h": dim_keys_h,
+        "dim_bucket_h": dim_bucket_h,
+        "firsts": firsts,
+        "group_col": group_col,
+    }
+
+
+def try_execute_device_join_groupby(node: qn.GroupByNode, txn):
+    """SELECT <group>, aggs(fact exprs) FROM facts JOIN dims ON
+    f.k = d.k [WHERE fact-side predicate] GROUP BY <dim column> — as
+    one device program: compiled scan + filter, gather-free dim join
+    (kernels/join.py), fused masked group-aggregate. Returns None when
+    the plan is outside the subset (the host engine takes over) — see
+    join_groupby_analysis.
+
+    The reference executes this shape as HashJoin feeding GroupBy
+    (hash_join.cc + groupby.cc), row-at-a-time."""
+    import os
+
+    if os.environ.get("EVENTQL_TPU_DEVICE") != "1":
+        return None
+    plan = join_groupby_analysis(node, txn)
+    if plan is None:
+        return None
+    scan = plan["scan"]
+    table = plan["table"]
+    where_base = plan["where_base"]
+    bref = plan["bref"]
+    entries = plan["entries"]
+    all_aggs = plan["all_aggs"]
+    dims = plan["dims"]
+    dim_keys_h = plan["dim_keys_h"]
+    dim_bucket_h = plan["dim_bucket_h"]
+    firsts = plan["firsts"]
+    group_col = plan["group_col"]
 
     import jax
     import jax.numpy as jnp

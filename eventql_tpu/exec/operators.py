@@ -763,6 +763,25 @@ def _exec_group_by_impl(node: qn.GroupByNode, txn) -> Relation:
         if result is not None:
             return result
 
+    from eventql_tpu.parallel.mesh_provider import MeshTableProvider
+
+    if isinstance(txn.tables, MeshTableProvider):
+        # ICI tier: the whole scatter/gather compiles into one XLA
+        # program over the provider's device mesh (exec/mesh_exec.py);
+        # None → shape not mesh-routable, host engine serves it
+        from eventql_tpu.exec.mesh_exec import (
+            try_execute_mesh_groupby,
+            try_execute_mesh_join_groupby,
+        )
+
+        if isinstance(node.table, qn.JoinNode):
+            result = try_execute_mesh_join_groupby(node, txn)
+            if result is not None:
+                return result
+        result = try_execute_mesh_groupby(node, txn)
+        if result is not None:
+            return result
+
     if os.environ.get("EVENTQL_TPU_DEVICE") == "1":
         from eventql_tpu.exec.device_exec import (
             device_plan_eligible,
@@ -843,6 +862,17 @@ def _sort_key_arrays(col: Column) -> np.ndarray:
 
 
 def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:
+    from eventql_tpu.parallel.mesh_provider import MeshTableProvider
+
+    if isinstance(txn.tables, MeshTableProvider) and isinstance(
+        node.table, qn.SequentialScanNode
+    ):
+        from eventql_tpu.exec.mesh_exec import try_execute_mesh_scan_order
+
+        result = try_execute_mesh_scan_order(node, txn)
+        if result is not None:
+            return result
+
     if os.environ.get("EVENTQL_TPU_DEVICE") == "1" and isinstance(
         node.table, qn.SequentialScanNode
     ):
@@ -893,6 +923,17 @@ def _exec_limit(node: qn.LimitNode, txn) -> Relation:
 
     if isinstance(txn.tables, ClusterTableProvider):
         result = txn.tables.execute_pushdown_limit(node)
+        if result is not None:
+            return result
+
+    from eventql_tpu.parallel.mesh_provider import MeshTableProvider
+
+    if isinstance(txn.tables, MeshTableProvider) and isinstance(
+        node.table, qn.OrderByNode
+    ):
+        from eventql_tpu.exec.mesh_exec import try_execute_mesh_scan_topk
+
+        result = try_execute_mesh_scan_topk(node, txn)
         if result is not None:
             return result
 
