@@ -439,6 +439,12 @@ _FUSED_OPS = {
 # observability: how many queries took the fused route (tests assert
 # this so fused-path coverage can't silently fall back)
 FUSED_GROUPBY_COUNT = 0
+# multi-sum MXU route (2+ summed columns under one shared one-hot)
+MULTI_SUM_GROUPBY_COUNT = 0
+# accumulated wall seconds spent BLOCKED on device readbacks (the
+# bench separates host-tail time from the relay-hidden device wait)
+DEVICE_WAIT = [0.0]
+import time as _time
 _FUSED_FLIP = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq", "ne": "ne"}
 _I32_MIN = -(1 << 31)
 
@@ -499,27 +505,47 @@ def _fused_pred_eligible(host_c: Column, stype) -> bool:
     return False
 
 
-def _match_fused_where(scan, name_to_col):
-    """Match `WHERE col CMP integer-literal` — optionally an AND of two
-    such compares — against the fused kernel's in-kernel predicates.
-    Returns a list of 1-2 (input_col_idx|None, op, thr) conjuncts —
-    [(None, 'ge', INT32_MIN)] is the always-true form for a missing
-    WHERE — or None when the shape doesn't fuse."""
-    w = scan.where_expr
-    if w is None:
-        return [(None, "ge", _I32_MIN)]
+def _flatten_bool(w, fn_name, out):
     if (
         isinstance(w, CallExpressionNode)
-        and w.sfunction.name == "logical_and"
+        and w.sfunction.name == fn_name
         and len(w.args) == 2
     ):
-        a = _match_simple_compare(w.args[0], scan, name_to_col)
-        b = _match_simple_compare(w.args[1], scan, name_to_col)
-        if a is not None and b is not None:
-            return [a, b]
-        return None
+        _flatten_bool(w.args[0], fn_name, out)
+        _flatten_bool(w.args[1], fn_name, out)
+    else:
+        out.append(w)
+
+
+def _match_fused_where(scan, name_to_col):
+    """Match the WHERE clause against the fused kernel's in-kernel
+    predicate slots. Returns (conjuncts, combine) where conjuncts is a
+    list of 1-2 (input_col_idx|None|'mask', op, thr) specs and combine
+    is 'and'|'or' — [(None, 'ge', INT32_MIN)] is the always-true form
+    for a missing WHERE. Shapes beyond the two compare slots (OR of 2
+    rides the kernel's pred_combine; >=3 conjuncts, mixed and/or
+    trees, arithmetic predicates) return the ('mask', 'ge', 1) spec:
+    the route then evaluates the WHERE as one XLA pass producing a 0/1
+    i32 stream the kernel compares against — still one dispatch, one
+    extra row-width stream vs the reference's general
+    evaluatePredicateVector (vm.cc:231-272). Returns None only when
+    the WHERE is not device-compatible at all (caller pre-checks)."""
+    w = scan.where_expr
+    if w is None:
+        return [(None, "ge", _I32_MIN)], "and"
     m = _match_simple_compare(w, scan, name_to_col)
-    return [m] if m is not None else None
+    if m is not None:
+        return [m], "and"
+    for fn_name, combine in (("logical_and", "and"), ("logical_or", "or")):
+        terms = []
+        _flatten_bool(w, fn_name, terms)
+        if len(terms) == 2:
+            a = _match_simple_compare(terms[0], scan, name_to_col)
+            b = _match_simple_compare(terms[1], scan, name_to_col)
+            if a is not None and b is not None:
+                return [a, b], combine
+    # general predicate: one XLA pass -> 0/1 stream into the kernel
+    return [("mask", "ge", 1)], "and"
 
 
 def _match_simple_compare(w, scan, name_to_col):
@@ -763,6 +789,49 @@ def try_execute_pallas_string_groupby(
     Kp = _pad_buckets(num_buckets)
     distinct_sums = sum(1 for k in kinds_static if k == "sum")
 
+    # multi-sum plan (round-5 VERDICT item 4): 2+ summed columns share
+    # ONE MXU one-hot pass (kernels/pallas_groupby.pallas_multi_sum —
+    # 35 operand planes under a shared one-hot) instead of the XLA
+    # one-hot fallback. Streams must be plain-colref unsigned columns
+    # whose narrowed width fits an i32 word (u16 -> 2 limbs, u32 -> 4;
+    # signed narrows are excluded: the limb planes treat the word's low
+    # bits as an unsigned payload, so negative values would lose their
+    # sign-extension into the high limbs).
+    multi_cfg = None
+    if distinct_sums >= 2 and set(kinds_static) <= {"sum", "count"}:
+        srcs = []
+        for (tag, _emit, aggs) in entries:
+            if tag != "agg" or srcs is None:
+                continue
+            for a in aggs:
+                if a.sfunction.aggregate.kind != "sum":
+                    continue
+                arg = a.args[0]
+                src_e = None
+                if (
+                    isinstance(arg, ColumnReferenceNode)
+                    and arg.column_index is not None
+                ):
+                    src_e = scan.select_list[arg.column_index].expr
+                if (
+                    src_e is None
+                    or not isinstance(src_e, ColumnReferenceNode)
+                    or src_e.column_index is None
+                ):
+                    srcs = None
+                    break
+                dc = in_cols[src_e.column_index]
+                if (
+                    dc.stype not in (SType.UINT64, SType.TIMESTAMP64)
+                    or dc.data.dtype.itemsize > 4
+                    or dc.data.dtype.kind != "u"
+                ):
+                    srcs = None
+                    break
+                srcs.append((src_e.column_index, dc.data.dtype.itemsize))
+        if srcs:
+            multi_cfg = tuple(srcs)
+
     # fused-kernel route: one sum (+any counts), narrowable value
     # stream, WHERE fusable as an in-kernel compare (or absent), dict
     # key. See "fused GROUP BY kernel route" above.
@@ -778,13 +847,17 @@ def try_execute_pallas_string_groupby(
     ):
         m = _match_fused_where(scan, name_to_col)
         if m is not None:
+            conjuncts, fused_combine = m
             # map each conjunct's column to its kernel operand source:
             # the summed column itself rides "value" mode (no second
             # stream); a missing WHERE in a count-only query compares
-            # on the key stream ("gid" mode); anything else streams
+            # on the key stream ("gid" mode); a general predicate
+            # ("mask") is computed in-program; anything else streams
             specs = []
-            for pred_idx, pred_op, thr in m:
-                if pred_idx is not None and pred_idx == sum_src_idx:
+            for pred_idx, pred_op, thr in conjuncts:
+                if pred_idx == "mask":
+                    specs.append(("mask", pred_op, thr))
+                elif pred_idx is not None and pred_idx == sum_src_idx:
                     specs.append(("value", pred_op, thr))
                 elif pred_idx is None and count_only:
                     specs.append(("gid", pred_op, thr))
@@ -792,7 +865,7 @@ def try_execute_pallas_string_groupby(
                     specs.append(("value", pred_op, thr))
                 else:
                     specs.append((pred_idx, pred_op, thr))
-            fused_cfg = tuple(specs)
+            fused_cfg = (tuple(specs), fused_combine)
     if key_stype != SType.STRING and fused_cfg is None:
         return None  # numeric keys only take the fully-fused form
     key_all_valid = (
@@ -817,8 +890,9 @@ def try_execute_pallas_string_groupby(
                 pallas_sum_count_fused,
             )
 
-            spec1 = fused_cfg[0]
-            spec2 = fused_cfg[1] if len(fused_cfg) > 1 else None
+            fused_specs, fused_comb = fused_cfg
+            spec1 = fused_specs[0]
+            spec2 = fused_specs[1] if len(fused_specs) > 1 else None
             _src1, _op, _thr = spec1
             gid_i32, val_i32, pred_i32, pred2_i32 = fused_streams
             base = jnp.int32(key_base_i32)
@@ -828,6 +902,18 @@ def try_execute_pallas_string_groupby(
                 gid_i32 = jnp.where(
                     col_valid[key_input_idx], gid_i32, jnp.int32(K)
                 )
+            if _src1 == "mask":
+                # general predicate: evaluate the WHERE over the device
+                # columns as one XLA pass -> 0/1 i32 stream; the kernel
+                # compares it >= 1 (everything else stays in-kernel)
+                in_cols_l = [
+                    jax_expr.DeviceCol(st, d, v)
+                    for st, d, v in zip(stypes, col_data, col_valid)
+                ]
+                nn = col_data[0].shape[0]
+                pred_i32 = jax_expr.compile_expr(
+                    scan.where_expr, in_cols_l, nn
+                ).data.astype(jnp.int32)
             p2kw = {}
             if spec2 is not None:
                 _src2, _op2, _thr2 = spec2
@@ -835,6 +921,7 @@ def try_execute_pallas_string_groupby(
                     pred2=pred2_i32,
                     pred2_op=_op2,
                     thr2=jnp.int32(_thr2),
+                    pred_combine=fused_comb,
                 )
             if val_i32 is None:
                 counts = pallas_count_fused(
@@ -933,8 +1020,28 @@ def try_execute_pallas_string_groupby(
             )
             counts = counts[:num_buckets]
             outs = tuple(o[:num_buckets] for o in outs)
+        elif multi_cfg is not None:
+            # 2+ sums in ONE MXU pass under a shared one-hot (wired
+            # round-5; `sum(a), sum(b), count(*) GROUP BY k` is one
+            # kernel call instead of the XLA one-hot fallback)
+            from eventql_tpu.kernels.pallas_groupby import pallas_multi_sum
+
+            streams = tuple(
+                col_data[src].astype(jnp.int32) for src, _lb in multi_cfg
+            )
+            limbs = tuple(lb for _src, lb in multi_cfg)
+            counts, totals = pallas_multi_sum(
+                mask, gid, streams, limbs, Kp
+            )
+            counts = counts[:num_buckets]
+            t_iter = iter(totals)
+            outs = tuple(
+                counts if k == "count" else next(t_iter)[:num_buckets]
+                for k in kinds_static
+            )
         else:
-            # multiple distinct sums take the XLA one-hot kernel
+            # remaining multi-sum shapes (computed/signed sum args)
+            # take the XLA one-hot kernel
             from eventql_tpu.kernels.onehot_agg import (
                 onehot_grouped_aggregate,
             )
@@ -951,6 +1058,7 @@ def try_execute_pallas_string_groupby(
         tuple(int(st) for st in stypes),
         K,
         value_bits,
+        multi_cfg,
         n if not in_cols else None,
         fused_cfg,
         key_all_valid,
@@ -973,7 +1081,9 @@ def try_execute_pallas_string_groupby(
                 return _device_i32_stream(
                     name_to_col[scan.input_columns[src][0]], col_data[src]
                 )
-            return None  # "value"/"gid" modes need no extra stream
+            # "value"/"gid" need no extra stream; "mask" computes
+            # in-program from the device columns
+            return None
 
         gid_i32 = _device_i32_stream(key_col, col_data[key_input_idx])
         val_i32 = (
@@ -984,18 +1094,23 @@ def try_execute_pallas_string_groupby(
             if sum_src_idx is not None
             else None
         )
-        pred_i32 = _spec_stream(fused_cfg[0])
+        pred_i32 = _spec_stream(fused_cfg[0][0])
         pred2_i32 = (
-            _spec_stream(fused_cfg[1]) if len(fused_cfg) > 1 else None
+            _spec_stream(fused_cfg[0][1]) if len(fused_cfg[0]) > 1 else None
         )
         fused_streams = (gid_i32, val_i32, pred_i32, pred2_i32)
+    if fused_cfg is None and multi_cfg is not None:
+        global MULTI_SUM_GROUPBY_COUNT
+        MULTI_SUM_GROUPBY_COUNT += 1
     packed = fn(
         tuple(col_data), tuple(col_valid), _n_scalar(n), fused_streams
     )
 
     # ONE transfer of the packed [counts, out0, ...] stack (the relay
     # serializes per-array reads at ~10 ms each)
+    _t0 = _time.perf_counter()
     packed_h = np.asarray(packed)
+    DEVICE_WAIT[0] += _time.perf_counter() - _t0
     counts_h, outs_h = packed_h[0], list(packed_h[1:])
     occupied = np.nonzero(counts_h > 0)[0]
     ng = len(occupied)
@@ -1291,9 +1406,10 @@ def _batched_device_get(tree):
             x.copy_to_host_async()
         except AttributeError:
             pass
-    return jax.tree_util.tree_unflatten(
-        treedef, [np.asarray(x) for x in leaves]
-    )
+    _t0 = _time.perf_counter()
+    out = [np.asarray(x) for x in leaves]
+    DEVICE_WAIT[0] += _time.perf_counter() - _t0
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 _N_SCALAR_CACHE = {}

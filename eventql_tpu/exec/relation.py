@@ -97,6 +97,16 @@ class Column:
             self.presence[indices] if self.presence is not None else None,
         )
 
+    def slice_rows(self, lo: int, hi: int) -> "Column":
+        """Zero-copy row window [lo, hi) (numpy views)."""
+        return Column(
+            self.stype,
+            self.data[lo:hi],
+            self.valid[lo:hi],
+            self.dictionary,
+            self.presence[lo:hi] if self.presence is not None else None,
+        )
+
     def value_at(self, i: int) -> SValue:
         if self.stype == SType.NIL or not self.valid[i]:
             if self.stype == SType.NIL:

@@ -119,6 +119,7 @@ def _agg_kernel(
     pred_op=None,
     pred2_src=None,
     pred2_op=None,
+    pred_combine="and",
     pred_u16=False,
     pred2_u16=False,
     lo_u16=False,
@@ -169,15 +170,17 @@ def _agg_kernel(
             p = lo
         keep = _PRED_CMP[pred_op](p, thr)
         if pred2_op is not None:
-            # AND-conjunction: the second compare fuses the same way
-            # (scal slot 3 holds its literal)
+            # second compare fuses the same way (scal slot 3 holds its
+            # literal); pred_combine picks AND-conjunction vs
+            # OR-disjunction (round-5: WHERE a CMP x OR b CMP y)
             if pred2_src == "stream":
                 p2 = _load_i32(pred2_ref[0, :, :], pred2_u16)
             elif pred2_src == "gid":
                 p2 = gid
             else:
                 p2 = lo
-            keep = keep & _PRED_CMP[pred2_op](p2, scal_ref[0, 3])
+            keep2 = _PRED_CMP[pred2_op](p2, scal_ref[0, 3])
+            keep = (keep | keep2) if pred_combine == "or" else (keep & keep2)
         # numeric keys bucket as (key - min): the base subtract happens
         # here, not in an XLA pass (modular i32 arithmetic — exact for
         # spans < 2^31)
@@ -237,7 +240,7 @@ def _agg_kernel(
 def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
                  interpret=None, k2=K2, pred_blocks=None, scal=None,
                  pred_mode=None, pred_op=None, pred2_blocks=None,
-                 pred2_src=None, pred2_op=None):
+                 pred2_src=None, pred2_op=None, pred_combine="and"):
     nb = gid_blocks.shape[0]
     rows_pad = -(-(k1 * r_act) // 32) * 32
     if interpret is None:
@@ -284,6 +287,7 @@ def _call_kernel(gid_blocks, lo_blocks, hi_blocks, k1, r_act, block,
             pred_op=pred_op,
             pred2_src=pred2_src,
             pred2_op=pred2_op,
+            pred_combine=pred_combine,
             pred_u16=_is16(pred_blocks)
             and pred_blocks.dtype in (jnp.uint16,),
             pred2_u16=_is16(pred2_blocks)
@@ -447,6 +451,7 @@ def _split_value_stream(values, value_bits):
         "pred_op",
         "pred2_op",
         "pred2_is_value",
+        "pred_combine",
     ),
 )
 def pallas_sum_count_fused(
@@ -466,6 +471,7 @@ def pallas_sum_count_fused(
     pred2_op: str = None,
     thr2: jax.Array = 0,
     pred2_is_value: bool = False,
+    pred_combine: str = "and",
 ):
     """Fully-fused scan + WHERE + GROUP BY sum(values), count(*): the
     predicate compare (`pred_stream <op> thr`), the row-validity mask
@@ -556,6 +562,7 @@ def pallas_sum_count_fused(
         pred2_blocks=pred2_p,
         pred2_src=pred2_src,
         pred2_op=pred2_op,
+        pred_combine=pred_combine,
     )
     if k1 * r_act <= _MAX_ROWS:
         with jax.enable_x64(False):
@@ -589,6 +596,7 @@ def pallas_sum_count_fused(
         "pred_op",
         "pred_on_gid",
         "pred2_op",
+        "pred_combine",
     ),
 )
 def pallas_count_fused(
@@ -606,6 +614,7 @@ def pallas_count_fused(
     pred2: jax.Array = None,
     pred2_op: str = None,
     thr2: jax.Array = 0,
+    pred_combine: str = "and",
 ):
     """Fully-fused count(*)-only GROUP BY: the fastest kernel shape —
     no value stream, no limb planes (r_act = 1), WHERE compare + pad
@@ -669,6 +678,7 @@ def pallas_count_fused(
         pred2_blocks=pred2_p,
         pred2_src=pred2_src,
         pred2_op=pred2_op,
+        pred_combine=pred_combine,
     )
     if k1 <= _MAX_ROWS:
         with jax.enable_x64(False):

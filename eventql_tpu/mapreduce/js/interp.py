@@ -80,7 +80,7 @@ class _Return(Exception):
 
 
 class JSObject:
-    __slots__ = ("props", "proto", "nonenum")
+    __slots__ = ("props", "proto", "nonenum", "frozen", "sealed")
 
     def __init__(self, props: Optional[Dict] = None, proto=None,
                  nonenum=None):
@@ -92,7 +92,25 @@ class JSObject:
         # false): skipped by for-in but visible to gets/hasOwnProperty.
         # Assignment does not flip the attribute (8.12.5 [[Put]] on an
         # existing own property updates the value only).
-        self.nonenum = nonenum or ()
+        self.nonenum = set(nonenum or ())
+        # Object.freeze / Object.seal state (ES5 15.2.3.8/9): frozen
+        # rejects writes+deletes+adds, sealed rejects adds+deletes
+        # (silent no-ops in sloppy mode)
+        self.frozen = False
+        self.sealed = False
+
+
+class JSAccessor:
+    """ES5 accessor property ([[Get]]/[[Set]] pair, 8.6.1): stored as
+    the property VALUE in props; get_member/set_member dispatch through
+    it with the RECEIVER as `this` (SpiderMonkey semantics the
+    reference's JS jobs see, javascript_context.cc)."""
+
+    __slots__ = ("get", "set")
+
+    def __init__(self, get=None, set=None):
+        self.get = get
+        self.set = set
 
     def __repr__(self):
         return js_repr(self)
@@ -835,8 +853,21 @@ class Interpreter:
             return JSArray([self.eval_expr(el, scope) for el in e[1]])
         if tag == "object":
             o = JSObject()
-            for k, v in e[1]:
-                o.props[k] = self.eval_expr(v, scope)
+            for entry in e[1]:
+                k, v = entry[0], entry[1]
+                kind = entry[2] if len(entry) > 2 else "init"
+                if kind == "init":
+                    o.props[k] = self.eval_expr(v, scope)
+                else:
+                    fn = self.eval_expr(v, scope)
+                    cur = o.props.get(k)
+                    acc = cur if isinstance(cur, JSAccessor) \
+                        else JSAccessor()
+                    if kind == "get":
+                        acc.get = fn
+                    else:
+                        acc.set = fn
+                    o.props[k] = acc
             return o
         if tag == "regex":
             return JSRegExp(e[1], e[2])
@@ -1086,7 +1117,10 @@ class Interpreter:
     @staticmethod
     def _delete_member(obj, key) -> bool:
         if isinstance(obj, JSObject):
+            if obj.frozen or obj.sealed:
+                return False  # ES5 15.2.3.8/9: non-configurable
             obj.props.pop(key, None)
+            obj.nonenum.discard(key)
             return True
         if isinstance(obj, FUNCTION_TYPES):
             obj.props.pop(key, None)
@@ -1133,13 +1167,34 @@ class Interpreter:
             o = obj
             while o is not None:
                 if name in o.props:
-                    return o.props[name]
+                    v = o.props[name]
+                    if isinstance(v, JSAccessor):
+                        if v.get is None:
+                            return UNDEFINED
+                        return self.call(v.get, [], this=obj)
+                    return v
                 o = o.proto
             return _object_member(self, obj, name)
         return UNDEFINED
 
     def set_member(self, obj, name: str, value):
         if isinstance(obj, JSObject):
+            # accessor setters fire through the prototype chain
+            # (ES5 8.12.5 [[Put]])
+            o = obj
+            while o is not None:
+                if name in o.props:
+                    v = o.props[name]
+                    if isinstance(v, JSAccessor):
+                        if v.set is not None:
+                            self.call(v.set, [value], this=obj)
+                        return  # no setter: silent no-op (sloppy)
+                    break
+                o = o.proto
+            if obj.frozen:
+                return  # frozen: writes are silent no-ops (sloppy)
+            if obj.sealed and name not in obj.props:
+                return  # sealed: no new properties
             obj.props[name] = value
             return
         if isinstance(obj, FUNCTION_TYPES):
@@ -1683,6 +1738,11 @@ def json_stringify(interp, value, replacer=None, indent_arg=UNDEFINED):
         if isinstance(val, JSObject):
             parts = []
             for k, v in val.props.items():
+                if k in val.nonenum:
+                    continue
+                if isinstance(v, JSAccessor):
+                    v = interp.call(v.get, [], this=val) \
+                        if v.get is not None else UNDEFINED
                 p = ser(v, depth + 1, val, k)
                 if p is None:
                     continue
@@ -1933,7 +1993,9 @@ def install_builtins(interp: Interpreter):
     def _object_keys(it, this, a):
         o = a[0] if a else UNDEFINED
         if isinstance(o, JSObject):
-            return JSArray(list(o.props.keys()))
+            return JSArray(
+                [k for k in o.props if k not in o.nonenum]
+            )
         if isinstance(o, JSArray):
             return JSArray(
                 [js_num_str(float(i)) for i in range(len(o.elements))])
@@ -1944,7 +2006,10 @@ def install_builtins(interp: Interpreter):
     def _object_values(it, this, a):
         o = a[0] if a else UNDEFINED
         if isinstance(o, JSObject):
-            return JSArray(list(o.props.values()))
+            return JSArray(
+                [it.get_member(o, k) for k in o.props
+                 if k not in o.nonenum]
+            )
         if isinstance(o, JSArray):
             return JSArray(list(o.elements))
         return JSArray([])
@@ -1953,8 +2018,127 @@ def install_builtins(interp: Interpreter):
         lambda it, this, a: a[0] if a and isinstance(
             a[0], (JSObject, JSArray)) else JSObject(), "Object",
         construct=lambda it, a: JSObject())
+    def _need_obj(a, i=0):
+        o = a[i] if len(a) > i else UNDEFINED
+        if not isinstance(o, JSObject):
+            throw("Object.* called on non-object", "TypeError")
+        return o
+
+    def _apply_descriptor(it, o, name, desc):
+        if not isinstance(desc, JSObject):
+            throw("Property description must be an object", "TypeError")
+        getter = desc.props.get("get")
+        setter = desc.props.get("set")
+        if getter is not None or setter is not None:
+            acc = JSAccessor(
+                getter if isinstance(getter, FUNCTION_TYPES) else None,
+                setter if isinstance(setter, FUNCTION_TYPES) else None,
+            )
+            o.props[name] = acc
+        elif "value" in desc.props:
+            o.props[name] = desc.props["value"]
+        elif name not in o.props:
+            o.props[name] = UNDEFINED
+        if "enumerable" in desc.props:
+            if to_boolean(desc.props["enumerable"]):
+                o.nonenum.discard(name)
+            else:
+                o.nonenum.add(name)
+        elif getter is not None or setter is not None or \
+                "value" in desc.props:
+            # defineProperty defaults [[Enumerable]] to FALSE
+            # (ES5 8.12.9/15.2.3.6) — unlike plain assignment
+            o.nonenum.add(name)
+
+    def _define_property(it, this, a):
+        o = _need_obj(a)
+        name = to_string(a[1]) if len(a) > 1 else "undefined"
+        _apply_descriptor(it, o, name, a[2] if len(a) > 2 else UNDEFINED)
+        return o
+
+    def _define_properties(it, this, a):
+        o = _need_obj(a)
+        descs = a[1] if len(a) > 1 else UNDEFINED
+        if isinstance(descs, JSObject):
+            for k, d in list(descs.props.items()):
+                _apply_descriptor(it, o, k, d)
+        return o
+
+    def _object_create(it, this, a):
+        proto = a[0] if a else UNDEFINED
+        o = JSObject(proto=proto if isinstance(proto, JSObject) else None)
+        if len(a) > 1 and isinstance(a[1], JSObject):
+            for k, d in list(a[1].props.items()):
+                _apply_descriptor(it, o, k, d)
+        return o
+
+    def _get_own_descriptor(it, this, a):
+        o = _need_obj(a)
+        name = to_string(a[1]) if len(a) > 1 else ""
+        if name not in o.props:
+            return UNDEFINED
+        v = o.props[name]
+        d = JSObject()
+        if isinstance(v, JSAccessor):
+            d.props["get"] = v.get if v.get is not None else UNDEFINED
+            d.props["set"] = v.set if v.set is not None else UNDEFINED
+        else:
+            d.props["value"] = v
+            d.props["writable"] = not o.frozen
+        d.props["enumerable"] = name not in o.nonenum
+        d.props["configurable"] = not (o.frozen or o.sealed)
+        return d
+
+    def _freeze(it, this, a):
+        o = a[0] if a else UNDEFINED
+        if isinstance(o, JSObject):
+            o.frozen = True
+            o.sealed = True
+        return o
+
+    def _seal(it, this, a):
+        o = a[0] if a else UNDEFINED
+        if isinstance(o, JSObject):
+            o.sealed = True
+        return o
+
     object_fn.props["keys"] = _nf(_object_keys, "keys")
     object_fn.props["values"] = _nf(_object_values, "values")
+    object_fn.props["create"] = _nf(_object_create, "create")
+    object_fn.props["defineProperty"] = _nf(
+        _define_property, "defineProperty")
+    object_fn.props["defineProperties"] = _nf(
+        _define_properties, "defineProperties")
+    object_fn.props["getOwnPropertyDescriptor"] = _nf(
+        _get_own_descriptor, "getOwnPropertyDescriptor")
+    object_fn.props["getOwnPropertyNames"] = _nf(
+        lambda it, this, a: JSArray(list(_need_obj(a).props.keys())),
+        "getOwnPropertyNames")
+    object_fn.props["getPrototypeOf"] = _nf(
+        lambda it, this, a: (
+            _need_obj(a).proto if _need_obj(a).proto is not None
+            else None
+        ),
+        "getPrototypeOf")
+    object_fn.props["freeze"] = _nf(_freeze, "freeze")
+    object_fn.props["isFrozen"] = _nf(
+        lambda it, this, a: bool(
+            isinstance(a[0], JSObject) and a[0].frozen
+        ) if a else False,
+        "isFrozen")
+    object_fn.props["seal"] = _nf(_seal, "seal")
+    object_fn.props["isSealed"] = _nf(
+        lambda it, this, a: bool(
+            isinstance(a[0], JSObject) and (a[0].sealed or a[0].frozen)
+        ) if a else False,
+        "isSealed")
+    object_fn.props["preventExtensions"] = _nf(_seal, "preventExtensions")
+    object_fn.props["isExtensible"] = _nf(
+        lambda it, this, a: bool(
+            isinstance(a[0], JSObject)
+            and not (a[0].sealed or a[0].frozen)
+        ) if a else False,
+        "isExtensible")
     g.declare("Object", object_fn)
 
     def _regexp_ctor(it, args):

@@ -477,6 +477,38 @@ class Parser:
             if t.kind in ("ident", "keyword"):
                 key = t.value
                 self.next()
+                if key in ("get", "set") and not self.at(":") \
+                        and not self.at(",") and not self.at("}"):
+                    # accessor property: get name() {..} / set name(v) {..}
+                    # (ES5 11.1.5 PropertyAssignment)
+                    kind = key
+                    nt = self.peek()
+                    if nt.kind in ("ident", "keyword", "str"):
+                        key = nt.value
+                        self.next()
+                    elif nt.kind == "num":
+                        key = _num_key(nt.value)
+                        self.next()
+                    else:
+                        raise JSSyntaxError(
+                            f"bad accessor name {nt.value!r} "
+                            f"(line {nt.line})")
+                    start_tok = self.peek()
+                    self.expect("(")
+                    params = []
+                    if not self.at(")"):
+                        params.append(self.ident_name())
+                        while self.eat(","):
+                            params.append(self.ident_name())
+                    self.expect(")")
+                    body = self.block()
+                    end_pos = self.toks[self.i - 1].pos + 1
+                    fn = ("func", None, params, body[1],
+                          self.src[start_tok.pos:end_pos])
+                    props.append((key, fn, kind))
+                    if not self.at("}"):
+                        self.expect(",")
+                    continue
             elif t.kind == "str":
                 key = t.value
                 self.next()
@@ -487,7 +519,7 @@ class Parser:
                 raise JSSyntaxError(
                     f"bad object key {t.value!r} (line {t.line})")
             self.expect(":")
-            props.append((key, self.assignment()))
+            props.append((key, self.assignment(), "init"))
             if not self.at("}"):
                 self.expect(",")
         self.expect("}")

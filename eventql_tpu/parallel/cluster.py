@@ -496,21 +496,26 @@ class ClusterTableProvider(TableProvider):
         seqscan scoped to the partition keyrange — or None when the
         table has no partition metadata (whole-plan per worker)."""
         import copy
-        import json as _json
+
+        from eventql_tpu.plan.coder import decode_plan, encode_plan
 
         meta = self._table_metadata(table_name)
         if meta is None:
             return None
-        base = _json.loads(plan_data)
+        # decode-patch-reencode works for BOTH wire encodings (binary
+        # qtree default, JSON debug): scope the plan's seqscan to each
+        # partition's keyrange like the reference's per-partition qtree
+        # copies (server/sql/scheduler.cc:242-261)
+        base = decode_plan(plan_data)
         jobs = []
         for entry in meta.entries:
             begin, end = meta.keyrange(entry.partition_id)
-            d = copy.deepcopy(base)
-            target = d
-            while target.get("t") != "seqscan":
-                target = target["table"]
-            target["keyrange"] = [meta.partition_key, begin, end]
-            jobs.append((entry, _json.dumps(d)))
+            node = copy.deepcopy(base)
+            target = node
+            while not isinstance(target, qn.SequentialScanNode):
+                target = target.table
+            target.keyrange = (meta.partition_key, begin, end)
+            jobs.append((entry, encode_plan(node)))
         return jobs
 
     def _fetch_with_failover(self, job, fetch, host_sem=None):

@@ -53,7 +53,25 @@ _EXCHANGE_TALLY = None
 
 class exchange_tally:
     """Context manager collecting per-collective exchange records:
-    dicts of {op, bytes_per_device, hops, count}."""
+    dicts of {op, bytes_per_device, hops, count}.
+
+    Records populate at TRACE time (shapes are static under jit, so
+    trace-time counting is exact for every execution of the compiled
+    program). Eager distributed_* calls re-trace per call (verified by
+    test: a repeated eager shard_map call still records), so direct
+    use always counts. A user-jit-WRAPPED program, however, replays a
+    cache hit without running any python — so a tally around it would
+    silently read empty. Two defenses (round-4 review item 10):
+      * every distributed_* entry point runs _tally_guard, raising when
+        a tallied direct call recorded nothing, and
+      * __exit__ raises when the whole context recorded nothing
+        (pass allow_empty=True for intentionally-empty scopes).
+    Partial under-counting (a multi-call context where only the
+    jit-wrapped calls were cache hits) is not detectable from here:
+    wrap tallies around freshly-built programs."""
+
+    def __init__(self, allow_empty: bool = False):
+        self.allow_empty = allow_empty
 
     def __enter__(self):
         global _EXCHANGE_TALLY
@@ -61,9 +79,16 @@ class exchange_tally:
         _EXCHANGE_TALLY = self.records
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, *exc):
         global _EXCHANGE_TALLY
         _EXCHANGE_TALLY = None
+        if exc_type is None and not self.records and not self.allow_empty:
+            raise RuntimeError(
+                "exchange_tally recorded no collectives: either nothing "
+                "distributed ran in the context, or a jit-wrapped program "
+                "replayed a cache hit (records are trace-time only). "
+                "Re-trace the program, or pass allow_empty=True."
+            )
         return False
 
     def total_link_bytes(self, n_devices: int) -> int:
@@ -77,6 +102,30 @@ def _xch_record(op: str, nbytes: int, hops: int):
     if _EXCHANGE_TALLY is not None:
         _EXCHANGE_TALLY.append(
             {"op": op, "bytes_per_device": int(nbytes), "hops": int(hops)}
+        )
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _tally_guard(what: str):
+    """Fail loudly when a tallied distributed call records nothing —
+    the jit/shard_map program was a cache hit and replayed without
+    tracing, so the tally would silently read empty. Callers that want
+    volumes for an already-compiled program must re-build it (e.g. a
+    fresh mesh or cleared caches); callers that don't care must not
+    hold a tally open around the call."""
+    if _EXCHANGE_TALLY is None:
+        yield
+        return
+    before = len(_EXCHANGE_TALLY)
+    yield
+    if len(_EXCHANGE_TALLY) == before:
+        raise RuntimeError(
+            f"exchange_tally active but {what} recorded no collectives: "
+            "the program was a jit cache hit (records are trace-time "
+            "only). Re-trace the program to count volumes."
         )
 
 
@@ -173,7 +222,8 @@ def distributed_grouped_aggregate(
         mvalid = jnp.arange(valid_all.shape[0], dtype=jnp.int64) < mng
         return mk, maggs, mvalid
 
-    return step(mask, tuple(key_arrays), tuple(value_arrays))
+    with _tally_guard("distributed_grouped_aggregate"):
+        return step(mask, tuple(key_arrays), tuple(value_arrays))
 
 
 def shard_table(mesh: Mesh, arrays, axis: str = "shards"):
@@ -240,7 +290,8 @@ def distributed_topk(
         f_vals, f_pos = jax.lax.top_k(all_vals, k)
         return f_vals, all_idx[f_pos]
 
-    f_vals, f_idx = step(sort_key, payload_index)
+    with _tally_guard("distributed_topk"):
+        f_vals, f_idx = step(sort_key, payload_index)
     if key_lo is not None:
         f_vals = f_vals.astype(jnp.uint64) + jnp.uint64(key_lo)
     return f_vals, f_idx
@@ -280,7 +331,8 @@ def distributed_pallas_sum_count(
         sums = _xch_psum(sums, axis, nd, op="groupby_psum")
         return counts, sums
 
-    return step(mask, gid, values)
+    with _tally_guard("distributed_pallas_sum_count"):
+        return step(mask, gid, values)
 
 
 def _interp(mesh: Mesh) -> bool:
@@ -404,10 +456,11 @@ def distributed_multi_join_aggregate(
             _xch_psum(sums, axis, _ndev, op="join_psum"),
         )
 
-    return step(
-        fact_k1, fact_k2, fact_values, fact_mask,
-        dim1_keys, dim1_bucket, dim2_keys, dim2_flag,
-    )
+    with _tally_guard("distributed_multi_join_aggregate"):
+        return step(
+            fact_k1, fact_k2, fact_values, fact_mask,
+            dim1_keys, dim1_bucket, dim2_keys, dim2_flag,
+        )
 
 
 def distributed_join_aggregate(
@@ -484,7 +537,8 @@ def distributed_join_aggregate(
             _xch_psum(sums, axis, _ndev, op="join_psum"),
         )
 
-    return step(fact_keys, fact_values, fact_mask, dim_keys, dim_bucket)
+    with _tally_guard("distributed_join_aggregate"):
+        return step(fact_keys, fact_values, fact_mask, dim_keys, dim_bucket)
 
 
 def distributed_count_distinct(
@@ -566,7 +620,8 @@ def distributed_count_distinct(
         valid = jnp.arange(keep_all.shape[0], dtype=jnp.int64) < ng
         return gk, counts, valid
 
-    return step(mask, tuple(key_arrays), values)
+    with _tally_guard("distributed_count_distinct"):
+        return step(mask, tuple(key_arrays), values)
 
 
 # u64 host-order-key bounds implied by sortable_u64 per input dtype:
@@ -815,7 +870,8 @@ def distributed_sort(
             k *= 2
         return keys_l, pays_l
 
-    out_keys, out_pays = step(tuple(sort_keys), tuple(payloads))
+    with _tally_guard("distributed_sort"):
+        out_keys, out_pays = step(tuple(sort_keys), tuple(payloads))
     if any(lo is not None for lo in key_lo):
         out_keys = tuple(
             k.astype(jnp.uint64) + jnp.uint64(lo) if lo is not None else k
@@ -1086,7 +1142,8 @@ def distributed_grouped_aggregate_sharded(
         maggs, valid_out = patch(last_pos, mng >= 2, maggs, valid_out)
         return mk, maggs, valid_out
 
-    return combine(tuple(gk_s), tuple(aggs_s), invalid_s)
+    with _tally_guard("distributed_grouped_aggregate_sharded"):
+        return combine(tuple(gk_s), tuple(aggs_s), invalid_s)
 
 
 _MAX_OF = {
@@ -1103,3 +1160,163 @@ _MIN_OF = {
     "uint32": 0,
     "int32": -(1 << 31),
 }
+
+
+def distributed_bucket_sort(
+    mesh: Mesh,
+    sort_key,
+    payload=None,
+    axis: str = "shards",
+    oversample: int = 64,
+    capacity_factor: float = 2.0,
+):
+    """Padded-bucket sample sort (round-5 VERDICT item 5 probe): the
+    one-exchange-round alternative to the bitonic compare-split
+    network, kept static-shape with FIXED-capacity buckets.
+
+    Stages (per shard, n_local rows):
+      1. local sort;
+      2. splitter sampling: `oversample` evenly-spaced keys from each
+         sorted run all-gather (P*oversample words), replicated sort,
+         P-1 quantile splitters — identical on every shard;
+      3. partition the sorted run by splitters (one searchsorted) and
+         pack each bucket's CONTIGUOUS slice into a (P, C) send buffer,
+         C = capacity_factor * n_local / P (sentinel-padded);
+      4. ONE all_to_all round (ppermute per destination) — total
+         exchanged volume = capacity_factor * n_local words per shard
+         regardless of P, vs the bitonic's log2(P)(log2(P)+1)/2 full-run
+         exchanges;
+      5. local sort of the received (P, C) rows -> shard i holds ALL of
+         bucket i, globally ordered ACROSS shards (output is bucket-
+         partitioned, not balanced: shard i returns a
+         capacity_factor*n_local buffer with count m_i valid rows).
+
+    Clamp-and-repair: a bucket exceeding its send capacity C on some
+    source shard clamps (rows beyond C are dropped from the buffer) and
+    the overflow FLAG returns true — the caller falls back to the
+    always-exact bitonic `distributed_sort` (splitter sampling has no
+    worst-case bound: all-equal keys put every row in one bucket).
+
+    Returns (keys_out, payload_out, counts, overflow):
+      keys_out  u64[cap] per shard (sentinel 0xFF..F beyond count)
+      payload_out same layout (or None)
+      counts    int64[P] replicated per-bucket valid counts
+      overflow  bool scalar, replicated
+    """
+    n_shards = int(mesh.shape[axis])
+    n_local = sort_key.shape[0] // n_shards
+    C = max(1, int(capacity_factor * n_local / n_shards))
+    cap = C * n_shards
+    s = min(oversample, n_local)
+    sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    has_pay = payload is not None
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis),) + ((P(axis),) if has_pay else ()),
+        out_specs=(P(axis),) + ((P(axis),) if has_pay else ())
+        + (P(axis), P()),
+        check_vma=False,
+    )
+    def step(key_l, *pay):
+        pay_l = pay[0] if has_pay else None
+        # 1. local sort
+        if has_pay:
+            key_s, pay_s = jax.lax.sort([key_l, pay_l], num_keys=1)
+        else:
+            key_s = jax.lax.sort([key_l], num_keys=1)[0]
+            pay_s = None
+
+        # 2. splitters from evenly-spaced samples of every sorted run
+        idx = (jnp.arange(s) * n_local) // s
+        samples = key_s[idx]
+        all_samples = _xch_all_gather(
+            samples, axis, n_shards, op="bucket_samples", tiled=True
+        )
+        sorted_samples = jnp.sort(all_samples)
+        q = (jnp.arange(1, n_shards) * (n_shards * s)) // n_shards
+        splitters = sorted_samples[q]  # (P-1,) replicated
+
+        # 3. bucket ranges in the sorted run + fixed-capacity pack
+        starts = jnp.searchsorted(key_s, splitters, side="left")
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), starts.dtype), starts]
+        )  # (P,)
+        ends = jnp.concatenate(
+            [starts[1:], jnp.full((1,), n_local, starts.dtype)]
+        )
+        counts_local = ends - starts
+        overflow_l = jnp.any(counts_local > C)
+
+        iota_c = jnp.arange(C)
+
+        def pack(j, arr, fill):
+            pos = jnp.minimum(starts[j] + iota_c, n_local - 1)
+            vals = arr[pos]
+            return jnp.where(iota_c < counts_local[j], vals, fill)
+
+        jidx = jnp.arange(n_shards)
+        send_keys = jax.vmap(lambda j: pack(j, key_s, sentinel))(jidx)
+        if has_pay:
+            send_pay = jax.vmap(
+                lambda j: pack(j, pay_s, jnp.zeros((), pay_s.dtype))
+            )(jidx)
+
+        # 4. ONE exchange round: destination j receives row block j
+        # from every source (P-1 ppermutes of one (1, C) block each —
+        # the all_to_all decomposition the tally prices per hop)
+        me = jax.lax.axis_index(axis)
+
+        def _pick(arr2d, j):
+            return jax.lax.dynamic_index_in_dim(
+                arr2d, j % n_shards, keepdims=False
+            )
+
+        recv_keys = [_pick(send_keys, me)]
+        recv_pay = [_pick(send_pay, me)] if has_pay else None
+        for d in range(1, n_shards):
+            perm = [(i, (i - d) % n_shards) for i in range(n_shards)]
+            # source i ships its block for destination (i - d) % P
+            recv_keys.append(
+                _xch_ppermute(
+                    _pick(send_keys, me - d), axis, perm,
+                    op="bucket_all_to_all",
+                )
+            )
+            if has_pay:
+                recv_pay.append(
+                    _xch_ppermute(
+                        _pick(send_pay, me - d), axis, perm,
+                        op="bucket_all_to_all",
+                    )
+                )
+
+        got_keys = jnp.concatenate(recv_keys)  # (P*C,)
+
+        # 5. local sort of the received bucket (sentinels sink to the
+        # tail)
+        if has_pay:
+            got_pay = jnp.concatenate(recv_pay)
+            out_k, out_p = jax.lax.sort([got_keys, got_pay], num_keys=1)
+        else:
+            out_k = jax.lax.sort([got_keys], num_keys=1)[0]
+            out_p = None
+        m = jnp.sum(got_keys != sentinel).astype(jnp.int64)
+        overflow = _xch_psum(
+            overflow_l.astype(jnp.int32), axis, n_shards,
+            op="bucket_overflow",
+        ) > 0
+        outs = (out_k,)
+        if has_pay:
+            outs = outs + (out_p,)
+        # per-shard count rides out SHARDED (no collective needed)
+        return outs + (m[None], overflow)
+
+    with _tally_guard("distributed_bucket_sort"):
+        res = step(sort_key, *((payload,) if has_pay else ()))
+    if has_pay:
+        out_k, out_p, counts, overflow = res
+        return out_k, out_p, counts, overflow
+    out_k, counts, overflow = res
+    return out_k, None, counts, overflow

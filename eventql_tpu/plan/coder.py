@@ -236,9 +236,31 @@ def decode_tree(d: dict):
     raise RuntimeError_(f"unknown plan wire type: {t}")
 
 
-def encode_plan(node) -> str:
-    return json.dumps(encode_tree(node))
+def encode_plan(node, binary: Optional[bool] = None) -> bytes:
+    """Serialize a shippable plan subtree. Default wire format is the
+    reference's binary QueryTreeCoder (plan/qtree_coder.py — the 15
+    registered wire types, reference qtree_coder.cc:47-61); JSON stays
+    available as the debug encoding (EVENTQL_TPU_PLAN_JSON=1, or
+    binary=False)."""
+    import os
+
+    if binary is None:
+        binary = os.environ.get("EVENTQL_TPU_PLAN_JSON") != "1"
+    if binary:
+        from eventql_tpu.plan import qtree_coder
+
+        return qtree_coder.encode(node)
+    return json.dumps(encode_tree(node)).encode("utf-8")
 
 
-def decode_plan(data: str):
-    return decode_tree(json.loads(data))
+def decode_plan(data):
+    """Deserialize a shipped plan. The encoding self-describes: JSON
+    documents open with '{' (0x7b); binary trees open with a varuint
+    wire type id in [1, 15]."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    if data[:1] == b"{":
+        return decode_tree(json.loads(data.decode("utf-8")))
+    from eventql_tpu.plan import qtree_coder
+
+    return qtree_coder.decode(data)

@@ -572,7 +572,11 @@ class NativeTCPServer:
         frames carry maxrows+1 rows (ops/query.cc:150-158)."""
         data = bytearray()
         nrows = 0
-        for row in result.rows:
+        # iter_rows formats lazily: a DISCARD after the first page (or
+        # a LIMITed pull) never pays string formatting for the
+        # abandoned rows (ResultList defers whole-column sql_tostring)
+        row_iter = result.iter_rows() if hasattr(result, "iter_rows") else iter(result.rows)
+        for row in row_iter:
             for cell in row:
                 data += write_lenencstr(cell.encode("utf-8"))
             nrows += 1
@@ -629,7 +633,7 @@ class NativeTCPServer:
         pos = 0
         plan_data, pos = read_lenencstr(payload, pos)
         try:
-            node = decode_plan(plan_data.decode("utf-8"))
+            node = decode_plan(plan_data)
             tname = node.table.table_name
             cache_key = None
             if self.query_cache is not None:
@@ -644,7 +648,7 @@ class NativeTCPServer:
 
                     cache_key = QueryCache.fingerprint(
                         "partialaggr",
-                        plan_data.decode("utf-8"),
+                        plan_data.hex(),
                         tname,
                         version_fn(tname),
                     )
@@ -683,7 +687,7 @@ class NativeTCPServer:
         pos = 0
         plan_data, pos = read_lenencstr(payload, pos)
         try:
-            node = decode_plan(plan_data.decode("utf-8"))
+            node = decode_plan(plan_data)
             txn = self.runtime.new_transaction(self.table_service)
             rel = execute_node(node, txn)
             body = relation_to_bytes(rel)
@@ -1076,13 +1080,16 @@ class NativeTCPClient:
         if opcode != OP_ACK:
             raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
 
-    def query_partialaggr(self, plan_data: str) -> bytes:
-        """Ship a partial-aggregate plan; returns serialized partial."""
+    def query_partialaggr(self, plan_data) -> bytes:
+        """Ship a partial-aggregate plan; returns serialized partial.
+        plan_data: binary qtree bytes (default) or JSON str (debug)."""
+        if isinstance(plan_data, str):
+            plan_data = plan_data.encode("utf-8")
         _send_frame(
             self.sock,
             OP_QUERY_PARTIALAGGR,
             0,
-            write_lenencstr(plan_data.encode("utf-8")),
+            write_lenencstr(plan_data),
         )
         opcode, _f, payload = _recv_frame(self.sock)
         if opcode == OP_ERROR:
@@ -1092,12 +1099,14 @@ class NativeTCPClient:
             raise ProtocolDesyncError(f"unexpected opcode: {opcode:#x}")
         return payload
 
-    def query_remote(self, plan_data: str) -> bytes:
+    def query_remote(self, plan_data) -> bytes:
+        if isinstance(plan_data, str):
+            plan_data = plan_data.encode("utf-8")
         _send_frame(
             self.sock,
             OP_QUERY_REMOTE,
             0,
-            write_lenencstr(plan_data.encode("utf-8")),
+            write_lenencstr(plan_data),
         )
         opcode, _f, payload = _recv_frame(self.sock)
         if opcode == OP_ERROR:

@@ -29,7 +29,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-REPS = 8
+REPS = int(os.environ.get("BENCH_REPS", 48))
 N = int(os.environ.get("BENCH_ROWS", 1 << 24))
 
 
@@ -44,31 +44,42 @@ def main():
         pallas_count_fused,
         pallas_sum_count_fused,
     )
-    from bench import _relay_rtt
-
-    rtt = _relay_rtt()
-    print(f"relay rtt: {rtt * 1e3:.2f} ms", flush=True)
-
     rng = np.random.default_rng(42)
+
+    # the relay RTT jitters by several ms between measurements — more
+    # than a short chain's on-chip time — so nop round trips are
+    # INTERLEAVED with the measured calls and subtracted pairwise
+    # (bench.py sql_groupby methodology), and the chain is deep enough
+    # (REPS=48) that compute dominates the residual jitter
+    @jax.jit
+    def _nop(x):
+        return x + 1
+
+    _ = np.asarray(_nop(jnp.int32(0)))
 
     def timeit(fn, *args):
         out = fn(*args)
         _ = np.asarray(out)
-        ts = []
-        for _ in range(3):
+        diffs = []
+        for i in range(5):
             t0 = time.perf_counter()
+            _ = np.asarray(_nop(jnp.int32(i)))
+            t1 = time.perf_counter()
             _ = np.asarray(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        return max(min(ts) - rtt, 1e-9) / REPS
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        diffs.sort()
+        return max(diffs[len(diffs) // 2], 1e-9) / REPS
 
-    rows = []  # (label, lanes, ns_per_row, grows)
+    rows = []  # (label, lanes, ns_per_row, grows, in_fit_domain)
 
-    def record(label, lanes, per_run):
+    def record(label, lanes, per_run, in_domain):
         ns = per_run / N * 1e9
-        rows.append((label, lanes, ns, N / per_run / 1e9))
+        rows.append((label, lanes, ns, N / per_run / 1e9, in_domain))
         print(
             f"{label:34s} lanes={lanes:4d}  {ns:7.4f} ns/row  "
-            f"{N / per_run / 1e9:6.2f} Grows/s",
+            f"{N / per_run / 1e9:6.2f} Grows/s"
+            f"{'' if in_domain else '  (out of fit domain)'}",
             flush=True,
         )
 
@@ -112,7 +123,10 @@ def main():
                 return jax.lax.fori_loop(0, REPS, body, jnp.uint64(0))
 
             per_run = timeit(pipe, gid, vals, pred, thr)
-            record(f"sum_count K={K} vb={vb}", lanes, per_run)
+            record(
+                f"sum_count K={K} vb={vb}", lanes, per_run,
+                vb <= 32 and k1 * r_act <= 512,
+            )
 
     # -- count-only fused ----------------------------------------------
     for K in (1024, 16384, 65536):
@@ -135,21 +149,32 @@ def main():
             return jax.lax.fori_loop(0, REPS, body, jnp.uint64(0))
 
         per_run = timeit(pipe_c, gid, predv, thr)
-        record(f"count_only K={K}", lanes, per_run)
+        record(f"count_only K={K}", lanes, per_run, k1 <= 512)
 
-    # -- least-squares fit: ns = beta + alpha * lanes ------------------
-    L = np.array([r[1] for r in rows], dtype=np.float64)
-    T = np.array([r[2] for r in rows], dtype=np.float64)
-    A = np.stack([np.ones_like(L), L], axis=1)
-    (beta, alpha), *_ = np.linalg.lstsq(A, T, rcond=None)
+    # -- relative least-squares fit: ns = beta + alpha * lanes ---------
+    # Domain = the SQL fused route's own shapes: single-chunk
+    # (k1·r_act <= _MAX_ROWS = 512) and a value stream that fits one
+    # i32 word (value_bits <= 32 — the route's sum_fusable gate), plus
+    # count-only. vb=64 ships TWO value streams (lo+hi words, 8 limb
+    # extractions/row) the lanes count does not price, and multi-chunk
+    # configs pay the accumulator re-walk — both are outside the
+    # route's serving domain and are excluded from the fit (reported
+    # above for reference). Relative weighting (1/T) keeps the small
+    # fast configs from being drowned by the big-K rows.
+    in_domain = [r for r in rows if r[4]]
+    L = np.array([r[1] for r in in_domain], dtype=np.float64)
+    T = np.array([r[2] for r in in_domain], dtype=np.float64)
+    W = 1.0 / T
+    A = np.stack([np.ones_like(L) * W, L * W], axis=1)
+    (beta, alpha), *_ = np.linalg.lstsq(A, T * W, rcond=None)
     pred_t = beta + alpha * L
     err = (T - pred_t) / pred_t
-    print("\nfit: ns/row = beta + alpha * lanes")
+    print("\nfit: ns/row = beta + alpha * lanes  (route-domain configs)")
     print(f"alpha = {alpha * 1e6:.1f} fs/lane-op")
     print(f"beta  = {beta:.4f} ns/row")
     print(f"max |err| = {np.abs(err).max() * 100:.1f}%  "
           f"rms = {np.sqrt((err ** 2).mean()) * 100:.1f}%")
-    for (label, lanes, ns, grows), e in zip(rows, err):
+    for (label, lanes, ns, grows, _d), e in zip(in_domain, err):
         print(f"  {label:34s} meas {ns:7.4f}  model "
               f"{beta + alpha * lanes:7.4f}  err {e * 100:+6.1f}%")
     print(json.dumps({
@@ -160,8 +185,8 @@ def main():
         "n_rows": N,
         "points": [
             {"label": lab, "lanes": int(l), "ns_per_row": round(t, 4),
-             "grows": round(g, 2)}
-            for (lab, l, t, g) in rows
+             "grows": round(g, 2), "in_fit_domain": d}
+            for (lab, l, t, g, d) in rows
         ],
     }))
 

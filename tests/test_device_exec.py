@@ -206,13 +206,13 @@ FUSED_QUERIES = [
     # u32 pred col whose cached max proves payloads < 2^31: eligible
     ("select city, sum(v) from t where w = 12345"
      " group by city order by city;", True),
-    # computed predicate: not fusable, must still match via fallback
+    # computed predicate: fuses via the in-program mask stream (r5)
     ("select city, sum(v) from t where v + 1 < 500"
-     " group by city order by city;", False),
-    # pred col with payloads >= 2^31 (no narrowing): ineligible even
-    # though the literal itself fits int32
+     " group by city order by city;", True),
+    # pred col with payloads >= 2^31 (no narrowing): the two-slot
+    # compare form is ineligible, but the r5 mask stream serves it
     ("select city, sum(v) from t where big < 2000000000"
-     " group by city order by city;", False),
+     " group by city order by city;", True),
     # count-only shapes: no value stream (pallas_count_fused)
     ("select city, count(1) from t group by city order by city;", True),
     ("select city, count(1), count(v) from t where v < 500"
@@ -244,11 +244,24 @@ FUSED_QUERIES = [
      " group by cat order by cat;", True),
     ("select city, count(1) from t where cat >= 120 and cat < 160"
      " group by city order by city;", True),
-    # OR does not fuse; falls back and must still match
+    # OR of two fusable compares rides the kernel's pred_combine (r5)
     ("select city, sum(v) from t where v < 100 or v >= 900"
-     " group by city order by city;", False),
-    # AND with one unfusable side: falls back entirely
+     " group by city order by city;", True),
+    # AND with one computed side: whole predicate via the mask stream
     ("select city, sum(v) from t where v < 700 and v + w < 500000"
+     " group by city order by city;", True),
+    # >=3 conjuncts: mask stream (r5)
+    ("select city, count(1), sum(v) from t"
+     " where v >= 100 and v < 700 and w < 524288"
+     " group by city order by city;", True),
+    # mixed and/or tree: mask stream (r5)
+    ("select city, sum(v) from t where (v < 100 or v >= 900) and w < 524288"
+     " group by city order by city;", True),
+    # OR on two different columns (stream + stream slots)
+    ("select city, sum(v) from t where v < 100 or w >= 262144"
+     " group by city order by city;", True),
+    # multi-sum: 2 summed columns share one MXU pass (pallas_multi_sum)
+    ("select city, sum(v), sum(w), count(1) from t where v < 700"
      " group by city order by city;", False),
 ]
 
@@ -670,3 +683,31 @@ def test_merge_join_route_big_dims_route_taken():
         dev = _run_join_merge(q, n=4000, ndim=ndim, seed=31)
     assert called and called[0]
     assert host == dev
+
+
+def test_multi_sum_route_is_taken():
+    """2+ summed columns must ride the shared-one-hot MXU pass
+    (pallas_multi_sum), not the XLA one-hot fallback."""
+    from eventql_tpu.exec import device_exec
+
+    q = ("select city, sum(v), sum(w), count(1) from t where v < 700"
+         " group by city order by city;")
+    prev = os.environ.get("EVENTQL_TPU_DEVICE")
+    try:
+        os.environ["EVENTQL_TPU_DEVICE"] = "0"
+        rt = Runtime()
+        host = rt.build_query_plan(
+            rt.new_transaction(_make_fused_table()), q
+        ).execute(0)
+        os.environ["EVENTQL_TPU_DEVICE"] = "1"
+        before = device_exec.MULTI_SUM_GROUPBY_COUNT
+        dev = rt.build_query_plan(
+            rt.new_transaction(_make_fused_table()), q
+        ).execute(0)
+        assert device_exec.MULTI_SUM_GROUPBY_COUNT == before + 1
+    finally:
+        if prev is None:
+            os.environ.pop("EVENTQL_TPU_DEVICE", None)
+        else:
+            os.environ["EVENTQL_TPU_DEVICE"] = prev
+    assert dev.rows == host.rows

@@ -223,3 +223,61 @@ def test_exchange_tally_matches_analytic_model():
         1 for r in tally.records if r["op"] == "sort_exchange"
     )
     assert n_permutes == 6 * 2
+
+
+def test_exchange_tally_cache_hit_fails_loudly():
+    """A tally held around an already-compiled program must RAISE, not
+    silently read empty (records are trace-time only — round-4 review
+    item on tally robustness)."""
+    import numpy as np
+    import pytest
+
+    from eventql_tpu.parallel.distributed import (
+        distributed_grouped_aggregate,
+        exchange_tally,
+        make_mesh,
+        shard_table,
+    )
+
+    mesh = make_mesh(2)
+    n = 2 * 32
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 7, n).astype(np.uint64)
+    vals = rng.integers(0, 50, n).astype(np.uint64)
+    mask = np.ones(n, bool)
+    keys_d, vals_d, mask_d = shard_table(mesh, [keys, vals, mask])
+
+    with exchange_tally() as t1:
+        distributed_grouped_aggregate(
+            mesh, mask_d, (keys_d,), (vals_d,), ("sum",)
+        )
+    assert t1.records, "first (tracing) call must record"
+
+    # eager shard_map calls re-trace per call, so a repeated DIRECT
+    # call still records (this is the property that makes direct
+    # tallies safe)
+    with exchange_tally() as t2:
+        distributed_grouped_aggregate(
+            mesh, mask_d, (keys_d,), (vals_d,), ("sum",)
+        )
+    assert t2.records
+
+    # a user-jit-WRAPPED program replays cache hits without python:
+    # the context must fail loudly instead of reading empty
+    import jax
+
+    @jax.jit
+    def wrapped(m, k, v):
+        gk, aggs, valid = distributed_grouped_aggregate(
+            mesh, m, (k,), (v,), ("sum",)
+        )
+        return aggs[0]
+
+    _ = wrapped(mask_d, keys_d, vals_d)  # compile outside any tally
+    with pytest.raises(RuntimeError, match="cache hit"):
+        with exchange_tally():
+            _ = wrapped(mask_d, keys_d, vals_d)
+
+    # intentionally-empty scopes opt out
+    with exchange_tally(allow_empty=True):
+        _ = wrapped(mask_d, keys_d, vals_d)

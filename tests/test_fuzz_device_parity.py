@@ -104,8 +104,14 @@ def _gen_query(rng: random.Random) -> str:
     select = ", ".join(keys + aggs)
     q = f"select {select} from t"
     if rng.random() < 0.6:
-        terms = rng.sample(WHERE_TERMS, rng.randint(1, 2))
-        q += " where " + f" {rng.choice(['and', 'or'])} ".join(terms)
+        # 1-3 terms with mixed and/or joiners: exercises the fused
+        # kernel's two compare slots, the OR pred_combine, and the
+        # r5 general mask-stream predicate tier
+        terms = rng.sample(WHERE_TERMS, rng.randint(1, 3))
+        clause = terms[0]
+        for t in terms[1:]:
+            clause += f" {rng.choice(['and', 'or'])} {t}"
+        q += " where " + clause
     if keys:
         q += " group by " + ", ".join(keys)
     # order by every output ordinal → fully deterministic row order

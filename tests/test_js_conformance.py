@@ -492,3 +492,134 @@ def test_for_in_own_constructor_is_enumerable():
         for (var k in new C()) { ks.push(k); }
         [ks.join(','), (new C()).constructor === C];
     """) == ["x", True]
+
+
+# -- round-5 ES5 completeness: accessors, Object API, freeze/seal,
+#    bind/call/apply parity, array holes (test262-sampled semantics,
+#    hand-derived expected values per the module docstring) ------------
+
+ACCESSORS = [
+    # object literal get/set (11.1.5)
+    ("var o = {get x() { return 42; }}; o.x;", 42),
+    ("var n = 0; var o = {get x() { n++; return n; }}; o.x; o.x;", 2),
+    ("var o = {_v: 1, get v() { return this._v * 10; }}; o.v;", 10),
+    ("var o = {set x(v) { this.y = v + 1; }}; o.x = 5; o.y;", 6),
+    ("var o = {get x() { return 1; }, set x(v) { this.z = v; }};"
+     "o.x = 9; o.x + o.z;", 10),
+    # getter-only: assignment is a silent no-op in sloppy mode (8.12.4)
+    ("var o = {get x() { return 7; }}; o.x = 99; o.x;", 7),
+    # accessors are inherited through the prototype chain (8.12.5)
+    ("var p = {get x() { return this.base * 2; }};"
+     "var o = Object.create(p); o.base = 21; o.x;", 42),
+    ("var p = {set x(v) { this.got = v; }};"
+     "var o = Object.create(p); o.x = 5; o.got;", 5),
+    # setters receive the RECEIVER as this, not the holder
+    ("var p = {set x(v) { this.mine = v; }};"
+     "var o = Object.create(p); o.x = 3;"
+     "o.hasOwnProperty('mine') && !p.hasOwnProperty('mine');", True),
+]
+
+OBJECT_API = [
+    ("var o = Object.create(null); typeof o;", "object"),
+    ("var p = {a: 1}; var o = Object.create(p); o.a;", 1),
+    ("var p = {a: 1}; var o = Object.create(p);"
+     "Object.getPrototypeOf(o) === p;", True),
+    ("var o = Object.create({}, {x: {value: 5}}); o.x;", 5),
+    # defineProperty defaults enumerable to FALSE (15.2.3.6)
+    ("var o = {}; Object.defineProperty(o, 'x', {value: 1});"
+     "Object.keys(o).length;", 0),
+    ("var o = {}; Object.defineProperty(o, 'x',"
+     "{value: 1, enumerable: true}); Object.keys(o).join();", "x"),
+    ("var o = {}; Object.defineProperty(o, 'x', {value: 1});"
+     "o.x;", 1),
+    ("var o = {}; Object.defineProperty(o, 'x',"
+     "{get: function() { return 8; }}); o.x;", 8),
+    ("var o = {}; Object.defineProperties(o,"
+     "{a: {value: 1, enumerable: true},"
+     " b: {value: 2, enumerable: true}}); o.a + o.b;", 3),
+    ("var o = {a: 1}; Object.getOwnPropertyNames(o).join();", "a"),
+    ("var o = {}; Object.defineProperty(o, 'h', {value: 1});"
+     "Object.getOwnPropertyNames(o).join();", "h"),
+    ("var o = {a: 1};"
+     "var d = Object.getOwnPropertyDescriptor(o, 'a');"
+     "d.value + (d.enumerable ? 10 : 0) + (d.writable ? 100 : 0);",
+     111),
+    ("var o = {get x() { return 1; }};"
+     "var d = Object.getOwnPropertyDescriptor(o, 'x');"
+     "typeof d.get;", "function"),
+    ("Object.getOwnPropertyDescriptor({}, 'nope') === undefined;",
+     True),
+    # for-in skips non-enumerables
+    ("var o = {a: 1}; Object.defineProperty(o, 'b', {value: 2});"
+     "var ks = []; for (var k in o) ks.push(k); ks.join();", "a"),
+]
+
+FREEZE_SEAL = [
+    ("var o = Object.freeze({a: 1}); o.a = 9; o.a;", 1),
+    ("var o = Object.freeze({a: 1}); o.b = 2; o.b === undefined;",
+     True),
+    ("var o = Object.freeze({a: 1}); delete o.a; o.a;", 1),
+    ("Object.isFrozen(Object.freeze({}));", True),
+    ("Object.isFrozen({});", False),
+    ("var o = Object.seal({a: 1}); o.a = 2; o.a;", 2),  # writable
+    ("var o = Object.seal({a: 1}); o.b = 9; o.b === undefined;", True),
+    ("var o = Object.seal({a: 1}); delete o.a; o.a;", 1),
+    ("Object.isSealed(Object.seal({}));", True),
+    ("Object.isSealed(Object.freeze({}));", True),
+    ("Object.isExtensible({});", True),
+    ("Object.isExtensible(Object.preventExtensions({}));", False),
+    ("Object.freeze({a:1}).a;", 1),  # freeze returns its argument
+]
+
+BIND_CALL_APPLY = [
+    ("function f(a, b) { return this.x + a + b; }"
+     "f.call({x: 1}, 2, 3);", 6),
+    ("function f(a, b) { return this.x + a + b; }"
+     "f.apply({x: 1}, [2, 3]);", 6),
+    ("function f(a, b) { return a + b; }"
+     "var g = f.bind(null, 10); g(5);", 15),
+    ("function f() { return this.x; }"
+     "var g = f.bind({x: 7}); g();", 7),
+    # bound functions compose partial applications left-to-right
+    ("function f(a, b, c) { return '' + a + b + c; }"
+     "f.bind(null, 1).bind(null, 2)(3);", "123"),
+    ("function f() { return arguments.length; }"
+     "f.apply(null, [1, 2, 3, 4]);", 4),
+]
+
+ARRAY_HOLES = [
+    # Array(n) makes holes; length counts them (15.4)
+    ("Array(3).length;", 3),
+    ("var a = [1, , 3]; a.length;", 3),
+    ("var a = [1, , 3]; a[1] === undefined;", True),
+    ("var a = []; a[4] = 1; a.length;", 5),
+    ("var a = [1, 2, 3]; a.length = 1; a.join();", "1"),
+    # join renders holes as empty strings (15.4.4.5)
+    ("[1, , 3].join('-');", "1--3"),
+    ("var a = [1, , 3]; delete a[0]; a.join();", ",,3"),
+]
+
+
+@pytest.mark.parametrize("src,expected", ACCESSORS)
+def test_accessors(src, expected):
+    check(src, expected)
+
+
+@pytest.mark.parametrize("src,expected", OBJECT_API)
+def test_object_api(src, expected):
+    check(src, expected)
+
+
+@pytest.mark.parametrize("src,expected", FREEZE_SEAL)
+def test_freeze_seal(src, expected):
+    check(src, expected)
+
+
+@pytest.mark.parametrize("src,expected", BIND_CALL_APPLY)
+def test_bind_call_apply(src, expected):
+    check(src, expected)
+
+
+@pytest.mark.parametrize("src,expected", ARRAY_HOLES)
+def test_array_holes(src, expected):
+    check(src, expected)
