@@ -866,6 +866,55 @@ def bench_insert():
     )
 
 
+def bench_groupby_multisum():
+    """2-sum GROUP BY: `sum(a), sum(b), count(*) GROUP BY k` in ONE MXU
+    pass (kernels/pallas_groupby.pallas_multi_sum, wired into the SQL
+    route round 5 — both summed streams share the one-hot, so the
+    second sum costs limb planes, not another kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    from eventql_tpu.kernels.pallas_groupby import pallas_multi_sum
+
+    n = int(os.environ.get("BENCH_ROWS", 1 << 24))
+    n_keys = int(os.environ.get("BENCH_KEYS", 1024))
+    reps = int(os.environ.get("BENCH_REPS", 48))
+
+    rng = np.random.default_rng(42)
+    gid = jnp.asarray(rng.integers(0, n_keys, n).astype(np.int32))
+    a_vals = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
+    b_vals = jnp.asarray(rng.integers(0, 60000, n).astype(np.int32))
+    threshold = jnp.int32(800)
+
+    @jax.jit
+    def pipeline_many(gid, a_vals, b_vals, threshold):
+        def body(i, acc):
+            mask = a_vals + i < threshold
+            counts, (sa, sb) = pallas_multi_sum(
+                mask, gid, (a_vals, b_vals), (2, 2), n_keys
+            )
+            return acc + sa.sum() + sb.sum() + counts.sum()
+
+        return jax.lax.fori_loop(0, reps, body, jnp.uint64(0))
+
+    per_run = _timeit(pipeline_many, gid, a_vals, b_vals, threshold, reps=reps)
+    rows_per_sec = n / per_run
+    # HBM floor: gid 4 + two value streams 4+4 = 12 B/row
+    sol = _hbm_bandwidth_bytes() / 12.0
+    print(
+        json.dumps(
+            {
+                "metric": "groupby_two_sums_rows_per_sec_per_chip",
+                "value": round(rows_per_sec / 1e9, 3),
+                "unit": "Grows/s",
+                "vs_baseline": round(rows_per_sec / sol, 4),
+            }
+        )
+    )
+
+
 def bench_groupby_count():
     """count(*)-only GROUP BY: the no-value-planes fast path (drops the
     value HBM stream and all limb planes; 1.5x sum+count measured
@@ -1054,6 +1103,8 @@ def main():
         return bench_latency()
     if cfg == "groupby_count":
         return bench_groupby_count()
+    if cfg == "groupby_multisum":
+        return bench_groupby_multisum()
     if cfg == "groupby_vs_reference":
         return bench_groupby_vs_reference()
     if cfg == "topk_vs_reference":

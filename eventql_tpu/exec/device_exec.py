@@ -248,6 +248,11 @@ def device_plan_eligible(node) -> bool:
         return False
     if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
         return False
+    if scan.keyrange is not None:
+        # partition-scoped shipped plan: the device routes read whole
+        # cached columns and would ignore the keyrange filter — the
+        # host path applies it (operators._exec_seqscan_relation)
+        return False
     # scan select exprs + where must be device compatible. STRING
     # columns flow as dictionary ids (dictionaries are np.unique-sorted
     # at ingest, so ids preserve both equality and byte order); only
@@ -639,6 +644,8 @@ def try_execute_pallas_string_groupby(
         return None
     if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
         return None
+    if scan.keyrange is not None:
+        return None  # partition-scoped: host path applies the range
     if len(node.group_exprs) != 1:
         return None
 
@@ -1614,6 +1621,8 @@ def _prep_device_scan_order(order_node: qn.OrderByNode, txn):
         return None
     if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
         return None
+    if scan.keyrange is not None:
+        return None  # partition-scoped: host path applies the range
     specs = order_node.sort_specs
     if not specs:
         return None
@@ -1939,6 +1948,8 @@ def join_groupby_analysis(node: qn.GroupByNode, txn):
             return None
         if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
             return None
+        if scan.keyrange is not None:
+            return None  # partition-scoped: host path applies the range
     if join.join_cond is None:
         return None
 

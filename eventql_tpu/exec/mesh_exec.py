@@ -72,8 +72,20 @@ def _mesh_groupby_eligible(node: qn.GroupByNode) -> bool:
     return True
 
 
-def try_execute_mesh_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
-    """Scan→Filter→GroupBy over the mesh; None → caller falls back."""
+def try_execute_mesh_groupby(
+    node: qn.GroupByNode, txn, partial: bool = False
+):
+    """Scan→Filter→GroupBy over the mesh; None → caller falls back.
+
+    partial=True returns a GroupByPartial (operators.GroupByPartial —
+    the mergeable accumulator-state form the cluster tier ships as
+    QUERY_PARTIALAGGR results) instead of a final Relation: this is
+    the TCP-over-ICI composition — a cluster worker aggregates its
+    local shard ON ITS MESH and only O(groups) states cross hosts
+    (reference: PartialGroupByExpression feeding GroupByMerge,
+    groupby.cc:438-714). count_distinct partials need the distinct
+    VALUE SETS (not counts) for cross-host dedup, so those plans fall
+    back to the host partial path."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -121,9 +133,14 @@ def try_execute_mesh_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
             emit = _strip_aggregates(sl.expr, aggs)
             base = len(all_aggs)
             all_aggs.extend(aggs)
-            entries.append(("agg", emit, base))
+            entries.append(("agg", emit, base, len(aggs)))
         else:
-            entries.append(("first", sl.expr, None))
+            entries.append(("first", sl.expr, None, 0))
+
+    if partial and any(
+        a.sfunction.aggregate.kind == "count_distinct" for a in all_aggs
+    ):
+        return None  # partial distinct needs value sets: host path
 
     # slot spec per aggregate: where its result comes from after merge
     plane_kinds: List[str] = []      # local kinds, one per main plane
@@ -379,7 +396,7 @@ def try_execute_mesh_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
     # first-row-wins select entries: evaluate on the HOST over the
     # gathered first rows (exact host semantics incl. strings)
     scan_host_cols = None
-    if any(kind == "first" for (kind, _e, _b) in entries):
+    if partial or any(kind == "first" for (kind, _e, _b, _n) in entries):
         by_name = dict(zip(table.names, table.columns))
         mini = [
             by_name[cname].gather(firsts_ordered)
@@ -390,8 +407,70 @@ def try_execute_mesh_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
             evaluate_vector(sl.expr, ctx_in) for sl in scan.select_list
         ]
 
+    global MESH_GROUPBY_RUNS
+    if partial:
+        # GroupByPartial: mergeable per-kind accumulator states, the
+        # wire form the cluster tier serializes (cluster.py
+        # partial_to_bytes) — mean stays decomposed as [sum, count]
+        from eventql_tpu.exec.operators import GroupByPartial
+
+        ctx_keys = EvalContext(scan_host_cols, ng)
+        key_cols = [
+            evaluate_vector(g, ctx_keys) for g in node.group_exprs
+        ]
+        p_entries = []
+        for (kind, expr, base, nags) in entries:
+            if kind == "first":
+                ctx = EvalContext(scan_host_cols, ng)
+                p_entries.append(
+                    ("first", evaluate_vector(expr, ctx))
+                )
+                continue
+            states = []
+            for a, slot in zip(
+                all_aggs[base : base + nags], slots[base : base + nags]
+            ):
+                akind = a.sfunction.aggregate.kind
+                if slot[0] == "mean":
+                    s_col = Column(
+                        SType.FLOAT64,
+                        main_h[slot[1]][order].astype(np.float64),
+                        np.ones(ng, bool),
+                    )
+                    c_col = Column(
+                        SType.UINT64,
+                        main_h[slot[2]][order].astype(np.uint64),
+                        np.ones(ng, bool),
+                    )
+                    states.append(("mean", [s_col, c_col]))
+                else:
+                    rtype = (
+                        SType.UINT64
+                        if akind == "count"
+                        else a.sfunction.return_type
+                    )
+                    states.append(
+                        (
+                            akind,
+                            [
+                                Column(
+                                    rtype,
+                                    main_h[slot[1]][order].astype(
+                                        dtype_for(rtype)
+                                    ),
+                                    np.ones(ng, bool),
+                                )
+                            ],
+                        )
+                    )
+            p_entries.append(
+                ("agg", expr, states, all_aggs[base : base + nags])
+            )
+        MESH_GROUPBY_RUNS += 1
+        return GroupByPartial(key_cols, ng, p_entries)
+
     out_cols: List[Column] = []
-    for (kind, expr, base) in entries:
+    for (kind, expr, base, _nags) in entries:
         if kind == "agg":
             ctx = EvalContext(agg_cols[base:], ng)
             out_cols.append(evaluate_vector(expr, ctx))
@@ -399,7 +478,6 @@ def try_execute_mesh_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
             ctx = EvalContext(scan_host_cols, ng)
             out_cols.append(evaluate_vector(expr, ctx))
 
-    global MESH_GROUPBY_RUNS
     MESH_GROUPBY_RUNS += 1
     names = [sl.column_name() for sl in node.select_list]
     return Relation(names, out_cols, ng)
@@ -432,6 +510,8 @@ def _mesh_order_analysis(order_node: qn.OrderByNode, txn):
         return None
     if scan.aggr_strategy != qn.SequentialScanNode.NO_AGGREGATION:
         return None
+    if scan.keyrange is not None:
+        return None  # partition-scoped: host path applies the range
     specs = order_node.sort_specs
     if not specs:
         return None
@@ -988,12 +1068,23 @@ def try_execute_mesh_join_groupby(node: qn.GroupByNode, txn):
 def try_execute_mesh_scan_order(
     order_node: qn.OrderByNode, txn
 ) -> Optional[Relation]:
-    """Full SELECT ... [WHERE] ORDER BY over the mesh: per-shard key
-    construction + the bitonic compare-split mesh sort
-    (parallel/distributed.distributed_sort), with the filter mask as
-    the leading key and the global row id as the trailing key (exact
-    host stable order; the permutation IS the trailing key's sorted
-    values, so no payload plane is needed)."""
+    """Full SELECT ... [WHERE] ORDER BY over the mesh.
+
+    Single-key specs take the PADDED-BUCKET SAMPLE SORT
+    (distributed_bucket_sort — shipped round 5 after the probe
+    projected 1.64x the bitonic at P=8, scripts/probe_bucket_sort.py:
+    one fixed-capacity exchange round instead of log2(P)(log2(P)+1)/2
+    full-run stages): filtered rows key to the sentinel and drop out of
+    the exchange; the global row id rides as the tiebreak payload, so
+    ties keep the host engine's stable order; splitter-overflow (heavy
+    skew) falls back to the always-exact bitonic path below.
+
+    Multi-key specs use the bitonic compare-split mesh sort
+    (distributed_sort) with the filter mask as the leading key and the
+    global row id as the trailing key (exact host stable order; the
+    permutation IS the trailing key's sorted values)."""
+    global MESH_ORDER_RUNS
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -1004,7 +1095,10 @@ def try_execute_mesh_scan_order(
         _n_scalar,
         _plan_fingerprint_cached,
     )
-    from eventql_tpu.parallel.distributed import distributed_sort
+    from eventql_tpu.parallel.distributed import (
+        distributed_bucket_sort,
+        distributed_sort,
+    )
 
     provider = txn.tables
     mesh, axis = provider.mesh, provider.axis
@@ -1021,6 +1115,110 @@ def try_execute_mesh_scan_order(
     )
     stypes = [c.stype for c in in_cols]
     hostkey_planes = _mesh_sharded_hostkeys(provider, host_keys, n, n_p)
+
+    def _shard_keys_body(datas, valids, hkeys, n_real):
+        """Per-shard: scan exprs, WHERE mask, host-order keys, global
+        row ids — shared by the bucket and bitonic programs."""
+        local_n = datas[0].shape[0]
+        in_cols_l = [
+            jax_expr.DeviceCol(st, d, v)
+            for st, d, v in zip(stypes, datas, valids)
+        ]
+        scan_cols = [None] * len(scan.select_list)
+        for i in needed:
+            scan_cols[i] = jax_expr.compile_expr(
+                scan.select_list[i].expr, in_cols_l, local_n
+            )
+        if scan.where_expr is not None:
+            mask = jax_expr.compile_expr(
+                scan.where_expr, in_cols_l, local_n
+            ).data
+        else:
+            mask = jnp.ones((local_n,), jnp.bool_)
+        shard_i = jax.lax.axis_index(axis).astype(jnp.int64)
+        gidx = shard_i * jnp.int64(local_n) + jnp.arange(
+            local_n, dtype=jnp.int64
+        )
+        mask = mask & (gidx < n_real)
+        keys = _mesh_keys_in_shard(
+            specs, scan_cols, null_ranks, hkeys, host_keys, local_n
+        )
+        return keys, mask, gidx
+
+    if len(specs) == 1:
+        # padded-bucket sample sort path (see docstring)
+        def make_bucket_program():
+            @functools.partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(
+                    tuple(P(axis) for _ in in_cols),
+                    tuple(P(axis) for _ in in_cols),
+                    tuple(P(axis) for _ in hostkey_planes),
+                    P(),
+                ),
+                out_specs=(P(axis), P(axis), P(), P()),
+                check_vma=False,
+            )
+            def bkeys_step(datas, valids, hkeys, n_real):
+                from eventql_tpu.parallel.distributed import _xch_psum
+
+                keys, mask, gidx = _shard_keys_body(
+                    datas, valids, hkeys, n_real
+                )
+                sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+                k0 = keys[0]
+                # a REAL key equal to the sentinel (u64 max / NaN-last)
+                # cannot ride the bucket path (it would drop as
+                # padding): detect and fall back
+                collide = _xch_psum(
+                    jnp.sum(mask & (k0 == sentinel), dtype=jnp.int64),
+                    axis, nd, op="order_collide",
+                )
+                n_pass = _xch_psum(
+                    jnp.sum(mask, dtype=jnp.int64), axis, nd,
+                    op="order_npass",
+                )
+                bkey = jnp.where(mask, k0, sentinel)
+                return bkey, gidx.astype(jnp.uint64), n_pass, collide
+
+            def program(col_data, col_valid, hkeys, n_real):
+                bkey, gidx, n_pass, collide = bkeys_step(
+                    col_data, col_valid, hkeys, n_real
+                )
+                out_k, out_p, counts, overflow = distributed_bucket_sort(
+                    mesh, bkey, gidx, axis=axis
+                )
+                return out_p, counts, overflow | (collide > 0), n_pass
+
+            return program
+
+        bkey_cache = (
+            "mesh_order_bucket",
+            _plan_fingerprint_cached(order_node),
+            tuple(int(st) for st in stypes),
+            nd,
+            id(mesh),
+            n_p,
+        )
+        fnb = _cached_jit(bkey_cache, make_bucket_program)
+        out_p, counts, fallback, n_pass = fnb(
+            tuple(c.data for c in in_cols),
+            tuple(c.valid for c in in_cols),
+            hostkey_planes,
+            _n_scalar(n),
+        )
+        if not bool(fallback):
+            op = np.asarray(out_p)
+            cnt = np.asarray(counts)
+            cap = op.shape[0] // nd
+            perm_h = np.concatenate(
+                [op[i * cap : i * cap + cnt[i]] for i in range(nd)]
+            ).astype(np.int64)
+            assert len(perm_h) == int(n_pass)
+            MESH_ORDER_RUNS += 1
+            return _emit_scan_rows(scan, table, perm_h)
+        # splitter overflow / sentinel collision: bitonic fallback
 
     def make_program():
         @functools.partial(
@@ -1041,32 +1239,11 @@ def try_execute_mesh_scan_order(
             check_vma=False,
         )
         def keys_step(datas, valids, hkeys, n_real):
-            local_n = datas[0].shape[0]
-            in_cols_l = [
-                jax_expr.DeviceCol(st, d, v)
-                for st, d, v in zip(stypes, datas, valids)
-            ]
-            scan_cols = [None] * len(scan.select_list)
-            for i in needed:
-                scan_cols[i] = jax_expr.compile_expr(
-                    scan.select_list[i].expr, in_cols_l, local_n
-                )
-            if scan.where_expr is not None:
-                mask = jax_expr.compile_expr(
-                    scan.where_expr, in_cols_l, local_n
-                ).data
-            else:
-                mask = jnp.ones((local_n,), jnp.bool_)
-            shard_i = jax.lax.axis_index(axis).astype(jnp.int64)
-            gidx = shard_i * jnp.int64(local_n) + jnp.arange(
-                local_n, dtype=jnp.int64
-            )
-            mask = mask & (gidx < n_real)
-            keys = _mesh_keys_in_shard(
-                specs, scan_cols, null_ranks, hkeys, host_keys, local_n
-            )
             from eventql_tpu.parallel.distributed import _xch_psum
 
+            keys, mask, gidx = _shard_keys_body(
+                datas, valids, hkeys, n_real
+            )
             n_pass = _xch_psum(
                 jnp.sum(mask, dtype=jnp.int64), axis, nd, op="order_npass"
             )
@@ -1105,6 +1282,5 @@ def try_execute_mesh_scan_order(
     )
     n_pass = int(n_pass)
     perm_h = np.asarray(perm)[:n_pass].astype(np.int64)
-    global MESH_ORDER_RUNS
     MESH_ORDER_RUNS += 1
     return _emit_scan_rows(scan, table, perm_h)

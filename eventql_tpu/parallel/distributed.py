@@ -1221,9 +1221,12 @@ def distributed_bucket_sort(
     )
     def step(key_l, *pay):
         pay_l = pay[0] if has_pay else None
-        # 1. local sort
+        # 1. local sort — WITH the payload as a secondary sort key:
+        # ties then order by payload (for row-id payloads this IS the
+        # host engine's stable order; callers relying on it pass
+        # monotone payloads)
         if has_pay:
-            key_s, pay_s = jax.lax.sort([key_l, pay_l], num_keys=1)
+            key_s, pay_s = jax.lax.sort([key_l, pay_l], num_keys=2)
         else:
             key_s = jax.lax.sort([key_l], num_keys=1)[0]
             pay_s = None
@@ -1243,9 +1246,15 @@ def distributed_bucket_sort(
         starts = jnp.concatenate(
             [jnp.zeros((1,), starts.dtype), starts]
         )  # (P,)
-        ends = jnp.concatenate(
-            [starts[1:], jnp.full((1,), n_local, starts.dtype)]
+        # sentinel-keyed rows (filtered/padding by contract: callers
+        # must clamp REAL keys below the sentinel) are excluded from
+        # the exchange entirely — the last bucket ends where they start
+        n_valid = jnp.searchsorted(key_s, sentinel, side="left").astype(
+            starts.dtype
         )
+        ends = jnp.concatenate([starts[1:], n_valid[None]])
+        ends = jnp.minimum(ends, n_valid)
+        starts = jnp.minimum(starts, n_valid)
         counts_local = ends - starts
         overflow_l = jnp.any(counts_local > C)
 
@@ -1295,10 +1304,10 @@ def distributed_bucket_sort(
         got_keys = jnp.concatenate(recv_keys)  # (P*C,)
 
         # 5. local sort of the received bucket (sentinels sink to the
-        # tail)
+        # tail); payload again participates for stable tie order
         if has_pay:
             got_pay = jnp.concatenate(recv_pay)
-            out_k, out_p = jax.lax.sort([got_keys, got_pay], num_keys=1)
+            out_k, out_p = jax.lax.sort([got_keys, got_pay], num_keys=2)
         else:
             out_k = jax.lax.sort([got_keys], num_keys=1)[0]
             out_p = None

@@ -623,6 +623,31 @@ class NativeTCPServer:
             _send_frame(sock, OP_QUERY_RESULT, F_ENDOFREQUEST, bytes(body))
         return True
 
+    def _mesh_partial(self, node, tname, table):
+        """Partial GROUP BY over this worker's device mesh when
+        EVENTQL_TPU_MESH_DEVICES is set (exec/mesh_exec.py
+        try_execute_mesh_groupby(partial=True)); None -> host path."""
+        import os
+
+        mesh_n = os.environ.get("EVENTQL_TPU_MESH_DEVICES")
+        if not mesh_n:
+            return None
+        from eventql_tpu.exec.mesh_exec import try_execute_mesh_groupby
+        from eventql_tpu.exec.runtime import Runtime
+        from eventql_tpu.parallel.mesh_provider import MeshTableProvider
+
+        cache = getattr(self, "_mesh_providers", None)
+        if cache is None:
+            cache = self._mesh_providers = {}
+        entry = cache.get(tname)
+        if entry is None or entry[0] != id(table):
+            p = MeshTableProvider(n_devices=int(mesh_n))
+            p.add_table(tname, table)
+            cache[tname] = (id(table), p)
+        provider = cache[tname][1]
+        txn = Runtime().new_transaction(provider)
+        return try_execute_mesh_groupby(node, txn, partial=True)
+
     def _handle_partialaggr(self, sock, payload):
         """Execute a shipped partial-aggregate plan against local tables
         (reference: transport/native/ops/query_partialaggr.cc:41-110)."""
@@ -662,7 +687,18 @@ class NativeTCPServer:
                         )
                         return
             table = self.table_service.get_table_data(tname)
-            partial = _exec_group_by_local(node, table)
+            partial = None
+            if node.table.keyrange is None:
+                # TCP-over-ICI composition: with a mesh attached
+                # (EVENTQL_TPU_MESH_DEVICES=N), this worker aggregates
+                # its shard ON ITS DEVICE MESH and ships only the
+                # O(groups) accumulator states — partial aggregation
+                # over ICI within the host, GroupByMerge over TCP
+                # across hosts (reference analog: the partition server
+                # IS the compute in groupby.cc:438-714)
+                partial = self._mesh_partial(node, tname, table)
+            if partial is None:
+                partial = _exec_group_by_local(node, table)
             body = partial_to_bytes(partial, rows_scanned=table.num_rows)
             if cache_key is not None:
                 self.query_cache.store_blob(cache_key, body)

@@ -260,3 +260,65 @@ def test_mesh_reuses_compiled_program(rel):
     second = _run(q, p)
     assert mesh_exec.MESH_GROUPBY_RUNS == before + 1
     assert first.rows == second.rows
+
+
+# -- TCP-over-ICI composition: cluster workers aggregate on their mesh
+#    (server/native_tcp.py _mesh_partial), GroupByMerge over TCP ------
+
+
+def test_cluster_workers_aggregate_on_mesh(monkeypatch):
+    import numpy as np
+
+    from eventql_tpu.db.table_service import TableService
+    from eventql_tpu.exec import mesh_exec
+    from eventql_tpu.parallel.cluster import ClusterTableProvider
+    from eventql_tpu.server.native_tcp import (
+        NativeTCPClient,
+        NativeTCPServer,
+    )
+
+    schema = (
+        "CREATE TABLE ev (t uint64, k uint64, v uint64,"
+        " PRIMARY KEY (t));"
+    )
+    rng = np.random.default_rng(31)
+
+    def mkworker(t0, nrows):
+        svc = TableService()
+        server = NativeTCPServer(svc, port=0).start()
+        c = NativeTCPClient("127.0.0.1", server.port)
+        c.query(schema)
+        rows = [
+            '{"t": %d, "k": %d, "v": %d}'
+            % (t0 + i, int(rng.integers(0, 7)), int(rng.integers(0, 100)))
+            for i in range(nrows)
+        ]
+        c.insert_json("ev", rows)
+        c.close()
+        return server
+
+    w1 = mkworker(0, 40)
+    w2 = mkworker(1000, 40)
+    provider = ClusterTableProvider(
+        [("127.0.0.1", w1.port), ("127.0.0.1", w2.port)]
+    )
+    sql = (
+        "select k, count(1), sum(v), min(v), max(v), mean(v) from ev"
+        " where v < 90 group by k order by k;"
+    )
+    try:
+        host_rows = _run(sql, provider)
+
+        # now with worker meshes attached: each worker's partial runs
+        # over its own 4-device mesh; results must be identical
+        monkeypatch.setenv("EVENTQL_TPU_MESH_DEVICES", "4")
+        before = mesh_exec.MESH_GROUPBY_RUNS
+        mesh_rows = _run(sql, provider)
+        assert mesh_exec.MESH_GROUPBY_RUNS >= before + 2, (
+            "both workers must aggregate on their mesh"
+        )
+        assert mesh_rows.rows == host_rows.rows
+    finally:
+        provider.close()
+        w1.stop()
+        w2.stop()
