@@ -436,6 +436,38 @@ class QueryPlanBuilder:
                             subtree.get_column_type(pos - 1),
                             index=pos - 1,
                         )
+                # ORDER BY <aggregate-expr> (e.g. ORDER BY sum(v)):
+                # aggregates cannot evaluate inside the sort — resolve
+                # the expression against the select list's output
+                # columns by its SQL form (aliases already resolve via
+                # the name resolver above; the reference compiles the
+                # matching select-list output the same way,
+                # sql/scheduler.cc:95-151)
+                from eventql_tpu.plan.exprs import has_aggregate_call
+
+                if has_aggregate_call(expr):
+                    sql_form = expr.to_sql()
+                    pos = None
+                    select_list = getattr(subtree, "select_list", None)
+                    if select_list is not None:
+                        for i, sl in enumerate(select_list):
+                            if sl.expr.to_sql() == sql_form:
+                                pos = i
+                                break
+                    if pos is None:
+                        raise RuntimeError_(
+                            "ORDER BY aggregate expression must appear "
+                            "in the select list"
+                        )
+                    from eventql_tpu.plan.exprs import (
+                        ColumnReferenceNode,
+                    )
+
+                    expr = ColumnReferenceNode(
+                        subtree.get_result_columns()[pos],
+                        subtree.get_column_type(pos),
+                        index=pos,
+                    )
                 sort_specs.append(qn.SortSpec(expr, descending))
         return qn.OrderByNode(sort_specs, subtree)
 

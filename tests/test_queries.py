@@ -542,3 +542,61 @@ def test_select_invalid_column_error():
             CSTableScanProvider("testtable", TESTTBL_CST),
         )
     assert "column(s) not found: 'fnord'" in str(exc.value)
+
+
+def test_order_by_aggregate_expression():
+    """ORDER BY sum(v) (the aggregate expression repeated, not an
+    ordinal/alias) resolves against the select list — round-5 fix;
+    previously raised 'no implementation for sum'."""
+    import numpy as np
+
+    from eventql_tpu.core.types import SType
+    from eventql_tpu.exec.relation import Column, Relation
+    from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+
+    n = 300
+    rel = Relation(
+        ["k", "v"],
+        [
+            Column(
+                SType.UINT64, (np.arange(n) % 7).astype(np.uint64),
+                np.ones(n, bool),
+            ),
+            Column(
+                SType.UINT64, np.arange(n, dtype=np.uint64),
+                np.ones(n, bool),
+            ),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("ev", rel)
+    rt = Runtime()
+
+    by_expr = rt.execute_query(
+        rt.new_transaction(p),
+        "select k, sum(v) from ev group by k order by sum(v) desc, k;",
+    )[0].rows
+    by_ord = rt.execute_query(
+        rt.new_transaction(p),
+        "select k, sum(v) from ev group by k order by 2 desc, k;",
+    )[0].rows
+    assert by_expr == by_ord
+
+    # aliased select entry still resolvable by the expression form
+    aliased = rt.execute_query(
+        rt.new_transaction(p),
+        "select k, sum(v) as s from ev group by k order by sum(v) desc, k;",
+    )[0].rows
+    assert [r[1] for r in aliased] == [r[1] for r in by_ord]
+
+    # unprojected aggregate: clear error, not a VM crash
+    import pytest
+
+    from eventql_tpu.core.errors import RuntimeError_
+
+    with pytest.raises(RuntimeError_, match="must appear in the select"):
+        rt.execute_query(
+            rt.new_transaction(p),
+            "select k from ev group by k order by sum(v);",
+        )
