@@ -114,6 +114,27 @@ def _try_load() -> Optional[ctypes.CDLL]:
         fn.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
     lib.evql_shred_free.restype = None
     lib.evql_shred_free.argtypes = [ctypes.c_void_p]
+    lib.evql_sha1_rows.restype = ctypes.c_int
+    lib.evql_sha1_rows.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+    ]
+    lib.evql_record_ids_u64.restype = ctypes.c_int
+    lib.evql_record_ids_u64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+    ]
+    lib.evql_record_ids_i64.restype = ctypes.c_int
+    lib.evql_record_ids_i64.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+    ]
     _lib = lib
     return _lib
 
@@ -358,3 +379,57 @@ def json_shred(json_bytes: bytes, names, stypes):
         return int(nrows), cols
     finally:
         lib.evql_shred_free(h)
+
+
+def sha1_rows(payload: bytes, offsets: np.ndarray) -> Optional[np.ndarray]:
+    """SHA1 digests of n packed rows (offsets: uint64[n+1]); returns a
+    (n, 20) uint8 array or None when the native lib is unavailable.
+    The insert path's record ids (reference computes them in C++,
+    db/table_service.cc:795-837)."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    out = np.empty(n * 20, dtype=np.uint8)
+    off = np.ascontiguousarray(offsets, dtype=np.uint64)
+    rc = lib.evql_sha1_rows(
+        payload,
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n,
+        out.ctypes.data_as(ctypes.c_char_p),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(n, 20)
+
+
+def record_ids_numeric(data: np.ndarray, valid: np.ndarray) -> Optional[np.ndarray]:
+    """Record ids for a single numeric primary-key column: SHA1 of the
+    decimal wire string per row ("" for NULL). (n, 20) uint8 or None."""
+    lib = _try_load()
+    if lib is None:
+        return None
+    n = len(data)
+    out = np.empty(n * 20, dtype=np.uint8)
+    v = np.ascontiguousarray(valid, dtype=np.uint8)
+    if data.dtype == np.uint64:
+        d = np.ascontiguousarray(data)
+        rc = lib.evql_record_ids_u64(
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            v.ctypes.data_as(ctypes.c_char_p),
+            n,
+            out.ctypes.data_as(ctypes.c_char_p),
+        )
+    elif data.dtype == np.int64:
+        d = np.ascontiguousarray(data)
+        rc = lib.evql_record_ids_i64(
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            v.ctypes.data_as(ctypes.c_char_p),
+            n,
+            out.ctypes.data_as(ctypes.c_char_p),
+        )
+    else:
+        return None
+    if rc != 0:
+        return None
+    return out.reshape(n, 20)

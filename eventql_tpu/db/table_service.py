@@ -193,6 +193,21 @@ class MemoryTable:
 
         from eventql_tpu.db.shredded_record_list import _wire_str
 
+        # single numeric pk: whole-column C++ decimal-encode + SHA1
+        # (native/eventql_native.cc evql_record_ids_*, round 5 — the
+        # per-row hashlib loop was 1.5 of the 2.4 us/row insert wall)
+        if len(self.primary_key) == 1:
+            c = rel.columns[rel.names.index(self.primary_key[0])]
+            if c.stype in (SType.UINT64, SType.TIMESTAMP64, SType.INT64):
+                from eventql_tpu.columnar import native as _native
+
+                ids = _native.record_ids_numeric(c.data, c.valid)
+                if ids is not None:
+                    # one tobytes + Python-bytes slicing: ~3x the
+                    # per-row numpy bytes() conversions
+                    allb = ids.tobytes()
+                    return [allb[i : i + 20] for i in range(0, len(allb), 20)]
+
         cols_bytes = []
         for k in self.primary_key:
             c = rel.columns[rel.names.index(k)]
@@ -234,6 +249,18 @@ class MemoryTable:
             payloads = cols_bytes[0]
             for extra in cols_bytes[1:]:
                 payloads = payloads + b"\x00" + extra
+        # string/compound keys: pack once, batch-SHA1 in C++
+        from eventql_tpu.columnar import native as _native
+
+        lens = np.fromiter(
+            (len(p) for p in payloads), np.uint64, len(payloads)
+        )
+        offsets = np.zeros(len(payloads) + 1, np.uint64)
+        np.cumsum(lens, out=offsets[1:])
+        ids = _native.sha1_rows(b"".join(payloads), offsets)
+        if ids is not None:
+            allb = ids.tobytes()
+            return [allb[i : i + 20] for i in range(0, len(allb), 20)]
         sha1 = hashlib.sha1
         return [sha1(p).digest() for p in payloads]
 
@@ -824,10 +851,19 @@ def _shred_to_relation(names, stypes, shred_cols, nrows: int) -> Relation:
     for stype, buf in zip(stypes, shred_cols):
         if stype == SType.STRING:
             off, raw, valid = buf
-            vals = [
-                bytes(raw[off[i]:off[i + 1]]) if valid[i] else None
-                for i in range(nrows)
-            ]
+            # slice from ONE Python bytes object (bytes(np_slice) per
+            # row measured ~3x slower); offsets to python ints once
+            raw_b = raw.tobytes() if hasattr(raw, "tobytes") else bytes(raw)
+            off_l = off.tolist()
+            if valid.all():
+                vals = [
+                    raw_b[off_l[i]:off_l[i + 1]] for i in range(nrows)
+                ]
+            else:
+                vals = [
+                    raw_b[off_l[i]:off_l[i + 1]] if valid[i] else None
+                    for i in range(nrows)
+                ]
             cols.append(Column.from_strings(vals))
         else:
             vals_u64, valid = buf

@@ -718,9 +718,16 @@ def try_execute_pallas_string_groupby(
     name_to_col = dict(zip(table.names, table.columns))
     key_col = name_to_col[scan.input_columns[key_input_idx][0]]
     key_base = 0
+    # bucket-count cap, raised 64K -> 128K in round 5: the MXU route at
+    # K=100K measured ~50x the sort-kernel fallback (PERF.md round-5
+    # crossover table) — the old cap left that on the table. Beyond
+    # 128K the multi-chunk compile cost and VMEM pressure grow while
+    # the per-row rate keeps falling linearly in K; the sort kernel
+    # remains the unbounded tier.
+    K_CAP = 131072
     if key_stype == SType.STRING:
         K = len(key_col.dictionary)
-        if K == 0 or K > 65536:
+        if K == 0 or K > K_CAP:
             return None
         num_buckets = K + 1  # bucket K = the NULL-key group
     else:
@@ -734,7 +741,7 @@ def try_execute_pallas_string_groupby(
             return None
         mn, mx = stats
         K = mx - mn + 1
-        if K <= 0 or K > 65536:
+        if K <= 0 or K > K_CAP:
             return None
         if not _column_all_valid(key_col):
             return None

@@ -215,28 +215,39 @@ bool parse_number(P& p, Val& v) {
     if (!p.eof() && (*p.s == '+' || *p.s == '-')) ++p.s;
     while (!p.eof() && isdigit((unsigned char)*p.s)) ++p.s;
   }
-  std::string lit(start, p.s - start);
-  if (lit.empty() || lit == "-") return false;
+  size_t lit_len = size_t(p.s - start);
+  if (lit_len == 0 || (lit_len == 1 && start[0] == '-')) return false;
   if (is_float) {
+    // stack copy for the NUL strtod needs — no heap allocation on the
+    // per-field hot path (measured: the std::string ctor per number
+    // was a visible share of the 0.87 us/row shred wall)
+    char buf[40];
+    if (lit_len >= sizeof(buf)) { p.fallback = true; return true; }
+    memcpy(buf, start, lit_len);
+    buf[lit_len] = 0;
     v.kind = Val::FLOAT;
-    v.f = strtod(lit.c_str(), nullptr);
+    v.f = strtod(buf, nullptr);
     if (!std::isfinite(v.f)) p.fallback = true;  // Python keeps precision
   } else {
     // integer literal: Python is arbitrary-precision — only accept
-    // what provably fits (and therefore converts identically)
-    errno = 0;
-    if (lit[0] == '-') {
-      long long x = strtoll(lit.c_str(), nullptr, 10);
-      if (errno == ERANGE || lit.size() > 20) { p.fallback = true; }
-      v.kind = Val::INT;
-      v.i = x;
-      v.i_negative = true;
+    // what provably fits (and therefore converts identically).
+    // Inline digit accumulation (no strtoull, no allocation): a
+    // magnitude of <= 19 digits always fits u64; anything longer
+    // punts to Python.
+    const char* q = start;
+    bool neg = (*q == '-');
+    if (neg) ++q;
+    size_t nd = size_t(p.s - q);
+    if (nd > 19) { p.fallback = true; }
+    unsigned long long x = 0;
+    for (const char* d = q; d < p.s; ++d) x = x * 10 + (*d - '0');
+    v.kind = Val::INT;
+    v.i_negative = neg;
+    if (neg) {
+      if (x > 9223372036854775807ull) { p.fallback = true; }
+      v.i = -(long long)x;
     } else {
-      unsigned long long x = strtoull(lit.c_str(), nullptr, 10);
-      if (errno == ERANGE || lit.size() > 20) { p.fallback = true; }
-      v.kind = Val::INT;
       v.u = x;
-      v.i_negative = false;
       v.i = (int64_t)x;
     }
   }
@@ -464,11 +475,13 @@ static int shred_one_record(
   p.ws();
   bool empty_obj = (!p.eof() && *p.s == '}');
   if (empty_obj) ++p.s;
+  std::string key;  // reused across fields: keeps its capacity
+  Val v;
   while (!empty_obj) {
     p.ws();
     if (p.eof() || *p.s != '"') return BAD_INPUT;
     ++p.s;
-    std::string key;
+    key.clear();
     if (!parse_string(p, key)) return BAD_INPUT;
     p.ws();
     if (p.eof() || *p.s != ':') return BAD_INPUT;
@@ -478,7 +491,7 @@ static int shred_one_record(
       out->error = "column not found: '" + key + "'";
       return ROW_ERROR;
     }
-    Val v;
+    v = Val();
     if (!parse_value(p, v)) return BAD_INPUT;
     rowvals[it->second] = v;  // duplicate key: last wins
     if (!present[it->second]) row_order.push_back(it->second);
