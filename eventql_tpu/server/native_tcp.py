@@ -643,19 +643,20 @@ class NativeTCPServer:
             _send_frame(sock, OP_QUERY_RESULT, F_ENDOFREQUEST, bytes(body))
         return True
 
-    def _mesh_partial(self, node, tname, table):
-        """Partial GROUP BY over this worker's device mesh when
-        EVENTQL_TPU_MESH_DEVICES is set (exec/mesh_exec.py
-        try_execute_mesh_groupby(partial=True)); None -> host path."""
+    def _mesh_provider_for(self, tname, table=None):
+        """A cached MeshTableProvider over this worker's local table
+        when EVENTQL_TPU_MESH_DEVICES is set; None otherwise.
+        Invalidates when the table's relation identity changes
+        (mutations rebuild it)."""
         import os
 
         mesh_n = os.environ.get("EVENTQL_TPU_MESH_DEVICES")
         if not mesh_n:
             return None
-        from eventql_tpu.exec.mesh_exec import try_execute_mesh_groupby
-        from eventql_tpu.exec.runtime import Runtime
         from eventql_tpu.parallel.mesh_provider import MeshTableProvider
 
+        if table is None:
+            table = self.table_service.get_table_data(tname)
         cache = getattr(self, "_mesh_providers", None)
         if cache is None:
             cache = self._mesh_providers = {}
@@ -664,7 +665,18 @@ class NativeTCPServer:
             p = MeshTableProvider(n_devices=int(mesh_n))
             p.add_table(tname, table)
             cache[tname] = (id(table), p)
-        provider = cache[tname][1]
+        return cache[tname][1]
+
+    def _mesh_partial(self, node, tname, table):
+        """Partial GROUP BY over this worker's device mesh when
+        EVENTQL_TPU_MESH_DEVICES is set (exec/mesh_exec.py
+        try_execute_mesh_groupby(partial=True)); None -> host path."""
+        provider = self._mesh_provider_for(tname, table)
+        if provider is None:
+            return None
+        from eventql_tpu.exec.mesh_exec import try_execute_mesh_groupby
+        from eventql_tpu.exec.runtime import Runtime
+
         txn = Runtime().new_transaction(provider)
         return try_execute_mesh_groupby(node, txn, partial=True)
 
@@ -744,7 +756,27 @@ class NativeTCPServer:
         plan_data, pos = read_lenencstr(payload, pos)
         try:
             node = decode_plan(plan_data)
-            txn = self.runtime.new_transaction(self.table_service)
+            # shipped limit/order pushdowns also run over the worker's
+            # mesh when one is attached (the mesh provider transparently
+            # host-falls-back on ineligible shapes, so this is safe for
+            # every shipped subtree); keyrange-scoped scans stay on the
+            # host path (the device routes refuse them)
+            provider = self.table_service
+            scan = node
+            from eventql_tpu.plan import nodes as _qn
+
+            while not isinstance(scan, _qn.SequentialScanNode) and hasattr(
+                scan, "table"
+            ):
+                scan = scan.table
+            if (
+                isinstance(scan, _qn.SequentialScanNode)
+                and scan.keyrange is None
+            ):
+                mp = self._mesh_provider_for(scan.table_name)
+                if mp is not None:
+                    provider = mp
+            txn = self.runtime.new_transaction(provider)
             rel = execute_node(node, txn)
             body = relation_to_bytes(rel)
         except SQLError as e:

@@ -322,3 +322,56 @@ def test_cluster_workers_aggregate_on_mesh(monkeypatch):
         provider.close()
         w1.stop()
         w2.stop()
+
+
+def test_cluster_workers_serve_topk_on_mesh(monkeypatch):
+    """Shipped LIMIT+ORDER BY pushdowns (QUERY_REMOTE) also execute on
+    the worker's mesh when one is attached."""
+    import numpy as np
+
+    from eventql_tpu.db.table_service import TableService
+    from eventql_tpu.exec import mesh_exec
+    from eventql_tpu.parallel.cluster import ClusterTableProvider
+    from eventql_tpu.server.native_tcp import (
+        NativeTCPClient,
+        NativeTCPServer,
+    )
+
+    schema = (
+        "CREATE TABLE ev (t uint64, v uint64, PRIMARY KEY (t));"
+    )
+    rng = np.random.default_rng(41)
+
+    def mkworker(t0, nrows):
+        svc = TableService()
+        server = NativeTCPServer(svc, port=0).start()
+        c = NativeTCPClient("127.0.0.1", server.port)
+        c.query(schema)
+        rows = [
+            '{"t": %d, "v": %d}' % (t0 + i, int(rng.integers(0, 10000)))
+            for i in range(nrows)
+        ]
+        c.insert_json("ev", rows)
+        c.close()
+        return server
+
+    w1 = mkworker(0, 300)
+    w2 = mkworker(1000, 300)
+    provider = ClusterTableProvider(
+        [("127.0.0.1", w1.port), ("127.0.0.1", w2.port)]
+    )
+    sql = "select t, v from ev order by v desc limit 7;"
+    try:
+        host_rows = _run(sql, provider)
+        monkeypatch.setenv("EVENTQL_TPU_MESH_DEVICES", "4")
+        before = mesh_exec.MESH_TOPK_RUNS + mesh_exec.MESH_ORDER_RUNS
+        mesh_rows = _run(sql, provider)
+        assert (
+            mesh_exec.MESH_TOPK_RUNS + mesh_exec.MESH_ORDER_RUNS
+            >= before + 2
+        ), "both workers must serve the pushdown on their mesh"
+        assert mesh_rows.rows == host_rows.rows
+    finally:
+        provider.close()
+        w1.stop()
+        w2.stop()
