@@ -373,6 +373,16 @@ def _narrow_np_build(c: Column):
     return out
 
 
+def _scan_inputs_present(table, scan) -> bool:
+    """False when a scan references columns the materialized relation
+    does not carry (nested/repeated leaves served by the Dremel scan
+    path) — those queries belong to the host engine. Guarding here
+    (not in plan eligibility, which has no table) keeps the device
+    routes from KeyErroring on nested schemas (round-5 soak finding)."""
+    names = set(table.names)
+    return all(cname in names for cname, _t in scan.input_columns)
+
+
 def _to_device_cols(rel_cols: List[Column], names: List[str], wanted):
     """Host → device transfer of the scan's input columns. The device
     arrays cache on the Column (columns are rebuilt on mutation, the
@@ -714,6 +724,8 @@ def try_execute_pallas_string_groupby(
     table = txn.get_table_data(scan.table_name)
     n = table.num_rows
     if n == 0:
+        return None
+    if not _scan_inputs_present(table, scan):
         return None
     name_to_col = dict(zip(table.names, table.columns))
     key_col = name_to_col[scan.input_columns[key_input_idx][0]]
@@ -1196,6 +1208,8 @@ def execute_device_groupby(node: qn.GroupByNode, txn) -> Optional[Relation]:
     n = table.num_rows
     if n == 0:
         return None
+    if not _scan_inputs_present(table, scan):
+        return None
 
     in_cols = _to_device_cols(table.columns, table.names, scan.input_columns)
 
@@ -1670,6 +1684,8 @@ def _prep_device_scan_order(order_node: qn.OrderByNode, txn):
     n = table.num_rows
     if n == 0:
         return None
+    if not _scan_inputs_present(table, scan):
+        return None
     name_to_col = dict(zip(table.names, table.columns))
 
     # STRING sort keys ride dictionary ids; ids are order-preserving
@@ -2070,6 +2086,8 @@ def join_groupby_analysis(node: qn.GroupByNode, txn):
     table = txn.get_table_data(scan.table_name)
     if table.num_rows == 0 or dims.num_rows == 0:
         return None  # empty inputs: host path builds the typed empty
+    if not _scan_inputs_present(table, scan):
+        return None
     if isinstance(key_out_expr, ColumnReferenceNode):
         in_name = scan.input_columns[key_out_expr.column_index][0]
         src = table.columns[table.names.index(in_name)]

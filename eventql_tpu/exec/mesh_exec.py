@@ -118,6 +118,10 @@ def try_execute_mesh_groupby(
     n = table.num_rows
     if n == 0:
         return None
+    from eventql_tpu.exec.device_exec import _scan_inputs_present
+
+    if not _scan_inputs_present(table, scan):
+        return None
 
     in_cols, n, n_p = provider.sharded_scan_columns(
         scan.table_name, scan.input_columns
@@ -553,10 +557,34 @@ def _mesh_order_analysis(order_node: qn.OrderByNode, txn):
     n = table.num_rows
     if n == 0:
         return None
+    from eventql_tpu.exec.device_exec import _scan_inputs_present
+
+    if not _scan_inputs_present(table, scan):
+        return None
     name_to_col = dict(zip(table.names, table.columns))
 
     null_ranks = [None] * len(specs)
     host_keys = [None] * len(specs)
+    # static [lo, hi] bounds on each u64 host-order key (pre-descending
+    # flip), same derivation as the single-chip route: string ranks
+    # bounded by the dictionary size, plain numeric refs by their
+    # physically-narrowed dtype. Bounded keys let multi-key specs PACK
+    # into one u64 for the bucket-sort path.
+    from eventql_tpu.exec.device_exec import _narrow_np
+
+    _M64 = 0xFFFFFFFFFFFFFFFF
+    _NARROW_BOUNDS = {
+        np.dtype(np.uint16): (0, 0xFFFF),
+        np.dtype(np.uint32): (0, 0xFFFFFFFF),
+        np.dtype(np.int16): (
+            (1 << 63) - (1 << 15), (1 << 63) + (1 << 15) - 1
+        ),
+        np.dtype(np.int32): (
+            (1 << 63) - (1 << 31), (1 << 63) + (1 << 31) - 1
+        ),
+        np.dtype(np.bool_): (0, 1),
+    }
+    bounds = [None] * len(specs)
     for si, s in enumerate(specs):
         rt = s.expr.return_type()
         if rt == SType.STRING:
@@ -568,12 +596,23 @@ def _mesh_order_analysis(order_node: qn.OrderByNode, txn):
                 return None
             entries = list(src.dictionary.astype(bytes))
             null_ranks[si] = bisect.bisect_right(entries, b"NULL")
+            bounds[si] = (0, len(entries))
         elif rt == SType.FLOAT64 and isinstance(s.expr, ColumnReferenceNode):
             inner = scan.select_list[s.expr.column_index].expr
             if isinstance(inner, ColumnReferenceNode):
                 src = name_to_col[scan.input_columns[inner.column_index][0]]
                 host_keys[si] = _host_float_order_key(src, s.descending)
-    return scan, table, n, needed, null_ranks, host_keys
+        elif rt != SType.FLOAT64 and isinstance(s.expr, ColumnReferenceNode):
+            inner = scan.select_list[s.expr.column_index].expr
+            if isinstance(inner, ColumnReferenceNode) and (
+                inner.column_index is not None
+            ):
+                src = name_to_col[scan.input_columns[inner.column_index][0]]
+                bounds[si] = _NARROW_BOUNDS.get(_narrow_np(src).dtype)
+        if bounds[si] is not None and s.descending:
+            lo, hi = bounds[si]
+            bounds[si] = ((~hi) & _M64, (~lo) & _M64)
+    return scan, table, n, needed, null_ranks, host_keys, bounds
 
 
 def _mesh_sharded_hostkeys(provider, host_keys, n, n_p):
@@ -643,7 +682,7 @@ def try_execute_mesh_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
     prep = _mesh_order_analysis(order_node, txn)
     if prep is None:
         return None
-    scan, table, n, needed, null_ranks, host_keys = prep
+    scan, table, n, needed, null_ranks, host_keys, _bounds = prep
     specs = order_node.sort_specs
     if len(specs) != 1:
         # multi-key: the full mesh sort route handles it
@@ -825,6 +864,10 @@ def try_execute_mesh_join_groupby(node: qn.GroupByNode, txn):
     provider = txn.tables
     mesh, axis = provider.mesh, provider.axis
     nd_mesh = int(mesh.shape[axis])
+    from eventql_tpu.exec.device_exec import _scan_inputs_present
+
+    if not _scan_inputs_present(table, scan):
+        return None
     in_cols, n, n_p = provider.sharded_scan_columns(
         scan.table_name, scan.input_columns
     )
@@ -1108,7 +1151,7 @@ def try_execute_mesh_scan_order(
     prep = _mesh_order_analysis(order_node, txn)
     if prep is None:
         return None
-    scan, table, n, needed, null_ranks, host_keys = prep
+    scan, table, n, needed, null_ranks, host_keys, bounds = prep
     specs = order_node.sort_specs
     in_cols, n, n_p = provider.sharded_scan_columns(
         scan.table_name, scan.input_columns
@@ -1145,7 +1188,17 @@ def try_execute_mesh_scan_order(
         )
         return keys, mask, gidx
 
-    if len(specs) == 1:
+    # multi-key packing: when every key is statically bounded and the
+    # bit widths sum to <= 64, the lexicographic tuple packs into ONE
+    # u64 ((k_i - lo_i) fields, first spec most significant) and the
+    # bucket-sort path applies to `ORDER BY a, b` shapes too
+    pack_plan = None
+    if len(specs) > 1 and all(b is not None for b in bounds):
+        bits = [max(1, (b[1] - b[0]).bit_length()) for b in bounds]
+        if sum(bits) <= 64:
+            pack_plan = (tuple(bounds), tuple(bits))
+
+    if len(specs) == 1 or pack_plan is not None:
         # padded-bucket sample sort path (see docstring)
         def make_bucket_program():
             @functools.partial(
@@ -1167,7 +1220,16 @@ def try_execute_mesh_scan_order(
                     datas, valids, hkeys, n_real
                 )
                 sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-                k0 = keys[0]
+                if pack_plan is not None:
+                    pb, pbits = pack_plan
+                    packed = jnp.zeros_like(keys[0])
+                    for k_i, (lo, _hi), nb in zip(keys, pb, pbits):
+                        packed = (packed << jnp.uint64(nb)) | (
+                            k_i - jnp.uint64(lo)
+                        )
+                    k0 = packed
+                else:
+                    k0 = keys[0]
                 # a REAL key equal to the sentinel (u64 max / NaN-last)
                 # cannot ride the bucket path (it would drop as
                 # padding): detect and fall back
@@ -1200,6 +1262,7 @@ def try_execute_mesh_scan_order(
             nd,
             id(mesh),
             n_p,
+            pack_plan,
         )
         fnb = _cached_jit(bkey_cache, make_bucket_program)
         out_p, counts, fallback, n_pass = fnb(

@@ -453,11 +453,13 @@ def test_wildcard_join_subselect():
     assert r.num_rows == 3
 
 
-def test_operator_trace():
+def test_operator_trace(monkeypatch):
     """Per-operator timing trace (a TPU-build addition; SURVEY §5 notes
-    the reference has no tracer)."""
+    the reference has no tracer). Pinned to the host path: the device
+    top-k route legitimately fuses OrderBy+Limit into one traced op."""
     from eventql_tpu.exec.runtime import Runtime
 
+    monkeypatch.setenv("EVENTQL_TPU_DEVICE", "0")
     rt = Runtime()
     txn = rt.new_transaction(csv1_provider())
     txn.trace = []
