@@ -36,6 +36,8 @@ MESH_GROUPBY_RUNS = 0
 MESH_TOPK_RUNS = 0
 MESH_ORDER_RUNS = 0
 MESH_JOIN_RUNS = 0
+# ORDER BY served by the padded-bucket sample sort (vs the bitonic)
+MESH_BUCKET_SORT_RUNS = 0
 
 _MERGE_KIND = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
@@ -1280,6 +1282,8 @@ def try_execute_mesh_scan_order(
             ).astype(np.int64)
             assert len(perm_h) == int(n_pass)
             MESH_ORDER_RUNS += 1
+            global MESH_BUCKET_SORT_RUNS
+            MESH_BUCKET_SORT_RUNS += 1
             return _emit_scan_rows(scan, table, perm_h)
         # splitter overflow / sentinel collision: bitonic fallback
 

@@ -375,3 +375,35 @@ def test_cluster_workers_serve_topk_on_mesh(monkeypatch):
         provider.close()
         w1.stop()
         w2.stop()
+
+
+def test_mesh_multikey_order_takes_packed_bucket_sort(rel):
+    """Bounded multi-key specs pack into one u64 and ride the shipped
+    sample sort (round-5): string ranks + narrowed numeric bounds sum
+    under 64 bits for this spec."""
+    from eventql_tpu.exec import mesh_exec
+
+    q = "select city, k, v from t where v < 200 order by city, k desc, v;"
+    host = _run(q, _host_provider(rel))
+    before = mesh_exec.MESH_BUCKET_SORT_RUNS
+    mesh = _run(q, _mesh_provider(rel))
+    assert mesh_exec.MESH_BUCKET_SORT_RUNS == before + 1, (
+        "packed bucket-sort path not taken"
+    )
+    assert mesh.rows == host.rows
+
+
+def test_mesh_unbounded_multikey_falls_back_to_bitonic(rel):
+    """A float key has no static bound (host float keys span u64):
+    multi-key specs with one stay on the bitonic path — and still
+    match the host engine."""
+    from eventql_tpu.exec import mesh_exec
+
+    q = "select f, k from t where v < 100 order by f, k;"
+    host = _run(q, _host_provider(rel))
+    b_before = mesh_exec.MESH_BUCKET_SORT_RUNS
+    o_before = mesh_exec.MESH_ORDER_RUNS
+    mesh = _run(q, _mesh_provider(rel))
+    assert mesh_exec.MESH_ORDER_RUNS == o_before + 1
+    assert mesh_exec.MESH_BUCKET_SORT_RUNS == b_before
+    assert mesh.rows == host.rows
