@@ -1825,14 +1825,17 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
         npz = jnp.sum(jnp.logical_and(mask, ktop == zero))
         ktop_p = jnp.pad(ktop, (0, pad))
         idx = topk_permutation(ktop_p, _pad_window(w, n_p))
-        mask_w = np.asarray(maskp[idx])
-        idx_h = np.asarray(idx)
+        # ONE batched transfer (idx, window mask, window keys, zero-key
+        # count): the eager per-array reads were 3-4 relay round trips
+        # per query (~10 ms each; DEVICE_WAIT-accounted for the bench)
+        idx_h, mask_w, kw, npz_h = _batched_device_get(
+            (idx, maskp[idx], ktop_p[idx], npz)
+        )
         if bool(mask_w.all()):
             return _emit_scan_rows(scan, table, idx_h, lo, hi)
         # filtered rows in the window: exact iff every passing zero-key
         # row is inside it (rows outside then all have key 0)
-        kw = np.asarray(ktop_p[idx])
-        if int((mask_w & (kw == 0)).sum()) == int(npz):
+        if int((mask_w & (kw == 0)).sum()) == int(npz_h):
             return _emit_scan_rows(scan, table, idx_h[mask_w], lo, hi)
 
     # multi-key specs / top-k corner: stable bitonic full sort with the
@@ -1840,8 +1843,7 @@ def try_execute_device_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
     mkey = (~maskp).astype(jnp.uint32)
     ops = (mkey,) + tuple(jnp.pad(k, (0, pad)) for k in keys)
     perm = order_permutation(ops)
-    idx_h = np.asarray(perm[:w])
-    mask_w = np.asarray(maskp[perm[:w]])
+    idx_h, mask_w = _batched_device_get((perm[:w], maskp[perm[:w]]))
     return _emit_scan_rows(scan, table, idx_h[mask_w], lo, hi)
 
 
@@ -1865,8 +1867,7 @@ def try_execute_device_scan_order(
     mkey = (~maskp).astype(jnp.uint32)
     ops = (mkey,) + tuple(jnp.pad(k, (0, pad)) for k in keys)
     perm = order_permutation(ops)[:n]
-    idx_h = np.asarray(perm)
-    mask_w = np.asarray(maskp[perm])
+    idx_h, mask_w = _batched_device_get((perm, maskp[perm]))
     return _emit_scan_rows(scan, table, idx_h[mask_w])
 
 

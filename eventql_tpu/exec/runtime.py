@@ -171,7 +171,10 @@ class QueryPlan:
     def execute(self, idx: int) -> ResultList:
         node = self.nodes[idx]
         if isinstance(node, qn.ExplainNode):
-            raise RuntimeError_("EXPLAIN is not implemented yet")
+            # render the logical plan (reference parses EXPLAIN but
+            # never plans it — parser.cc:914; this exceeds it)
+            lines = qn.explain_lines(node.child)
+            return ResultList(["QUERY PLAN"], [[l] for l in lines])
         rel = self._execute_traced(node)
         result_columns = node.get_result_columns()
         return ResultList.from_relation(result_columns, rel)

@@ -133,6 +133,11 @@ class QueryPlanBuilder:
     # ------------------------------------------------------------------
     def build(self, ast: ASTNode, tables: TableProvider) -> qn.QueryTreeNode:
         # reference: QueryPlanBuilder::build (queryplanbuilder.cc:68-151)
+        if ast.ntype == "T_EXPLAIN_QUERY":
+            # EXPLAIN <select>: the reference PARSES this (parser.cc:
+            # 914) but nothing downstream consumes the node — here it
+            # renders the built logical plan (a TPU-build addition)
+            return qn.ExplainNode(self.build(ast.children[0], tables))
         if self._has_implicitly_named_columns(ast):
             self._assign_explicit_column_names(ast)
 
@@ -297,6 +302,7 @@ class QueryPlanBuilder:
                 out.append(chart)
             elif st.ntype in (
                 "T_SELECT",
+                "T_EXPLAIN_QUERY",
                 "T_SHOW_TABLES",
                 "T_DESCRIBE_TABLE",
                 "T_DESCRIBE_PARTITIONS",

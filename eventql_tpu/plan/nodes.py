@@ -568,8 +568,84 @@ class ChartNode(TableExpressionNode):
 
 
 class ExplainNode(QueryTreeNode):
+    """EXPLAIN <select>: renders the built logical plan. The reference
+    parses EXPLAIN (parser.cc:914 T_EXPLAIN_QUERY) but has no planner
+    or executor for it; this build renders the real plan tree — a
+    deliberate exceed-reference feature."""
+
     def __init__(self, child):
         self.child = child
+
+    def get_result_columns(self):
+        return ["QUERY PLAN"]
+
+
+def explain_lines(node, depth: int = 0):
+    """Indented one-line-per-operator rendering of a logical plan."""
+    pad = "  " * depth
+    out = []
+
+    def exprs(es):
+        return ", ".join(e.to_sql() for e in es)
+
+    if isinstance(node, SequentialScanNode):
+        line = f"{pad}SequentialScan on {node.table_name}"
+        if node.select_list:
+            line += f" [{exprs(sl.expr for sl in node.select_list)}]"
+        if node.where_expr is not None:
+            line += f" where {node.where_expr.to_sql()}"
+        if node.keyrange is not None:
+            line += f" keyrange {node.keyrange}"
+        out.append(line)
+        return out
+    if isinstance(node, GroupByNode):
+        kind = "PartialGroupBy" if node.is_partial else "GroupBy"
+        line = f"{pad}{kind}"
+        if node.group_exprs:
+            line += f" keys [{exprs(node.group_exprs)}]"
+        line += f" select [{exprs(sl.expr for sl in node.select_list)}]"
+        out.append(line)
+        out.extend(explain_lines(node.table, depth + 1))
+        return out
+    if isinstance(node, OrderByNode):
+        specs = ", ".join(
+            sp.expr.to_sql() + (" DESC" if sp.descending else "")
+            for sp in node.sort_specs
+        )
+        out.append(f"{pad}OrderBy [{specs}]")
+        out.extend(explain_lines(node.table, depth + 1))
+        return out
+    if isinstance(node, LimitNode):
+        out.append(f"{pad}Limit {node.limit} offset {node.offset}")
+        out.extend(explain_lines(node.table, depth + 1))
+        return out
+    if isinstance(node, JoinNode):
+        line = f"{pad}Join {node.join_type}"
+        if node.join_cond is not None:
+            line += f" on {node.join_cond.to_sql()}"
+        if node.where_expr is not None:
+            line += f" where {node.where_expr.to_sql()}"
+        out.append(line)
+        out.extend(explain_lines(node.base_table, depth + 1))
+        out.extend(explain_lines(node.joined_table, depth + 1))
+        return out
+    if isinstance(node, SubqueryNode):
+        line = f"{pad}Subquery"
+        if node.where_expr is not None:
+            line += f" where {node.where_expr.to_sql()}"
+        out.append(line)
+        out.extend(explain_lines(node.subquery, depth + 1))
+        return out
+    if isinstance(node, SelectExpressionNode):
+        out.append(
+            f"{pad}Select [{exprs(sl.expr for sl in node.select_list)}]"
+        )
+        return out
+    out.append(f"{pad}{type(node).__name__}")
+    child = getattr(node, "table", None)
+    if child is not None and isinstance(child, QueryTreeNode):
+        out.extend(explain_lines(child, depth + 1))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -602,3 +602,25 @@ def test_order_by_aggregate_expression():
             rt.new_transaction(p),
             "select k from ev group by k order by sum(v);",
         )
+
+
+def test_explain_renders_plan():
+    """EXPLAIN <select> renders the logical plan (the reference parses
+    EXPLAIN — parser.cc:914 — but has no planner/executor for it; this
+    build renders the real tree)."""
+    from eventql_tpu.exec.runtime import Runtime
+
+    rt = Runtime()
+    txn = rt.new_transaction(csv1_provider())
+    res = rt.execute_query(
+        txn,
+        "explain select time, sum(value) from testtable where value > 0"
+        " group by time order by 2 desc limit 3;",
+    )[0]
+    assert res.columns == ["QUERY PLAN"]
+    text = "\n".join(r[0] for r in res.rows)
+    assert "Limit 3" in text
+    assert "OrderBy" in text
+    assert "GroupBy" in text
+    assert "SequentialScan on testtable" in text
+    assert "where" in text
