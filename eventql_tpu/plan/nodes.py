@@ -567,6 +567,38 @@ class ChartNode(TableExpressionNode):
         return [QualifiedColumn("__chart", "__chart", SType.STRING)]
 
 
+class HavingNode(TableExpressionNode):
+    """Post-aggregation filter (HAVING). The reference PARSES the
+    clause (parser.cc havingClause) but no planner/executor consumes
+    it — it silently ignores HAVING; this build implements the real
+    semantics (a deliberate exceed-reference feature; silently
+    dropping a filter loses rows the user asked to exclude). The
+    expression is resolved against the child GroupBy's output columns
+    at build time, so it contains no live aggregate calls."""
+
+    def __init__(self, table, filter_expr):
+        self.table = table
+        self.filter_expr = filter_expr
+
+    def get_result_columns(self):
+        return self.table.get_result_columns()
+
+    def get_available_columns(self):
+        return self.table.get_available_columns()
+
+    def get_computed_column_index(self, name, allow_add=False):
+        return self.table.get_computed_column_index(name, allow_add)
+
+    def get_column_type(self, idx):
+        return self.table.get_column_type(idx)
+
+    @property
+    def select_list(self):
+        # ORDER BY resolution reaches through to the aggregation's
+        # select entries (builder._build_order_by aggregate matching)
+        return self.table.select_list
+
+
 class ExplainNode(QueryTreeNode):
     """EXPLAIN <select>: renders the built logical plan. The reference
     parses EXPLAIN (parser.cc:914 T_EXPLAIN_QUERY) but has no planner

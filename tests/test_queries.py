@@ -624,3 +624,113 @@ def test_explain_renders_plan():
     assert "GroupBy" in text
     assert "SequentialScan on testtable" in text
     assert "where" in text
+
+
+def test_having_filters_groups():
+    """HAVING filters aggregated groups. The reference PARSES the
+    clause but silently drops it (no planner consumer of T_HAVING);
+    implemented for real here — silently losing a filter is worse than
+    either erroring or honoring it."""
+    import numpy as np
+
+    from eventql_tpu.core.types import SType
+    from eventql_tpu.exec.relation import Column, Relation
+    from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+
+    n = 100
+    rel = Relation(
+        ["k", "v"],
+        [
+            Column(
+                SType.UINT64, (np.arange(n) % 7).astype(np.uint64),
+                np.ones(n, bool),
+            ),
+            Column(
+                SType.UINT64, np.arange(n, dtype=np.uint64),
+                np.ones(n, bool),
+            ),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("ev", rel)
+    rt = Runtime()
+
+    rows = rt.execute_query(
+        rt.new_transaction(p),
+        "select k, sum(v) from ev group by k having sum(v) > 700"
+        " order by k;",
+    )[0].rows
+    assert rows == [
+        ["0", "735"], ["1", "750"], ["5", "707"], ["6", "721"],
+    ]
+
+    # group-key predicates + composition with ORDER BY/LIMIT
+    rows = rt.execute_query(
+        rt.new_transaction(p),
+        "select k, sum(v) from ev group by k"
+        " having k > 3 and sum(v) > 600 order by sum(v) desc limit 2;",
+    )[0].rows
+    assert rows == [["6", "721"], ["5", "707"]]
+
+    # empty result
+    rows = rt.execute_query(
+        rt.new_transaction(p),
+        "select k, count(1) from ev group by k having count(1) > 999;",
+    )[0].rows
+    assert rows == []
+
+    # an aggregate outside the select list: clear error
+    import pytest
+
+    from eventql_tpu.core.errors import RuntimeError_
+
+    with pytest.raises(RuntimeError_, match="must appear in the select"):
+        rt.execute_query(
+            rt.new_transaction(p),
+            "select k from ev group by k having sum(v) > 700;",
+        )
+
+
+def test_having_device_route_parity(monkeypatch):
+    """HAVING wraps the GroupBy node, so the device/mesh fast paths
+    still serve the aggregation and the filter applies on top."""
+    import numpy as np
+
+    from eventql_tpu.core.types import SType
+    from eventql_tpu.exec.relation import Column, Relation
+    from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+
+    n = 3000
+    rng = np.random.default_rng(9)
+    rel = Relation(
+        ["k", "v"],
+        [
+            Column(
+                SType.UINT64,
+                rng.integers(0, 23, n).astype(np.uint64),
+                np.ones(n, bool),
+            ),
+            Column(
+                SType.UINT64,
+                rng.integers(0, 1000, n).astype(np.uint64),
+                np.ones(n, bool),
+            ),
+        ],
+        n,
+    )
+    q = (
+        "select k, count(1), sum(v) from ev group by k"
+        " having count(1) >= 130 order by k;"
+    )
+
+    def run(device):
+        monkeypatch.setenv("EVENTQL_TPU_DEVICE", "1" if device else "0")
+        p = RelationTableProvider()
+        p.add_table("ev", rel)
+        rt = Runtime()
+        return rt.execute_query(rt.new_transaction(p), q)[0].rows
+
+    host = run(False)
+    assert host  # non-vacuous
+    assert run(True) == host
