@@ -42,6 +42,50 @@ MESH_BUCKET_SORT_RUNS = 0
 _MERGE_KIND = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 
+def _mesh_distinct_counts(mask, keys, dv, axis, nd, op):
+    """COUNT(DISTINCT dv) per key group over the mesh, from inside a
+    shard_map trace: locally deduplicate the (keys..., value) pairs
+    (one sort — the per-shard analog of the reference's hash-set
+    accumulator, aggregate.cc:74-120), all-gather the deduplicated
+    pair tables over ICI, and recount replicated. Group order equals
+    masked_grouped_aggregate's (ascending key), so callers align the
+    output positionally with their merged group table. Shared by the
+    groupby and join mesh routes (review finding: two diverging copies
+    of this sentinel/dedup logic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eventql_tpu.kernels.groupby import (
+        masked_grouped_count_distinct,
+        sortable_u64,
+    )
+    from eventql_tpu.parallel.distributed import _xch_all_gather
+
+    local_n = dv.shape[0]
+    iota_l = jnp.arange(local_n, dtype=jnp.int64)
+    sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    keyed = [
+        jnp.where(mask, sortable_u64(k), sentinel) for k in keys
+    ] + [jnp.where(mask, sortable_u64(dv), sentinel)]
+    sorted_ops = jax.lax.sort(keyed + [iota_l], num_keys=len(keyed))
+    perm = sorted_ops[-1]
+    diff = jnp.zeros(local_n, dtype=jnp.bool_)
+    for sk in sorted_ops[:-1]:
+        diff = diff | jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+        )
+    keep = diff & mask[perm]
+    keys_dedup = tuple(k[perm] for k in keys)
+    vals_dedup = dv[perm]
+    keep_all = _xch_all_gather(keep, axis, nd, op=op, tiled=True)
+    keys_all = tuple(
+        _xch_all_gather(k, axis, nd, op=op, tiled=True)
+        for k in keys_dedup
+    )
+    vals_all = _xch_all_gather(vals_dedup, axis, nd, op=op, tiled=True)
+    return masked_grouped_count_distinct(keep_all, keys_all, vals_all)
+
+
 def _mesh_groupby_eligible(node: qn.GroupByNode) -> bool:
     from eventql_tpu.exec.device_exec import device_plan_eligible
 
@@ -285,58 +329,25 @@ def try_execute_mesh_groupby(
                 valid_all, gk_all, outs_all + (first_all,),
                 mkinds + ("min",),
             )
-            main_out = mouts[:-1] if planes else ()
-            if not plane_kinds:
-                main_out = ()
+            main_out = mouts[:-1] if plane_kinds else ()
 
             # count_distinct planes: locally deduplicated (key, value)
             # pair tables exchange, replicated recount — the local
             # dedup is the per-shard hash set of the reference's
             # count_distinct accumulator (aggregate.cc:74-120)
-            dcounts = []
-            if distinct_exprs:
-                iota_l = jnp.arange(local_n, dtype=jnp.int64)
-                sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-                for arg in distinct_exprs:
-                    dv = jax_expr.compile_expr(
+            # group sets match the main pass (count groups every
+            # masked row), both compacted in ascending key order ->
+            # positional alignment with the merged table
+            dcounts = [
+                _mesh_distinct_counts(
+                    mask, keys,
+                    jax_expr.compile_expr(
                         arg, scan_cols, local_n
-                    ).data.astype(jnp.uint64)
-                    keyed = [
-                        jnp.where(mask, sortable_u64(k), sentinel)
-                        for k in keys
-                    ] + [jnp.where(mask, sortable_u64(dv), sentinel)]
-                    sorted_ops = jax.lax.sort(
-                        keyed + [iota_l], num_keys=len(keyed)
-                    )
-                    perm = sorted_ops[-1]
-                    diff = jnp.zeros(local_n, dtype=jnp.bool_)
-                    for sk in sorted_ops[:-1]:
-                        diff = diff | jnp.concatenate(
-                            [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
-                        )
-                    keep = diff & mask[perm]
-                    keys_dedup = tuple(k[perm] for k in keys)
-                    vals_dedup = dv[perm]
-                    keep_all = _xch_all_gather(
-                        keep, axis, nd, op="sql_distinct_gather", tiled=True
-                    )
-                    keys_all = tuple(
-                        _xch_all_gather(k, axis, nd,
-                                        op="sql_distinct_gather", tiled=True)
-                        for k in keys_dedup
-                    )
-                    vals_all = _xch_all_gather(
-                        vals_dedup, axis, nd, op="sql_distinct_gather",
-                        tiled=True
-                    )
-                    # group sets match the main pass (count groups every
-                    # masked row), both compacted in ascending key
-                    # order -> positional alignment with the merged table
-                    dcounts.append(
-                        masked_grouped_count_distinct(
-                            keep_all, keys_all, vals_all
-                        )
-                    )
+                    ).data.astype(jnp.uint64),
+                    axis, nd, "sql_distinct_gather",
+                )
+                for arg in distinct_exprs
+            ]
 
             return tuple(main_out), mouts[-1], mng, tuple(dcounts)
 
@@ -808,9 +819,12 @@ def try_execute_mesh_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
         MESH_TOPK_RUNS += 1
         return _emit_scan_rows(scan, table, f_idx_h, lo, hi)
     # filtered rows inside the window: exact iff every passing
-    # zero-key row was captured (rows beyond then all have key 0)
-    kw = ~f_vals_h
-    if int((f_mask_h & (kw == 0)).sum()) == int(npz_h):
+    # zero-key row was captured (rows beyond then all have key 0).
+    # f_vals_h ARE the flipped ktop values (larger = host-first), so
+    # zero-key rows are f_vals_h == 0 — NOT ~f_vals_h == 0, which
+    # counted the host-FIRST rows and let a displaced passing zero-key
+    # row slip silently (round-5 review finding, regression-tested)
+    if int((f_mask_h & (f_vals_h == 0)).sum()) == int(npz_h):
         MESH_TOPK_RUNS += 1
         return _emit_scan_rows(scan, table, f_idx_h[f_mask_h], lo, hi)
     return None  # rare zero-key corner: host path is always exact
@@ -988,49 +1002,16 @@ def try_execute_mesh_join_groupby(node: qn.GroupByNode, txn):
                 valid_all, gk_all, outs_all, mkinds
             )
 
-            dcounts = []
-            if distinct_exprs:
-                iota_l = jnp.arange(local_n, dtype=jnp.int64)
-                sentinel = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-                for rsubj in distinct_exprs:
-                    dv = jax_expr.compile_expr(
+            dcounts = [
+                _mesh_distinct_counts(
+                    m, key,
+                    jax_expr.compile_expr(
                         rsubj, scan_cols, local_n
-                    ).data.astype(jnp.uint64)
-                    keyed = [
-                        jnp.where(m, sortable_u64(k), sentinel)
-                        for k in key
-                    ] + [jnp.where(m, sortable_u64(dv), sentinel)]
-                    sorted_ops = jax.lax.sort(
-                        keyed + [iota_l], num_keys=len(keyed)
-                    )
-                    perm = sorted_ops[-1]
-                    diff = jnp.zeros(local_n, dtype=jnp.bool_)
-                    for sk2 in sorted_ops[:-1]:
-                        diff = diff | jnp.concatenate(
-                            [jnp.ones((1,), jnp.bool_),
-                             sk2[1:] != sk2[:-1]]
-                        )
-                    keep = diff & m[perm]
-                    keys_dedup = tuple(k[perm] for k in key)
-                    vals_dedup = dv[perm]
-                    keep_all = _xch_all_gather(
-                        keep, axis, nd_mesh, op="sql_join_distinct",
-                        tiled=True,
-                    )
-                    keys_all = tuple(
-                        _xch_all_gather(k, axis, nd_mesh,
-                                        op="sql_join_distinct", tiled=True)
-                        for k in keys_dedup
-                    )
-                    vals_all = _xch_all_gather(
-                        vals_dedup, axis, nd_mesh, op="sql_join_distinct",
-                        tiled=True,
-                    )
-                    dcounts.append(
-                        masked_grouped_count_distinct(
-                            keep_all, keys_all, vals_all
-                        )
-                    )
+                    ).data.astype(jnp.uint64),
+                    axis, nd_mesh, "sql_join_distinct",
+                )
+                for rsubj in distinct_exprs
+            ]
 
             return mk[0], tuple(mouts[:-1]), mouts[-1], mng, tuple(dcounts)
 

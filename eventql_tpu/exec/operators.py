@@ -875,7 +875,15 @@ def _exec_having(node: qn.HavingNode, txn) -> Relation:
     keep = np.asarray(mask_col.data, dtype=bool) & np.asarray(
         mask_col.valid, dtype=bool
     )
-    return child.gather(np.nonzero(keep)[0])
+    out = child.gather(np.nonzero(keep)[0])
+    if node.n_visible is not None and node.n_visible < len(out.columns):
+        # strip the builder's hidden __having_* projection entries
+        out = Relation(
+            out.names[: node.n_visible],
+            out.columns[: node.n_visible],
+            out.num_rows,
+        )
+    return out
 
 
 def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:
@@ -1061,6 +1069,13 @@ def _join_key_ids(expr_cols: List[Column], n: int) -> np.ndarray:
 
 
 def _exec_join(node: qn.JoinNode, txn) -> Relation:
+    if node.input_map is None:
+        # a binary-wire-decoded join is structural only (the wire,
+        # like the reference's, carries no input_map): executing it
+        # would mis-bind column refs — require a re-plan instead
+        raise RuntimeError_(
+            "decoded join plans are not executable; re-plan the query"
+        )
     base = execute_node(node.base_table, txn)
     joined = execute_node(node.joined_table, txn)
 

@@ -74,6 +74,10 @@ class ResultList:
     def get_row(self, i: int) -> List[str]:
         if self._rows is not None:
             return self._rows[i]
+        if i < 0:  # list semantics for the lazy path too
+            i += self.num_rows
+        if not 0 <= i < self.num_rows:
+            raise IndexError("row index out of range")
         return self._format_window(i, i + 1)[0]
 
     def debug_csv(self, sep=";") -> str:

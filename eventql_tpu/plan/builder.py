@@ -538,8 +538,9 @@ class QueryPlanBuilder:
                 having_ast,
                 lambda name: subtree.get_computed_column_info(name, True),
             )
+            n_visible = len(node.select_list)
             having = self._resolve_aggregates_to_outputs(having, node)
-            node = qn.HavingNode(node, having)
+            node = qn.HavingNode(node, having, n_visible=n_visible)
         return node
 
     def _resolve_aggregates_to_outputs(self, expr, group_node):
@@ -597,6 +598,20 @@ class QueryPlanBuilder:
                 ),
                 expr.pattern,
             )
+        # a group-key expression not in the select list: project it as
+        # a HIDDEN select entry (first-row-wins over a group key IS the
+        # key) — HavingNode.n_visible strips it from the result
+        for g in group_node.group_exprs:
+            if g.to_sql() == sql_form:
+                idx = len(group_node.select_list)
+                hidden = f"__having_{idx}"
+                group_node.select_list.append(
+                    qn.SelectListEntry(g, alias=hidden)
+                )
+                group_node.output_columns.append(hidden)
+                return ColumnReferenceNode(
+                    hidden, g.return_type(), index=idx
+                )
         raise RuntimeError_(
             "HAVING expression must reference grouped columns or "
             "select-list aggregates"

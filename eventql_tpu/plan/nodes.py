@@ -574,14 +574,21 @@ class HavingNode(TableExpressionNode):
     semantics (a deliberate exceed-reference feature; silently
     dropping a filter loses rows the user asked to exclude). The
     expression is resolved against the child GroupBy's output columns
-    at build time, so it contains no live aggregate calls."""
+    at build time, so it contains no live aggregate calls. Group-key
+    expressions not in the select list resolve through HIDDEN select
+    entries the builder appends; n_visible caps the emitted columns so
+    hidden entries never reach the result."""
 
-    def __init__(self, table, filter_expr):
+    def __init__(self, table, filter_expr, n_visible=None):
         self.table = table
         self.filter_expr = filter_expr
+        self.n_visible = n_visible
 
     def get_result_columns(self):
-        return self.table.get_result_columns()
+        cols = self.table.get_result_columns()
+        if self.n_visible is not None:
+            cols = cols[: self.n_visible]
+        return cols
 
     def get_available_columns(self):
         return self.table.get_available_columns()

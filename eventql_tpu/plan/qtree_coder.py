@@ -194,6 +194,14 @@ def _zero_payload(stype: SType):
 
 def _encode_node(w: _Writer, node):
     if isinstance(node, CallExpressionNode):
+        if node.within_record:
+            # the reference wire layout has no within_record field
+            # (CallExpressionNode::encode); shipping one silently as a
+            # plain call would change evaluation semantics — refuse
+            # loudly (ship sites gate on NO_AGGREGATION anyway)
+            raise RuntimeError_(
+                "WITHIN RECORD calls are not wire-encodable"
+            )
         w.varuint(1)
         w.lenenc(node.function_name)
         w.lenenc(node.sfunction.symbol)
@@ -318,9 +326,11 @@ def _encode_node(w: _Writer, node):
         constraints = []
         if node.keyrange is not None:
             kcol, begin, end = node.keyrange
-            if begin:
+            # "" means unbounded (operators._apply_keyrange contract);
+            # truthiness would also drop a legitimate 0 boundary
+            if begin != "":
                 constraints.append((kcol, _SC_GTE, begin))
-            if end:
+            if end != "":
                 constraints.append((kcol, _SC_LT, end))
         w.varuint(len(constraints))
         for cname, ctype_w, val in constraints:
@@ -429,6 +439,10 @@ def _decode_node_body(r: _Reader, r_type=None):
         node.column_names = [sl.column_name() for sl in select]
         node.where_expr = where
         node.join_cond = cond
+        # the wire (like the reference's) carries no input_map; a
+        # decoded join is structural — executing it must re-plan, and
+        # the executor refuses clearly instead of mis-binding columns
+        node.input_map = None
         return node
     if t == 7:
         limit = r.varuint()

@@ -407,3 +407,38 @@ def test_mesh_unbounded_multikey_falls_back_to_bitonic(rel):
     assert mesh_exec.MESH_ORDER_RUNS == o_before + 1
     assert mesh_exec.MESH_BUCKET_SORT_RUNS == b_before
     assert mesh.rows == host.rows
+
+
+def test_mesh_topk_zero_key_corner_exact():
+    """Round-5 review regression: a PASSING row whose host-order key is
+    the maximum (flipped ktop == 0) displaced by a filtered tie must
+    still be returned — the exactness guard's polarity was inverted
+    and silently dropped it."""
+    n = 1024
+    vals = np.zeros(n, dtype=np.uint64)
+    flag = np.ones(n, dtype=np.uint64)
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+    vals[0] = M
+    vals[1] = 5
+    vals[700] = 7
+    flag[700] = 0  # filtered high-value row forces the corner
+    r = Relation(
+        ["v", "flag", "rowid"],
+        [
+            Column(SType.UINT64, vals, np.ones(n, bool)),
+            Column(SType.UINT64, flag, np.ones(n, bool)),
+            Column(
+                SType.UINT64, np.arange(n, dtype=np.uint64),
+                np.ones(n, bool),
+            ),
+        ],
+        n,
+    )
+    q = (
+        "select rowid, v from t where flag = 1"
+        " order by v desc limit 3;"
+    )
+    host = _run(q, _host_provider(r))
+    mesh = _run(q, _mesh_provider(r, n_devices=2))
+    assert mesh.rows == host.rows
+    assert len(mesh.rows) == 3  # the v=0 zero-key rows survive
