@@ -1594,14 +1594,27 @@ def _device_host_order_key(c, descending: bool, null_rank):
 def _host_float_order_key(col: Column, descending: bool) -> "np.ndarray":
     """Exact uint64 host-order key for a FLOAT64 column, mirroring
     _device_host_order_key's float semantics bit-for-bit (NULL as 0.0,
-    -0.0 normalized to +0.0, NaN last in both directions)."""
+    -0.0 normalized to +0.0, NaN last in both directions). Cached on
+    the Column per direction (columns rebuild on mutation — the same
+    invalidation as _narrow_cache), so repeated float-key sorts don't
+    recompute or re-transfer the key column."""
+    cache = getattr(col, "_host_fkey_cache", None)
+    if cache is not None and descending in cache:
+        return cache[descending]
     x = np.where(col.valid, col.data, 0.0) + 0.0
     bits = x.view(np.uint64)
     sign = bits >> np.uint64(63)
     k = np.where(sign == 1, ~bits, bits ^ np.uint64(1 << 63))
     if descending:
         k = ~k
-    return np.where(np.isnan(x), np.uint64(0xFFFFFFFFFFFFFFFF), k)
+    out = np.where(np.isnan(x), np.uint64(0xFFFFFFFFFFFFFFFF), k)
+    try:
+        if cache is None:
+            cache = col._host_fkey_cache = {}
+        cache[descending] = out
+    except AttributeError:
+        pass
+    return out
 
 
 def _emit_scan_rows(scan, table, cand: "np.ndarray", lo=0, hi=None) -> Relation:

@@ -629,7 +629,12 @@ def _mesh_order_analysis(order_node: qn.OrderByNode, txn):
 
 
 def _mesh_sharded_hostkeys(provider, host_keys, n, n_p):
-    """Pad + shard the precomputed host float keys over the mesh."""
+    """Pad + shard the precomputed host float keys over the mesh,
+    cached per (host array identity, pad) on the provider — a repeated
+    float-key ORDER BY was re-transferring the whole key column per
+    query while integer keys rode the warm shard cache (review
+    finding). The host arrays themselves cache on the Column
+    (_host_float_order_key), so identity is stable across queries."""
     import jax
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
@@ -639,9 +644,13 @@ def _mesh_sharded_hostkeys(provider, host_keys, n, n_p):
     for hk in host_keys:
         if hk is None:
             continue
-        if n_p > n:
-            hk = np.pad(hk, (0, n_p - n))
-        out.append(jax.device_put(hk, sharding))
+        key = ("hostkey", id(hk), n_p)
+        cached = provider._shard_cache.get(key)
+        if cached is None:
+            padded = np.pad(hk, (0, n_p - n)) if n_p > n else hk
+            cached = (jax.device_put(padded, sharding),)
+            provider._shard_cache[key] = cached
+        out.append(cached[0])
     return tuple(out)
 
 
@@ -698,12 +707,14 @@ def try_execute_mesh_scan_topk(node: qn.LimitNode, txn) -> Optional[Relation]:
     scan, table, n, needed, null_ranks, host_keys, _bounds = prep
     specs = order_node.sort_specs
     if len(specs) != 1:
-        # multi-key: the full mesh sort route handles it
-        rel = try_execute_mesh_scan_order(order_node, txn)
-        if rel is None:
-            return None
-        idx = np.arange(rel.num_rows)[node.offset: node.offset + node.limit]
-        return rel.gather(idx)
+        # multi-key: the full mesh sort route handles it — with the
+        # LIMIT window pushed down so only the window's rows
+        # host-materialize (review finding: the k-row query paid an
+        # O(n) emit)
+        return try_execute_mesh_scan_order(
+            order_node, txn,
+            window=(node.offset, node.offset + node.limit),
+        )
 
     provider = txn.tables
     mesh, axis = provider.mesh, provider.axis
@@ -1092,7 +1103,7 @@ def try_execute_mesh_join_groupby(node: qn.GroupByNode, txn):
 
 
 def try_execute_mesh_scan_order(
-    order_node: qn.OrderByNode, txn
+    order_node: qn.OrderByNode, txn, window=None
 ) -> Optional[Relation]:
     """Full SELECT ... [WHERE] ORDER BY over the mesh.
 
@@ -1261,11 +1272,15 @@ def try_execute_mesh_scan_order(
             perm_h = np.concatenate(
                 [op[i * cap : i * cap + cnt[i]] for i in range(nd)]
             ).astype(np.int64)
-            assert len(perm_h) == int(n_pass)
-            MESH_ORDER_RUNS += 1
-            global MESH_BUCKET_SORT_RUNS
-            MESH_BUCKET_SORT_RUNS += 1
-            return _emit_scan_rows(scan, table, perm_h)
+            # belt-and-braces (no assert: it would vanish under -O and
+            # the bitonic below is always exact): any count mismatch
+            # falls through to the fallback path
+            if len(perm_h) == int(n_pass):
+                MESH_ORDER_RUNS += 1
+                global MESH_BUCKET_SORT_RUNS
+                MESH_BUCKET_SORT_RUNS += 1
+                lo, hi = window if window is not None else (0, None)
+                return _emit_scan_rows(scan, table, perm_h, lo, hi)
         # splitter overflow / sentinel collision: bitonic fallback
 
     def make_program():
@@ -1331,4 +1346,5 @@ def try_execute_mesh_scan_order(
     n_pass = int(n_pass)
     perm_h = np.asarray(perm)[:n_pass].astype(np.int64)
     MESH_ORDER_RUNS += 1
-    return _emit_scan_rows(scan, table, perm_h)
+    lo, hi = window if window is not None else (0, None)
+    return _emit_scan_rows(scan, table, perm_h, lo, hi)

@@ -875,15 +875,9 @@ def _exec_having(node: qn.HavingNode, txn) -> Relation:
     keep = np.asarray(mask_col.data, dtype=bool) & np.asarray(
         mask_col.valid, dtype=bool
     )
-    out = child.gather(np.nonzero(keep)[0])
-    if node.n_visible is not None and node.n_visible < len(out.columns):
-        # strip the builder's hidden __having_* projection entries
-        out = Relation(
-            out.names[: node.n_visible],
-            out.columns[: node.n_visible],
-            out.num_rows,
-        )
-    return out
+    # hidden __having_* / ORDER BY-appended columns ride through: the
+    # final ResultList slice to get_result_columns strips them
+    return child.gather(np.nonzero(keep)[0])
 
 
 def _exec_order_by(node: qn.OrderByNode, txn) -> Relation:

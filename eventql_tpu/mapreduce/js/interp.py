@@ -117,10 +117,13 @@ class JSAccessor:
 
 
 class JSArray:
-    __slots__ = ("elements",)
+    __slots__ = ("elements", "frozen")
 
     def __init__(self, elements: Optional[List] = None):
         self.elements = list(elements or [])
+        # Object.freeze applies to arrays too (ES5 15.2.3.9: elements
+        # become non-writable, length non-configurable)
+        self.frozen = False
 
     def __repr__(self):
         return js_repr(self)
@@ -1118,7 +1121,10 @@ class Interpreter:
     def _delete_member(obj, key) -> bool:
         if isinstance(obj, JSObject):
             if obj.frozen or obj.sealed:
-                return False  # ES5 15.2.3.8/9: non-configurable
+                # ES5 8.12.7: deleting a MISSING property returns true
+                # even on sealed/frozen objects; only existing
+                # (non-configurable) properties refuse
+                return key not in obj.props
             obj.props.pop(key, None)
             obj.nonenum.discard(key)
             return True
@@ -1201,6 +1207,8 @@ class Interpreter:
             obj.props[name] = value
             return
         if isinstance(obj, JSArray):
+            if obj.frozen:
+                return  # frozen array: writes are silent no-ops (sloppy)
             if name == "length":
                 n = to_integer(value)
                 cur = len(obj.elements)
@@ -1437,6 +1445,20 @@ def _array_member(interp, arr: JSArray, name: str):
 
     def m(fn):
         return _nf(fn, name)
+
+    if name in (
+        "push", "pop", "shift", "unshift", "splice", "reverse", "sort",
+    ) and arr.frozen:
+        # frozen array: mutators are silent no-ops in sloppy mode
+        if name == "push":
+            return m(lambda it, this, a: float(len(els)))
+        if name in ("pop", "shift"):
+            return m(lambda it, this, a: UNDEFINED)
+        if name == "unshift":
+            return m(lambda it, this, a: float(len(els)))
+        if name == "splice":
+            return m(lambda it, this, a: JSArray([]))
+        return m(lambda it, this, a: arr)  # reverse/sort return this
 
     if name == "push":
         def push(it, this, a):
@@ -2094,12 +2116,22 @@ def install_builtins(interp: Interpreter):
         if isinstance(o, JSObject):
             o.frozen = True
             o.sealed = True
+        elif isinstance(o, JSArray):
+            o.frozen = True
         return o
 
     def _seal(it, this, a):
         o = a[0] if a else UNDEFINED
         if isinstance(o, JSObject):
             o.sealed = True
+        elif isinstance(o, JSArray):
+            # sealed array: no adds/deletes; element writes stay legal.
+            # Arrays model that as frozen-length only; full seal
+            # semantics need per-element attributes we approximate by
+            # the frozen flag for freeze. Sealing is rare on arrays in
+            # prelude-shaped jobs; keep writes allowed (spec) by NOT
+            # setting frozen here.
+            pass
         return o
 
     object_fn.props["keys"] = _nf(_object_keys, "keys")
@@ -2123,7 +2155,8 @@ def install_builtins(interp: Interpreter):
     object_fn.props["freeze"] = _nf(_freeze, "freeze")
     object_fn.props["isFrozen"] = _nf(
         lambda it, this, a: bool(
-            isinstance(a[0], JSObject) and a[0].frozen
+            (isinstance(a[0], JSObject) and a[0].frozen)
+            or (isinstance(a[0], JSArray) and a[0].frozen)
         ) if a else False,
         "isFrozen")
     object_fn.props["seal"] = _nf(_seal, "seal")

@@ -99,6 +99,11 @@ def column_name_for_expression(expr: ASTNode) -> str:
     return "<expr>"
 
 
+# reserved column-index space marking HAVING refs already resolved to
+# the GroupBy OUTPUT (select-list aliases); the output-resolver rewrites
+# them to plain output indexes
+_HAVING_OUT_BASE = 1 << 40
+
 ColumnResolver = Callable[[str], Tuple[int, SType]]
 
 
@@ -534,13 +539,24 @@ class QueryPlanBuilder:
             if child.ntype == "T_HAVING":
                 having_ast = child.children[0]
         if having_ast is not None:
+            # name resolution: select-list ALIASES bind to the GroupBy
+            # output (MySQL semantics, like ORDER BY ordinals) via a
+            # reserved index space the output-resolver rewrites; other
+            # names bind to the scan child as usual
+            def having_resolver(name):
+                for i, sl in enumerate(node.select_list):
+                    if sl.alias is not None and sl.alias == name:
+                        return (
+                            _HAVING_OUT_BASE + i,
+                            sl.expr.return_type(),
+                        )
+                return subtree.get_computed_column_info(name, True)
+
             having = self.build_value_expression(
-                having_ast,
-                lambda name: subtree.get_computed_column_info(name, True),
+                having_ast, having_resolver
             )
-            n_visible = len(node.select_list)
             having = self._resolve_aggregates_to_outputs(having, node)
-            node = qn.HavingNode(node, having, n_visible=n_visible)
+            node = qn.HavingNode(node, having)
         return node
 
     def _resolve_aggregates_to_outputs(self, expr, group_node):
@@ -551,11 +567,24 @@ class QueryPlanBuilder:
         ORDER BY <aggregate-expr>); everything else must decompose
         into pure functions over such matches — an unmatched leaf
         would otherwise silently bind to the wrong relation."""
+        if (
+            isinstance(expr, ColumnReferenceNode)
+            and expr.column_index is not None
+            and expr.column_index >= _HAVING_OUT_BASE
+        ):
+            i = expr.column_index - _HAVING_OUT_BASE
+            return ColumnReferenceNode(
+                expr.column_name,
+                group_node.select_list[i].expr.return_type(),
+                index=i,
+            )
         sql_form = expr.to_sql()
         for i, sl in enumerate(group_node.select_list):
             if sl.expr.to_sql() == sql_form:
                 return ColumnReferenceNode(
-                    group_node.get_result_columns()[i],
+                    group_node.get_result_columns()[i]
+                    if i < len(group_node.output_columns)
+                    else sl.column_name(),
                     sl.expr.return_type(),
                     index=i,
                 )
@@ -605,10 +634,12 @@ class QueryPlanBuilder:
             if g.to_sql() == sql_form:
                 idx = len(group_node.select_list)
                 hidden = f"__having_{idx}"
+                # select_list only — NOT output_columns: the final
+                # ResultList slice strips the hidden column the same
+                # way ORDER BY's appended sort columns are stripped
                 group_node.select_list.append(
                     qn.SelectListEntry(g, alias=hidden)
                 )
-                group_node.output_columns.append(hidden)
                 return ColumnReferenceNode(
                     hidden, g.return_type(), index=idx
                 )

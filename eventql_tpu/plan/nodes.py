@@ -576,19 +576,17 @@ class HavingNode(TableExpressionNode):
     expression is resolved against the child GroupBy's output columns
     at build time, so it contains no live aggregate calls. Group-key
     expressions not in the select list resolve through HIDDEN select
-    entries the builder appends; n_visible caps the emitted columns so
-    hidden entries never reach the result."""
+    entries the builder appends to the child's select_list (NOT its
+    output_columns) — the final ResultList slice to get_result_columns
+    strips them, exactly how ORDER BY's allow_add-appended sort
+    columns are stripped on every other plan shape."""
 
-    def __init__(self, table, filter_expr, n_visible=None):
+    def __init__(self, table, filter_expr):
         self.table = table
         self.filter_expr = filter_expr
-        self.n_visible = n_visible
 
     def get_result_columns(self):
-        cols = self.table.get_result_columns()
-        if self.n_visible is not None:
-            cols = cols[: self.n_visible]
-        return cols
+        return self.table.get_result_columns()
 
     def get_available_columns(self):
         return self.table.get_available_columns()

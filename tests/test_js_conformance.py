@@ -623,3 +623,28 @@ def test_bind_call_apply(src, expected):
 @pytest.mark.parametrize("src,expected", ARRAY_HOLES)
 def test_array_holes(src, expected):
     check(src, expected)
+
+
+# round-5 review fixes: delete on sealed objects, frozen arrays
+REVIEW_FIXES = [
+    # ES5 8.12.7: deleting a MISSING property returns true even on
+    # sealed/frozen objects
+    ("var o = Object.seal({a: 1}); delete o.nope;", True),
+    ("var o = Object.freeze({a: 1}); delete o.nope;", True),
+    ("var o = Object.seal({a: 1}); delete o.a;", False),
+    # freeze applies to arrays (elements non-writable, length pinned)
+    ("var a = Object.freeze([1, 2]); a.push(3); a.length;", 2),
+    ("var a = Object.freeze([1, 2]); a[0] = 9; a[0];", 1),
+    ("var a = Object.freeze([1, 2]); a.pop(); a.length;", 2),
+    ("var a = Object.freeze([1, 2]); a.length = 0; a.length;", 2),
+    ("Object.isFrozen(Object.freeze([1]));", True),
+    ("Object.isFrozen([1]);", False),
+    ("var a = Object.freeze([2, 1]); a.sort(); a.join();", "2,1"),
+    # seal on arrays keeps element writes legal (only adds/deletes pin)
+    ("var a = Object.seal([1, 2]); a[0] = 9; a[0];", 9),
+]
+
+
+@pytest.mark.parametrize("src,expected", REVIEW_FIXES)
+def test_review_fixes(src, expected):
+    check(src, expected)

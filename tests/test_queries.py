@@ -734,3 +734,47 @@ def test_having_device_route_parity(monkeypatch):
     host = run(False)
     assert host  # non-vacuous
     assert run(True) == host
+
+
+def test_having_aliases_and_order_by_unselected_key():
+    """Round-5 review regressions: HAVING on a select-list alias
+    (MySQL semantics, like ORDER BY ordinals) and ORDER BY on a
+    grouped-but-unselected column above a HAVING both work."""
+    import numpy as np
+
+    from eventql_tpu.core.types import SType
+    from eventql_tpu.exec.relation import Column, Relation
+    from eventql_tpu.exec.runtime import RelationTableProvider, Runtime
+
+    n = 120
+    rel = Relation(
+        ["city", "region", "v"],
+        [
+            Column.from_strings([b"c%d" % (i % 5) for i in range(n)]),
+            Column.from_strings([b"r%d" % (i % 3) for i in range(n)]),
+            Column(
+                SType.UINT64, np.arange(n, dtype=np.uint64),
+                np.ones(n, bool),
+            ),
+        ],
+        n,
+    )
+    p = RelationTableProvider()
+    p.add_table("t", rel)
+    rt = Runtime()
+
+    rows = rt.execute_query(
+        rt.new_transaction(p),
+        "select city, sum(v) as s from t group by city"
+        " having s > 1420 order by s;",
+    )[0].rows
+    assert rows == [["c2", "1428"], ["c3", "1452"], ["c4", "1476"]]
+
+    res = rt.execute_query(
+        rt.new_transaction(p),
+        "select city, count(1) as c from t group by city, region"
+        " having count(1) >= 1 order by region, city;",
+    )[0]
+    assert res.columns == ["city", "c"]
+    assert len(res.rows) == 15
+    assert all(len(r) == 2 for r in res.rows)
