@@ -82,7 +82,10 @@ def bench_scan():
     jax.config.update("jax_enable_x64", True)
 
     n = int(os.environ.get("BENCH_ROWS", 1 << 26))
-    reps = int(os.environ.get("BENCH_REPS", 32))
+    # 96-deep: at 32 reps the ~11 ms chain sits inside relay-RTT
+    # jitter and host-load skew of the RTT estimate (one loaded run
+    # measured an impossible 1.10x of the HBM roofline)
+    reps = int(os.environ.get("BENCH_REPS", 96))
     pad = 1024
     rng = np.random.default_rng(3)
     # logical u64 columns whose values fit 16 bits stream as u16 and
