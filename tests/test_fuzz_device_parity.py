@@ -114,6 +114,13 @@ def _gen_query(rng: random.Random) -> str:
         q += " where " + clause
     if keys:
         q += " group by " + ", ".join(keys)
+        if rng.random() < 0.3:
+            # HAVING over one of the selected aggregates (round 5):
+            # rides ABOVE the device/mesh group-by fast paths
+            agg = rng.choice(aggs)
+            thr = rng.choice([0, 1, 100, 100000])
+            op = rng.choice([">", ">=", "<", "!="])
+            q += f" having {agg} {op} {thr}"
     # order by every output ordinal → fully deterministic row order
     ordinals = ", ".join(
         f"{i + 1}{' desc' if rng.random() < 0.3 else ''}"
